@@ -1,0 +1,240 @@
+"""Point-in-time (as-of) join.
+
+The reference's enrichment is an equi-join on a precomputed entity id
+(src/upgini/features_enricher.py:4630-4698) whose point-in-time discipline
+is enforced server-side by mandatory DATE/DATETIME search keys
+(src/upgini/features_enricher.py:2828-2843). Here the PIT discipline is the
+join itself: every matched right row satisfies ``right_ts <= left_ts``
+(backward direction) — zero temporal leakage by construction.
+
+Two engines:
+
+- ``native``: union + window trick. Left and right rows are unioned on the
+  entity key, totally ordered by (ts, side-marker), and each right value
+  column is propagated with ``last(..., ignorenulls=True)`` over an
+  unbounded-preceding running frame. One shuffle, no Python, whole-stage
+  codegen throughout — the default at scale.
+- ``arrow``: cogrouped ``applyInPandas`` running ``pandas.merge_asof`` per
+  entity-hash bucket, with optional salting for hot entities (right side
+  replicated across salts). This is the kernel mandated by the north rule;
+  it also gives exact pandas parity semantics for tolerance handling.
+
+Both engines produce identical results (tested against each other and a
+pandas ``merge_asof`` oracle). Token payload columns ride through
+untouched; in the arrow engine they cross Arrow as fixed int32 lists.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_MARK = "__asof_side__"
+_MATCH_TS = "__asof_matched_ts__"
+
+
+def _value_cols(right: DataFrame, right_on: str, by_right: list[str]) -> list[str]:
+    return [c for c in right.columns if c != right_on and c not in by_right]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    by_left: str | Iterable[str],
+    by_right: str | Iterable[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    engine: str = "native",
+    n_buckets: int | None = None,
+    salt: int = 1,
+    keep_match_ts: bool = False,
+) -> DataFrame:
+    """As-of join `left` to `right` on event time within entity groups.
+
+    For each left row (entity, t) attach the right row of the same entity
+    with the largest ``right_on <= t`` (backward; inclusive) or smallest
+    ``right_on >= t`` (forward). Unmatched left rows keep nulls. Optional
+    ``tolerance_seconds`` nulls matches farther than the tolerance
+    (pandas ``merge_asof(tolerance=...)`` semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    by_left = [by_left] if isinstance(by_left, str) else list(by_left)
+    by_right = by_left if by_right is None else (
+        [by_right] if isinstance(by_right, str) else list(by_right)
+    )
+    if len(by_left) != len(by_right):
+        raise ValueError("by_left and by_right must have equal length")
+
+    if engine == "native":
+        return _asof_native(
+            left, right, left_on, right_on, by_left, by_right,
+            direction, tolerance_seconds, keep_match_ts,
+        )
+    if engine == "arrow":
+        return _asof_arrow(
+            left, right, left_on, right_on, by_left, by_right,
+            direction, tolerance_seconds, keep_match_ts,
+            n_buckets=n_buckets, salt=salt,
+        )
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def _asof_native(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by_left: list[str],
+    by_right: list[str],
+    direction: str,
+    tolerance_seconds: float | None,
+    keep_match_ts: bool,
+) -> DataFrame:
+    vcols = _value_cols(right, right_on, by_right)
+    clash = set(vcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right value columns clash with left: {sorted(clash)}")
+
+    # Align right onto left's key/ts column names; null-pad each side.
+    lkeys = by_left
+    l_part = left.select(
+        *left.columns,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in vcols],
+        F.lit(None).cast(right.schema[right_on].dataType).alias(_MATCH_TS),
+        F.lit(1).alias(_MARK),
+    )
+    left_only = [c for c in left.columns if c not in lkeys and c != left_on]
+    r_part = right.select(
+        *[F.col(rb).alias(lb) for lb, rb in zip(by_left, by_right)],
+        F.col(right_on).alias(left_on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        *vcols,
+        F.col(right_on).alias(_MATCH_TS),
+        F.lit(0).alias(_MARK),
+    ).select(*l_part.columns)  # same column order for union
+
+    unioned = l_part.unionByName(r_part)
+
+    ts = F.col(left_on)
+    if direction == "backward":
+        # right row at equal ts sorts before the left row -> inclusive match
+        order = [ts.asc_nulls_last(), F.col(_MARK).asc()]
+        pick = F.last
+    else:
+        order = [ts.desc_nulls_last(), F.col(_MARK).asc()]
+        pick = F.last
+    w = (
+        Window.partitionBy(*lkeys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = unioned.select(
+        *[c for c in left.columns],
+        F.col(_MARK),
+        pick(F.col(_MATCH_TS), ignorenulls=True).over(w).alias(_MATCH_TS),
+        *[pick(F.col(c), ignorenulls=True).over(w).alias(c) for c in vcols],
+    ).filter(F.col(_MARK) == 1)
+
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col(left_on).cast("double") - F.col(_MATCH_TS).cast("double")
+        )
+        ok = F.col(_MATCH_TS).isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        filled = filled.select(
+            *[c for c in left.columns],
+            F.when(ok, F.col(_MATCH_TS)).alias(_MATCH_TS),
+            *[F.when(ok, F.col(c)).alias(c) for c in vcols],
+        )
+    out_cols = list(left.columns) + ([_MATCH_TS] if keep_match_ts else []) + vcols
+    return filled.select(
+        *[F.col(c).alias("matched_ts") if c == _MATCH_TS else F.col(c) for c in out_cols]
+    )
+
+
+def _asof_arrow(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by_left: list[str],
+    by_right: list[str],
+    direction: str,
+    tolerance_seconds: float | None,
+    keep_match_ts: bool,
+    n_buckets: int | None,
+    salt: int,
+) -> DataFrame:
+    """Cogrouped-pandas engine: bucket by entity hash (+salt), merge_asof.
+
+    Salting: left rows of a bucket spread across ``salt`` sub-buckets;
+    the right side is replicated into every sub-bucket (explode over the
+    salt range) so each cogroup still sees the full right history for its
+    entities. Use salt>1 when the entity histogram is hot-skewed
+    (SURVEY.md §4 custom-strategy 2).
+    """
+    vcols = _value_cols(right, right_on, by_right)
+    if n_buckets is None:
+        n_buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    bkt = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
+    lsalt = F.pmod(F.xxhash64(F.lit("asof-salt"), F.col(left_on)), F.lit(salt))
+    l_b = left.withColumn("__bkt__", bkt(by_left)).withColumn("__salt__", lsalt)
+    r_b = (
+        right.withColumn("__bkt__", bkt(by_right))
+        .withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    )
+
+    out_schema_fields = (
+        [left.schema[c] for c in left.columns]
+        + ([right.schema[right_on]] if keep_match_ts else [])
+        + [right.schema[c] for c in vcols]
+    )
+    from pyspark.sql.types import StructField, StructType
+
+    out_fields = []
+    for f in out_schema_fields:
+        name = "matched_ts" if (keep_match_ts and f.name == right_on) else f.name
+        out_fields.append(StructField(name, f.dataType, True))
+    out_schema = StructType(out_fields)
+    left_cols = list(left.columns)
+    tol = pd.Timedelta(seconds=tolerance_seconds) if tolerance_seconds is not None else None
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        lpdf = lpdf.drop(columns=["__bkt__", "__salt__"]).sort_values(left_on, kind="mergesort")
+        rename = dict(zip(by_right, by_left))
+        if keep_match_ts:
+            rpdf = rpdf.assign(matched_ts=rpdf[right_on])
+        rpdf = (
+            rpdf.drop(columns=["__bkt__", "__salt__"])
+            .rename(columns=rename)
+            .sort_values(right_on, kind="mergesort")
+        )
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on=left_on,
+            right_on=right_on,
+            by=by_left,
+            direction=direction,
+            tolerance=tol,
+            suffixes=("", "__r"),
+        )
+        keep = left_cols + (["matched_ts"] if keep_match_ts else []) + vcols
+        return merged[keep]
+
+    return (
+        l_b.groupBy("__bkt__", "__salt__")
+        .cogroup(r_b.groupBy("__bkt__", "__salt__"))
+        .applyInPandas(merge, schema=out_schema)
+    )

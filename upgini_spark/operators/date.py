@@ -1,0 +1,123 @@
+"""Date operators (reference: src/upgini/autofe/date.py) + cyclical
+features (src/upgini/utils/datetime_utils.py:184-252).
+
+All native expressions: datediff / higher-order array functions for the
+date-list aggregates; sin/cos for cyclical encodings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TWO_PI = 6.283185307179586
+
+
+def date_diff(a: Column, b: Column, unit: str = "D", replace_negative: bool = False) -> Column:
+    """(date(a) − date(b)) in days or years; optional negative→null
+    (date.py:47-79; time-of-day dropped via .dt.date at date.py:73)."""
+    if unit == "D":
+        d = F.datediff(F.to_date(a), F.to_date(b)).cast("double")
+    elif unit == "Y":
+        d = F.floor(F.months_between(F.to_date(a), F.to_date(b)) / 12).cast("double")
+    else:
+        raise ValueError(f"unsupported diff unit {unit!r}")
+    if replace_negative:
+        d = F.when(d >= 0, d)
+    return d
+
+
+def date_diff_type2(a: Column, b: Column) -> Column:
+    """Days until the next anniversary of b, relative to a (date.py:82-109)."""
+    a_d, b_d = F.to_date(a), F.to_date(b)
+    this_year = F.make_date(F.year(a_d), F.month(b_d), F.dayofmonth(b_d))
+    anniversary = F.when(this_year < a_d, F.add_months(this_year, 12)).otherwise(this_year)
+    return F.datediff(anniversary, a_d).cast("double")
+
+
+_LIST_AGGS = ("min", "max", "mean", "nunique", "count")
+
+
+def _agg_diffs(diffs: Column, agg: str, empty_zero: bool) -> Column:
+    if agg == "min":
+        e = F.array_min(diffs).cast("double")
+    elif agg == "max":
+        e = F.array_max(diffs).cast("double")
+    elif agg == "mean":
+        e = F.when(
+            F.size(diffs) > 0,
+            F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v) / F.size(diffs),
+        )
+    elif agg == "nunique":
+        e = F.size(F.array_distinct(diffs)).cast("double")
+    elif agg == "count":
+        e = F.size(diffs).cast("double")
+    else:
+        raise ValueError(f"unsupported list agg {agg!r}")
+    if agg in ("nunique", "count") and empty_zero:
+        return F.coalesce(e, F.lit(0.0))
+    return e
+
+
+def date_list_diff(a: Column, dates: Column, agg: str) -> Column:
+    """a − each element of array<date> b, aggregated (date.py:112-184);
+    count-ish aggs are 0 on empty lists."""
+    diffs = F.transform(dates, lambda x: F.datediff(F.to_date(a), F.to_date(x)))
+    return _agg_diffs(diffs, agg, empty_zero=True)
+
+
+def date_list_diff_bounded(
+    a: Column, dates: Column, agg: str, lo: float | None = None, hi: float | None = None,
+    normalize: bool = False,
+) -> Column:
+    """Filter diffs into [lo, hi) before aggregating (date.py:187-242);
+    ``_norm`` divides by the original list length."""
+    diffs = F.transform(dates, lambda x: F.datediff(F.to_date(a), F.to_date(x)))
+    cond = lambda d: F.lit(True)  # noqa: E731
+    if lo is not None and hi is not None:
+        cond = lambda d: (d >= F.lit(lo)) & (d < F.lit(hi))  # noqa: E731
+    elif lo is not None:
+        cond = lambda d: d >= F.lit(lo)  # noqa: E731
+    elif hi is not None:
+        cond = lambda d: d < F.lit(hi)  # noqa: E731
+    filtered = F.filter(diffs, cond)
+    out = _agg_diffs(filtered, agg, empty_zero=True)
+    if normalize:
+        out = F.when(F.size(dates) > 0, out / F.size(dates))
+    return out
+
+
+def date_percentile(c: Column, bounds: list[float]) -> Column:
+    """Percentile bucket index of the value against learned bounds
+    (date.py:245-323) — a when-ladder like unary.bin_."""
+    x = c.cast("double")
+    expr = F.lit(0)
+    for b in bounds:
+        expr = expr + F.when(x > F.lit(float(b)), 1).otherwise(0)
+    return F.when(x.isNull(), None).otherwise(expr)
+
+
+def cyclical_features(ts: Column, intraday: bool = False) -> dict[str, Column]:
+    """sin/cos of day-in-quarter (variable period = days in that quarter),
+    plus intraday second/minute/half-hour/hour encodings when time-of-day
+    is present (datetime_utils.py:184-252)."""
+    d = F.to_date(ts)
+    q_start = F.trunc(d, "quarter")
+    q_end = F.add_months(q_start, 3)
+    days_in_q = F.datediff(q_end, q_start).cast("double")
+    day_in_q = (F.datediff(d, q_start) + 1).cast("double")
+    out = {
+        "datetime_sin_quarter": F.sin(F.lit(TWO_PI) * day_in_q / days_in_q),
+        "datetime_cos_quarter": F.cos(F.lit(TWO_PI) * day_in_q / days_in_q),
+    }
+    if intraday:
+        for name, val, period in (
+            ("second", F.second(ts), 60.0),
+            ("minute", F.minute(ts), 60.0),
+            ("minute_half", F.minute(ts) % 30, 30.0),
+            ("hour", F.hour(ts), 24.0),
+        ):
+            v = val.cast("double")
+            out[f"datetime_sin_{name}"] = F.sin(F.lit(TWO_PI) * v / F.lit(period))
+            out[f"datetime_cos_{name}"] = F.cos(F.lit(TWO_PI) * v / F.lit(period))
+    return out

@@ -1,0 +1,353 @@
+"""Time-based window operators: Lag / Roll / Delta / Volatility / Session.
+
+Reference semantics (src/upgini/autofe/timeseries/):
+
+- every op runs over ``[ts, group_cols..., value]``, per-group, ordered by
+  event time, with *time-based* (not row-based) windows robust to gaps
+  (base.py:25-46);
+- pandas ``Series.rolling("<n><unit>")`` windows are left-open right-closed
+  ``(t - n*unit, t]`` with ``min_periods=1`` — we reproduce that exactly
+  with ``Window.rangeBetween(-(n*unit_us) + 1, 0)`` over integer
+  microseconds (``unix_micros``), which keeps everything JVM-side and
+  codegen'd;
+- duplicate (ts, groups) rows collapse keep-first before computation, and
+  results broadcast back to all original rows (base.py:29,43-46) — see
+  :func:`dedup_first`;
+- Lag(n) (lag.py:60-68): earliest value in the ``(t-(n+1)u, t]`` window,
+  iff that point is at least ``n`` units old (strict ``>`` on the window
+  min ⇒ NaN), i.e. "the value as of t − n units, tolerating gaps up to 1
+  unit";
+- Roll aggs (roll.py:9-87): mean, min, max, std (sample), median,
+  norm_mean (= value / rolling mean), q25, q75, iqr;
+- RollingVolatility (volatility.py:75-146): std of step-returns
+  ``v/lag_step(v) − 1`` (fillna 0, optional abs);
+- VolatilityRatio (volatility.py:196-265): short-window vol / long-window
+  vol, non-finite → 1;
+- EWMAVolatility (volatility.py:15-72): recursive ``ewm(span).std()`` has
+  no native Spark expression → Arrow-batched ``applyInPandas`` kernel;
+- TrendCoefficient (trend.py:9-67): OLS slope per group over a resampled
+  step grid — closed-form ``cov(i, v)/var(i)`` as native aggregates;
+- Sessionization is not in the reference; the north rule mandates gap-based
+  session windows keyed by doc_id gaps → cumulative-flag session ids
+  (batch) / ``session_window`` (streaming-compatible aggregation).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+US = {"s": 1_000_000, "S": 1_000_000}
+US["T"] = US["min"] = 60 * 1_000_000
+US["h"] = US["H"] = 3600 * 1_000_000
+US["D"] = US["d"] = 86400 * 1_000_000
+US["W"] = US["w"] = 7 * 86400 * 1_000_000
+
+_TS_US = "__ts_us__"
+
+
+def unit_us(n: int, unit: str) -> int:
+    if unit not in US:
+        raise ValueError(f"unsupported time unit {unit!r}")
+    return n * US[unit]
+
+
+def _with_ts_us(df: DataFrame, ts_col: str) -> DataFrame:
+    return df.withColumn(_TS_US, F.unix_micros(F.col(ts_col)))
+
+
+def _drop_ts_us(df: DataFrame) -> DataFrame:
+    return df.drop(_TS_US)
+
+
+def _rolling_window(groups: list[str], n: int, unit: str):
+    """pandas `(t - n*unit, t]` time window → Spark range frame."""
+    return (
+        Window.partitionBy(*groups)
+        .orderBy(F.col(_TS_US))
+        .rangeBetween(-unit_us(n, unit) + 1, 0)
+    )
+
+
+def dedup_first(
+    df: DataFrame, ts_col: str, groups: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Keep-first dedup on (groups, ts) — reference base.py:29.
+
+    Spark has no implicit row order; ``order_col`` supplies the explicit
+    "first" tie-breaker (e.g. an ingestion id). Without it, ties break on
+    the full row hash for determinism.
+    """
+    if order_col is None:
+        tie = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+    else:
+        tie = F.col(order_col)
+    w = Window.partitionBy(*groups, ts_col).orderBy(tie.asc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+# --------------------------------------------------------------------------
+# Lag / Roll / Delta — native window expressions
+# --------------------------------------------------------------------------
+
+def lag_feature(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    n: int,
+    unit: str = "D",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Time-based lag: value as of (t − n·unit), NaN when no point is old
+    enough inside the (t−(n+1)·unit, t] lookback (lag.py:64-68)."""
+    out_col = out_col or f"{value_col}_lag_{n}{unit}"
+    d = _with_ts_us(df, ts_col)
+    w = _rolling_window(groups, n + 1, unit)
+    oldest_ts = F.min(_TS_US).over(w)
+    oldest_val = F.first(F.col(value_col)).over(
+        Window.partitionBy(*groups).orderBy(F.col(_TS_US)).rangeBetween(
+            -unit_us(n + 1, unit) + 1, 0
+        )
+    )
+    gate = oldest_ts <= (F.col(_TS_US) - F.lit(unit_us(n, unit)))
+    return _drop_ts_us(d.withColumn(out_col, F.when(gate, oldest_val)))
+
+
+ROLL_AGGS = (
+    "mean", "min", "max", "std", "median", "sum", "count",
+    "norm_mean", "q25", "q75", "iqr", "last", "first",
+)
+
+
+def _roll_expr(agg: str, value_col: str, w) -> F.Column:
+    v = F.col(value_col)
+    if agg == "mean":
+        return F.avg(v).over(w)
+    if agg == "min":
+        return F.min(v).over(w)
+    if agg == "max":
+        return F.max(v).over(w)
+    if agg == "std":
+        return F.stddev_samp(v).over(w)
+    if agg == "sum":
+        return F.sum(v).over(w)
+    if agg == "count":
+        return F.count(v).over(w)
+    if agg == "median":
+        return F.expr(f"percentile({value_col}, 0.5)").over(w)
+    if agg == "q25":
+        return F.expr(f"percentile({value_col}, 0.25)").over(w)
+    if agg == "q75":
+        return F.expr(f"percentile({value_col}, 0.75)").over(w)
+    if agg == "iqr":
+        return (
+            F.expr(f"percentile({value_col}, 0.75)").over(w)
+            - F.expr(f"percentile({value_col}, 0.25)").over(w)
+        )
+    if agg == "norm_mean":
+        return v / F.avg(v).over(w)
+    if agg == "last":
+        return F.last(v).over(w)
+    if agg == "first":
+        return F.first(v).over(w)
+    raise ValueError(f"unsupported roll agg {agg!r}")
+
+
+def roll_feature(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    n: int,
+    unit: str = "D",
+    agg: str = "mean",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Time-based rolling aggregate over (t−n·unit, t], min_periods=1
+    (roll.py:9-87)."""
+    out_col = out_col or f"{value_col}_roll_{n}{unit}_{agg}"
+    d = _with_ts_us(df, ts_col)
+    w = _rolling_window(groups, n, unit)
+    return _drop_ts_us(d.withColumn(out_col, _roll_expr(agg, value_col, w)))
+
+
+def roll_features(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    specs: list[tuple[int, str, str]],
+) -> DataFrame:
+    """Vectorized form: many (n, unit, agg) in ONE pass — the Spark analog
+    of FeatureGroup.make_groups batching (autofe/feature.py:433-451);
+    Catalyst computes same-frame windows in a single Window node."""
+    d = _with_ts_us(df, ts_col)
+    cols = [F.col(c) for c in df.columns]
+    for n, unit, agg in specs:
+        w = _rolling_window(groups, n, unit)
+        cols.append(_roll_expr(agg, value_col, w).alias(f"{value_col}_roll_{n}{unit}_{agg}"))
+    return d.select(*cols)
+
+
+def delta_feature(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    n: int,
+    unit: str = "D",
+    order: int = 1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Delta = value − Lag_n(value); Delta2 applies it twice (delta.py:9-121)."""
+    out_col = out_col or f"{value_col}_delta{'' if order == 1 else order}_{n}{unit}"
+    cur = value_col
+    d = df
+    for i in range(order):
+        tmp = f"__delta_{i}__" if i < order - 1 else out_col
+        lag_col = f"__lag_{i}__"
+        d = lag_feature(d, ts_col, groups, cur, n, unit, out_col=lag_col)
+        d = d.withColumn(tmp, F.col(cur) - F.col(lag_col)).drop(lag_col)
+        if i > 0:
+            d = d.drop(cur)
+        cur = tmp
+    return d
+
+
+# --------------------------------------------------------------------------
+# Volatility family
+# --------------------------------------------------------------------------
+
+def rolling_volatility(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    n: int,
+    unit: str = "D",
+    step: int = 1,
+    step_unit: str | None = None,
+    use_abs: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """std over (t−n·unit, t] of step-returns ``v/lag(v) − 1`` (fillna 0)
+    — volatility.py:75-146."""
+    step_unit = step_unit or unit
+    out_col = out_col or f"{value_col}_roll_vol_{n}{unit}"
+    ret = "__ret__"
+    d = lag_feature(df, ts_col, groups, value_col, step, step_unit, out_col="__lagv__")
+    r = F.coalesce(F.col(value_col) / F.col("__lagv__") - 1, F.lit(0.0))
+    if use_abs:
+        r = F.abs(r)
+    d = d.withColumn(ret, r).drop("__lagv__")
+    d = _with_ts_us(d, ts_col)
+    w = _rolling_window(groups, n, unit)
+    d = d.withColumn(out_col, F.coalesce(F.stddev_samp(ret).over(w), F.lit(0.0)))
+    return _drop_ts_us(d.drop(ret))
+
+
+def volatility_ratio(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    short_n: int,
+    long_n: int,
+    unit: str = "D",
+    out_col: str | None = None,
+) -> DataFrame:
+    """short-window vol / long-window vol; non-finite → 1
+    (volatility.py:196-265)."""
+    out_col = out_col or f"{value_col}_vol_ratio_{short_n}_to_{long_n}{unit}"
+    d = rolling_volatility(df, ts_col, groups, value_col, short_n, unit, out_col="__vs__")
+    d = rolling_volatility(d, ts_col, groups, value_col, long_n, unit, out_col="__vl__")
+    ratio = F.col("__vs__") / F.col("__vl__")
+    clean = F.when(ratio.isNull() | F.isnan(ratio) | (F.abs(ratio) == float("inf")), 1.0).otherwise(ratio)
+    return d.withColumn(out_col, clean).drop("__vs__", "__vl__")
+
+
+def ewma_volatility(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    span: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Recursive EWM std of step returns — no native Spark expression, so an
+    Arrow-batched per-group pandas kernel (volatility.py:15-72). Returns are
+    consecutive-row pct_change (fillna 0) in event-time order."""
+    out_col = out_col or f"{value_col}_ewma_vol_{span}"
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType(), True)])
+    cols = list(df.columns)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ret = pdf[value_col].astype("float64").pct_change().fillna(0.0)
+        pdf[out_col] = ret.ewm(span=span).std()
+        return pdf[cols + [out_col]]
+
+    return df.groupBy(*groups).applyInPandas(kernel, schema=schema)
+
+
+def trend_coefficient(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    step: int = 1,
+    step_unit: str = "D",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group OLS slope of value vs time-step index, constant per group,
+    null→0 (trend.py:9-67). Closed form cov(i,v)/var(i) as native aggs over
+    the step grid index i = floor((ts − min(ts))/step)."""
+    out_col = out_col or f"{value_col}_trend_coef"
+    d = _with_ts_us(df, ts_col)
+    wg = Window.partitionBy(*groups)
+    i = F.floor(
+        (F.col(_TS_US) - F.min(_TS_US).over(wg)) / F.lit(unit_us(step, step_unit))
+    ).cast("double")
+    v = F.col(value_col).cast("double")
+    slope = (
+        F.avg(i * v).over(wg) - F.avg(i).over(wg) * F.avg(v).over(wg)
+    ) / (F.avg(i * i).over(wg) - F.avg(i).over(wg) * F.avg(i).over(wg))
+    clean = F.when(slope.isNull() | F.isnan(slope), 0.0).otherwise(slope)
+    return _drop_ts_us(d.withColumn(out_col, clean))
+
+
+# --------------------------------------------------------------------------
+# Sessionization (north-rule addition; no reference analog)
+# --------------------------------------------------------------------------
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    gap_seconds: int,
+    out_col: str = "session_id",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based session ids per entity: a new session starts when the time
+    since the previous event exceeds ``gap_seconds``. Pure window cumsum —
+    one shuffle, codegen'd. Streaming analog: ``F.session_window`` +
+    watermark (engine exposes batch ids; aggregation-level sessionization
+    composes from these)."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tie_cols or [])]
+    w = Window.partitionBy(*groups).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        prev.isNull()
+        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_seconds)
+    ).cast("long")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(new_sess).over(wrun))
