@@ -146,8 +146,9 @@ def _asof_native(
 
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.col(left_on).cast("double") - F.col(_MATCH_TS).cast("double")
-        )
+            F.unix_micros(F.col(left_on).cast("timestamp")).cast("double")
+            - F.unix_micros(F.col(_MATCH_TS).cast("timestamp")).cast("double")
+        ) / 1e6
         ok = F.col(_MATCH_TS).isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
         filled = filled.select(
             *[c for c in left.columns],

@@ -51,7 +51,7 @@ def group_by_then_rank(key: Column, value: Column) -> Column:
     ties = F.count(F.when(value.isNotNull(), 1)).over(Window.partitionBy(key, value)).cast("double")
     avg_rank = rnk + (ties - 1) / 2
     n = F.count(F.when(value.isNotNull(), 1)).over(_grp(key)).cast("double")
-    return _gated(key, F.when(value.isNotNull(), avg_rank / n))
+    return _gated(key, F.when(value.isNotNull(), F.try_divide(avg_rank, n)))
 
 
 def group_by_then_nunique(key: Column, value: Column) -> Column:
@@ -64,4 +64,4 @@ def group_by_then_freq(key: Column, value: Column) -> Column:
     """Within group, relative frequency of the row's value (groupby.py:81-94)."""
     cnt = F.count(F.when(value.isNotNull(), 1)).over(Window.partitionBy(key, value))
     total = F.count(F.when(value.isNotNull(), 1)).over(_grp(key))
-    return _gated(key, F.when(value.isNotNull(), cnt.cast("double") / total))
+    return _gated(key, F.when(value.isNotNull(), F.try_divide(cnt.cast("double"), total)))

@@ -54,8 +54,13 @@ def unit_us(n: int, unit: str) -> int:
     return n * US[unit]
 
 
+def epoch_us(c: F.Column) -> F.Column:
+    """Integer epoch-µs; tolerates TIMESTAMP_NTZ inputs (session tz UTC)."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def _with_ts_us(df: DataFrame, ts_col: str) -> DataFrame:
-    return df.withColumn(_TS_US, F.unix_micros(F.col(ts_col)))
+    return df.withColumn(_TS_US, epoch_us(F.col(ts_col)))
 
 
 def _drop_ts_us(df: DataFrame) -> DataFrame:
@@ -92,6 +97,55 @@ def dedup_first(
     )
 
 
+def ts_feature_parity(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    feature_fn,
+    out_col: str,
+    order_col: str | None = None,
+    offset: tuple[int, str] | None = None,
+) -> DataFrame:
+    """Exact reference TimeSeriesBase.calculate_vector semantics
+    (base.py:25-55):
+
+    1. keep-first dedup on (groups, ts) (``order_col`` = explicit "first");
+    2. drop rows with unparsable/null ts;
+    3. optional offset: value series shifted forward by exactly
+       ``offset``; rows with no exact t−offset point drop out entirely
+       (the reference's inner merge, base.py:48-55);
+    4. compute the feature on the slim series via ``feature_fn(slim_df)``
+       (must add ``out_col``);
+    5. broadcast back to every original row by (groups, ts) equi-join.
+    """
+    key = groups + [ts_col]
+    slim = dedup_first(
+        df.select(*key, value_col, *( [order_col] if order_col else [] )),
+        ts_col, groups, order_col,
+    ).filter(F.col(ts_col).isNotNull())
+    if order_col:
+        slim = slim.drop(order_col)
+    if offset is not None:
+        n_off, u_off = offset
+        shifted = slim.select(
+            *groups,
+            (epoch_us(F.col(ts_col)) + F.lit(unit_us(n_off, u_off))).alias("__sh_us__"),
+            F.col(value_col).alias("__sh_val__"),
+        )
+        # exact-timestamp shift: replace value with value(t - offset), inner
+        slim_us = slim.withColumn("__us__", epoch_us(F.col(ts_col)))
+        cond = [slim_us["__us__"] == shifted["__sh_us__"]] + [
+            slim_us[g] == shifted[g] for g in groups
+        ]
+        slim = (
+            slim_us.join(shifted, on=cond, how="inner")
+            .select(*[slim_us[c] for c in key], F.col("__sh_val__").alias(value_col))
+        )
+    feat = feature_fn(slim).select(*key, out_col)
+    return df.join(feat, on=key, how="left")
+
+
 # --------------------------------------------------------------------------
 # Lag / Roll / Delta — native window expressions
 # --------------------------------------------------------------------------
@@ -111,11 +165,7 @@ def lag_feature(
     d = _with_ts_us(df, ts_col)
     w = _rolling_window(groups, n + 1, unit)
     oldest_ts = F.min(_TS_US).over(w)
-    oldest_val = F.first(F.col(value_col)).over(
-        Window.partitionBy(*groups).orderBy(F.col(_TS_US)).rangeBetween(
-            -unit_us(n + 1, unit) + 1, 0
-        )
-    )
+    oldest_val = F.first(F.col(value_col)).over(w)
     gate = oldest_ts <= (F.col(_TS_US) - F.lit(unit_us(n, unit)))
     return _drop_ts_us(d.withColumn(out_col, F.when(gate, oldest_val)))
 
@@ -152,7 +202,8 @@ def _roll_expr(agg: str, value_col: str, w) -> F.Column:
             - F.expr(f"percentile({value_col}, 0.25)").over(w)
         )
     if agg == "norm_mean":
-        return v / F.avg(v).over(w)
+        # try_divide: ANSI-safe; zero rolling mean -> null (pandas gives inf)
+        return F.try_divide(v, F.avg(v).over(w))
     if agg == "last":
         return F.last(v).over(w)
     if agg == "first":
@@ -243,7 +294,7 @@ def rolling_volatility(
     out_col = out_col or f"{value_col}_roll_vol_{n}{unit}"
     ret = "__ret__"
     d = lag_feature(df, ts_col, groups, value_col, step, step_unit, out_col="__lagv__")
-    r = F.coalesce(F.col(value_col) / F.col("__lagv__") - 1, F.lit(0.0))
+    r = F.coalesce(F.try_divide(F.col(value_col), F.col("__lagv__")) - 1, F.lit(0.0))
     if use_abs:
         r = F.abs(r)
     d = d.withColumn(ret, r).drop("__lagv__")
@@ -268,7 +319,7 @@ def volatility_ratio(
     out_col = out_col or f"{value_col}_vol_ratio_{short_n}_to_{long_n}{unit}"
     d = rolling_volatility(df, ts_col, groups, value_col, short_n, unit, out_col="__vs__")
     d = rolling_volatility(d, ts_col, groups, value_col, long_n, unit, out_col="__vl__")
-    ratio = F.col("__vs__") / F.col("__vl__")
+    ratio = F.try_divide(F.col("__vs__"), F.col("__vl__"))
     clean = F.when(ratio.isNull() | F.isnan(ratio) | (F.abs(ratio) == float("inf")), 1.0).otherwise(ratio)
     return d.withColumn(out_col, clean).drop("__vs__", "__vl__")
 
@@ -318,9 +369,10 @@ def trend_coefficient(
         (F.col(_TS_US) - F.min(_TS_US).over(wg)) / F.lit(unit_us(step, step_unit))
     ).cast("double")
     v = F.col(value_col).cast("double")
-    slope = (
-        F.avg(i * v).over(wg) - F.avg(i).over(wg) * F.avg(v).over(wg)
-    ) / (F.avg(i * i).over(wg) - F.avg(i).over(wg) * F.avg(i).over(wg))
+    slope = F.try_divide(
+        F.avg(i * v).over(wg) - F.avg(i).over(wg) * F.avg(v).over(wg),
+        F.avg(i * i).over(wg) - F.avg(i).over(wg) * F.avg(i).over(wg),
+    )
     clean = F.when(slope.isNull() | F.isnan(slope), 0.0).otherwise(slope)
     return _drop_ts_us(d.withColumn(out_col, clean))
 
@@ -347,7 +399,7 @@ def sessionize(
     prev = F.lag(F.col(ts_col)).over(w)
     new_sess = (
         prev.isNull()
-        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_seconds)
+        | ((epoch_us(F.col(ts_col)) - epoch_us(prev)) > gap_seconds * 1_000_000)
     ).cast("long")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out_col, F.sum(new_sess).over(wrun))
