@@ -465,3 +465,441 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# ===========================================================================
+# Scalar unary / binary / vector operators (SURVEY.md §2.7)
+# ===========================================================================
+
+@_q(
+    "unary_scalars",
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             (l_extendedprice - 30000.0) / 1000.0 AS x
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(abs(x), 6) AS u_abs,
+           round(CASE WHEN x = 0 THEN NULL
+                 ELSE CASE WHEN ln(abs(x)) >= 0
+                      THEN floor(ln(abs(x)) * 1e10) / 1e10
+                      ELSE -floor(-ln(abs(x)) * 1e10) / 1e10 END
+                 END, 6) AS u_log,
+           round(floor(sqrt(abs(x)) * 1e10) / 1e10, 6) AS u_sqrt,
+           round(x * x, 6) AS u_square,
+           round(floor(1.0 / (1.0 + exp(-x)) * 1e10) / 1e10, 6) AS u_sigmoid,
+           CAST(floor(x) AS DOUBLE) AS u_floor,
+           round(x - floor(x), 6) AS u_residual
+    FROM t
+    """,
+)
+def unary_scalars(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    x = (F.col("l_extendedprice") - 30000.0) / 1000.0
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(U.abs_(x), 6).alias("u_abs"),
+        F.round(U.log_(x), 6).alias("u_log"),
+        F.round(U.sqrt_(x), 6).alias("u_sqrt"),
+        F.round(U.square_(x), 6).alias("u_square"),
+        F.round(U.sigmoid_(x), 6).alias("u_sigmoid"),
+        U.floor_(x).alias("u_floor"),
+        F.round(U.residual_(x), 6).alias("u_residual"),
+    )
+
+
+@_q(
+    "binary_scalars",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity + l_discount, 6) AS b_add,
+           round(l_extendedprice - l_tax, 6) AS b_sub,
+           round(l_quantity * l_discount, 6) AS b_mul,
+           round(CASE WHEN l_discount = 0 THEN NULL
+                 ELSE l_quantity / l_discount END, 6) AS b_div,
+           least(l_extendedprice, 1000.0 * l_quantity) AS b_min,
+           greatest(l_extendedprice, 1000.0 * l_quantity) AS b_max,
+           CASE WHEN l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+                THEN concat_ws('_', l_returnflag, l_linestatus) END AS b_combine
+    FROM lineitem
+    """,
+)
+def binary_scalars(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    q, d, e, t = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice"), F.col("l_tax")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(B.add(q, d), 6).alias("b_add"),
+        F.round(B.subtract(e, t), 6).alias("b_sub"),
+        F.round(B.multiply(q, d), 6).alias("b_mul"),
+        F.round(B.divide(q, d), 6).alias("b_div"),
+        B.min_(e, F.lit(1000.0) * q).alias("b_min"),
+        B.max_(e, F.lit(1000.0) * q).alias("b_max"),
+        B.combine(F.col("l_returnflag"), F.col("l_linestatus")).alias("b_combine"),
+    )
+
+
+@_q(
+    "string_similarity",
+    """
+    SELECT p_partkey,
+           round(CASE WHEN greatest(length(p_brand), length(p_type)) > 0
+                 THEN 1.0 - CAST(levenshtein(p_brand, p_type) AS DOUBLE)
+                      / greatest(length(p_brand), length(p_type))
+                 ELSE 1.0 END, 6) AS sim_lv
+    FROM part
+    """,
+)
+def string_similarity(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(B.sim_levenshtein(F.col("p_brand"), F.col("p_type")), 6).alias("sim_lv"),
+    )
+
+
+@_q("string_similarity_jw")  # Jaro-Winkler: not in DuckDB → rows-only check
+def string_similarity_jw(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(B.sim_jaro_winkler(F.col("p_brand"), F.col("p_type")), 6).alias("sim_jw1"),
+        F.round(B.sim_jaro_winkler_reversed(F.col("p_brand"), F.col("p_type")), 6).alias("sim_jw2"),
+    )
+
+
+@_q(
+    "freq_operators",
+    """
+    SELECT o_orderkey,
+           round(CAST(count(*) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                 / count(*) OVER (), 6) AS freq_priority,
+           round(CAST(count(*) OVER (PARTITION BY
+                     concat_ws('_', o_orderstatus, o_orderpriority)) AS DOUBLE)
+                 / count(*) OVER (), 6) AS combine_freq
+    FROM orders
+    """,
+)
+def freq_operators(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(U.freq_(F.col("o_orderpriority")), 6).alias("freq_priority"),
+        F.round(
+            B.combine_then_freq(F.col("o_orderstatus"), F.col("o_orderpriority")), 6
+        ).alias("combine_freq"),
+    )
+
+
+@_q(
+    "vector_rowwise",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round((coalesce(l_quantity, 0) + coalesce(l_discount, 0)
+                  + coalesce(l_tax, 0)) / 3.0, 6) AS v_mean,
+           round(coalesce(l_quantity, 0) + coalesce(l_discount, 0)
+                 + coalesce(l_tax, 0), 6) AS v_sum
+    FROM lineitem
+    """,
+)
+def vector_rowwise(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cols = [F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")]
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(V.mean(cols), 6).alias("v_mean"),
+        F.round(V.sum_(cols), 6).alias("v_sum"),
+    )
+
+
+@_q(
+    "norm_and_bin",
+    """
+    WITH n AS (SELECT sqrt(sum(o_totalprice * o_totalprice)) AS l2 FROM orders)
+    SELECT o_orderkey,
+           round(o_totalprice / (SELECT l2 FROM n), 9) AS normed,
+           CAST(CASE WHEN o_totalprice IS NULL THEN -1
+                ELSE (CASE WHEN o_totalprice >= 50000 THEN 1 ELSE 0 END)
+                   + (CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END)
+                   + (CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END)
+                END AS INT) AS binned
+    FROM orders
+    """,
+)
+def norm_and_bin(spark, sf_dir):
+    """Norm: fit-time L2 aggregate replayed as a param (unary.py:119-148);
+    Bin: learned-bounds bucketing (unary.py:158-190)."""
+    o = _t(spark, sf_dir, "orders")
+    l2 = o.agg(F.sqrt(F.sum(F.col("o_totalprice") ** 2))).collect()[0][0]
+    return o.select(
+        "o_orderkey",
+        F.round(U.norm_(F.col("o_totalprice"), l2), 9).alias("normed"),
+        U.bin_(F.col("o_totalprice"), [50000.0, 150000.0, 300000.0]).cast("int").alias("binned"),
+    )
+
+
+# ===========================================================================
+# Date operators (SURVEY.md §2.7 date family + §2.3 cyclical)
+# ===========================================================================
+
+@_q(
+    "date_diff_ops",
+    """
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS dd_days,
+           CAST(trunc(datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) / 365.0) AS DOUBLE) AS dd_years,
+           CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)) >= 0
+                THEN CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) AS DOUBLE) END AS dd_pos
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def date_diff_ops(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    a, b = F.col("l_shipdate"), F.col("o_orderdate")
+    return j.select(
+        "l_orderkey", "l_linenumber",
+        D.date_diff(a, b, "D").alias("dd_days"),
+        D.date_diff(a, b, "Y").alias("dd_years"),
+        D.date_diff(a, b, "D", replace_negative=True).alias("dd_pos"),
+    )
+
+
+@_q(
+    "date_anniversary",
+    """
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS a,
+             CAST(make_date(1995, 1 + o_orderkey % 12,
+                            1 + o_orderkey % 28) AS DATE) AS b
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(datediff('day', a,
+             CASE WHEN make_date(year(a), month(b), day(b)) < a
+                  THEN CAST(make_date(year(a), month(b), day(b))
+                       + INTERVAL 12 MONTH AS DATE)
+                  ELSE make_date(year(a), month(b), day(b)) END) AS DOUBLE)
+             AS days_to_anniv
+    FROM t
+    """,
+)
+def date_anniversary(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    b = F.make_date(
+        F.lit(1995), 1 + F.col("o_orderkey") % 12, 1 + F.col("o_orderkey") % 28
+    )
+    return o.select(
+        "o_orderkey",
+        D.date_diff_type2(b, F.col("o_orderdate")).alias("days_to_anniv"),
+    ) if False else o.select(
+        "o_orderkey",
+        D.date_diff_type2(F.col("o_orderdate"), b).alias("days_to_anniv"),
+    )
+
+
+@_q(
+    "cyclical_date_features",
+    """
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ), q AS (
+      SELECT o_orderkey, d,
+             date_trunc('quarter', d) AS qs,
+             CAST(date_trunc('quarter', d) + INTERVAL 3 MONTH AS DATE) AS qe
+      FROM t
+    )
+    SELECT o_orderkey,
+           round(sin(2 * pi() * (datediff('day', CAST(qs AS DATE), d) + 1)
+                     / datediff('day', CAST(qs AS DATE), qe)), 6) AS sin_quarter,
+           round(cos(2 * pi() * (datediff('day', CAST(qs AS DATE), d) + 1)
+                     / datediff('day', CAST(qs AS DATE), qe)), 6) AS cos_quarter
+    FROM q
+    """,
+)
+def cyclical_date_features(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    feats = D.cyclical_features(F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        F.round(feats["datetime_sin_quarter"], 6).alias("sin_quarter"),
+        F.round(feats["datetime_cos_quarter"], 6).alias("cos_quarter"),
+    )
+
+
+@_q(
+    "date_list_aggs",
+    """
+    SELECT o.o_orderkey,
+           CAST(min(datediff('day', CAST(l.l_shipdate AS DATE),
+                    CAST(o.o_orderdate AS DATE))) AS DOUBLE) AS dl_min,
+           CAST(max(datediff('day', CAST(l.l_shipdate AS DATE),
+                    CAST(o.o_orderdate AS DATE))) AS DOUBLE) AS dl_max,
+           round(avg(CAST(datediff('day', CAST(l.l_shipdate AS DATE),
+                    CAST(o.o_orderdate AS DATE)) AS DOUBLE)), 6) AS dl_mean,
+           CAST(count(*) AS DOUBLE) AS dl_count,
+           CAST(count(DISTINCT datediff('day', CAST(l.l_shipdate AS DATE),
+                    CAST(o.o_orderdate AS DATE))) AS DOUBLE) AS dl_nunique
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def date_list_aggs(spark, sf_dir):
+    """DateListDiff over array<date> cells (date.py:112-184): build the
+    date-array per order with collect_list, then higher-order aggs."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.to_date("l_shipdate")).alias("ship_dates")
+    )
+    j = o.join(arrs, o.o_orderkey == arrs.l_orderkey)
+    a, dl = F.col("o_orderdate"), F.col("ship_dates")
+    return j.select(
+        "o_orderkey",
+        D.date_list_diff(a, dl, "min").alias("dl_min"),
+        D.date_list_diff(a, dl, "max").alias("dl_max"),
+        F.round(D.date_list_diff(a, dl, "mean"), 6).alias("dl_mean"),
+        D.date_list_diff(a, dl, "count").alias("dl_count"),
+        D.date_list_diff(a, dl, "nunique").alias("dl_nunique"),
+    )
+
+
+@_q(
+    "date_list_bounded",
+    """
+    SELECT o.o_orderkey,
+           CAST(coalesce(count(*) FILTER (
+                 WHERE datediff('day', CAST(l.l_shipdate AS DATE),
+                       CAST(o.o_orderdate AS DATE)) >= -60
+                   AND datediff('day', CAST(l.l_shipdate AS DATE),
+                       CAST(o.o_orderdate AS DATE)) < 0), 0) AS DOUBLE)
+             AS dl_count_bounded,
+           round(CAST(coalesce(count(*) FILTER (
+                 WHERE datediff('day', CAST(l.l_shipdate AS DATE),
+                       CAST(o.o_orderdate AS DATE)) >= -60
+                   AND datediff('day', CAST(l.l_shipdate AS DATE),
+                       CAST(o.o_orderdate AS DATE)) < 0), 0) AS DOUBLE)
+                 / count(*), 6) AS dl_count_norm
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def date_list_bounded(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.to_date("l_shipdate")).alias("ship_dates")
+    )
+    j = o.join(arrs, o.o_orderkey == arrs.l_orderkey)
+    a, dl = F.col("o_orderdate"), F.col("ship_dates")
+    return j.select(
+        "o_orderkey",
+        D.date_list_diff_bounded(a, dl, "count", lo=-60.0, hi=0.0).alias("dl_count_bounded"),
+        F.round(
+            D.date_list_diff_bounded(a, dl, "count", lo=-60.0, hi=0.0, normalize=True), 6
+        ).alias("dl_count_norm"),
+    )
+
+
+# ===========================================================================
+# Search-key converters (SURVEY.md §2.3)
+# ===========================================================================
+
+@_q(
+    "key_converters",
+    """
+    WITH t AS (
+      SELECT c_custkey,
+             replace(lower(c_name), '#', '.') || '@example.com' AS email,
+             printf('+1 (%03d) 555-%04d', c_custkey % 1000, c_custkey % 10000) AS phone,
+             printf('%05d', c_custkey % 100000) AS postal,
+             ['United Kingdom', 'US', 'uk', 'Germany', 'FRANCE'][1 + c_custkey % 5]
+               AS country
+      FROM customer
+    )
+    SELECT c_custkey,
+           sha256(email) AS hem,
+           substr(email, 1, 1) || string_split(email, '@')[2] AS one_domain,
+           string_split(email, '@')[2] AS domain,
+           CAST(CASE WHEN length(regexp_replace(phone, '[^0-9]', '', 'g'))
+                          BETWEEN 8 AND 15
+                THEN regexp_replace(phone, '[^0-9]', '', 'g') END AS BIGINT)
+             AS phone_int,
+           CASE WHEN length(regexp_replace(regexp_replace(upper(
+                     regexp_replace(postal, '\\.0+$', '')),
+                     '[^0-9A-Z]', '', 'g'), '^0+', '')) > 0
+                THEN regexp_replace(regexp_replace(upper(
+                     regexp_replace(postal, '\\.0+$', '')),
+                     '[^0-9A-Z]', '', 'g'), '^0+', '') END AS postal_norm,
+           CASE regexp_replace(upper(country), '[^A-Z]', '', 'g')
+             WHEN 'UNITEDKINGDOM' THEN 'GB' WHEN 'UK' THEN 'GB'
+             WHEN 'US' THEN 'US' WHEN 'GERMANY' THEN 'DE' WHEN 'FRANCE' THEN 'FR'
+           END AS country_iso
+    FROM t
+    """,
+)
+def key_converters(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    email = F.concat(F.regexp_replace(F.lower("c_name"), "#", "."), F.lit("@example.com"))
+    phone = F.format_string(
+        "+1 (%03d) 555-%04d", F.col("c_custkey") % 1000, F.col("c_custkey") % 10000
+    )
+    postal = F.format_string("%05d", F.col("c_custkey") % 100000)
+    country = F.element_at(
+        F.array(*[F.lit(x) for x in ["United Kingdom", "US", "uk", "Germany", "FRANCE"]]),
+        (F.col("c_custkey") % 5 + 1).cast("int"),
+    )
+    return c.select(
+        "c_custkey",
+        K.email_to_hem(email).alias("hem"),
+        K.email_one_domain(email).alias("one_domain"),
+        K.email_domain(email).alias("domain"),
+        K.phone_to_int(phone).alias("phone_int"),
+        K.postal_normalize(postal).alias("postal_norm"),
+        K.country_to_iso(country).alias("country_iso"),
+    )
+
+
+@_q(
+    "date_multiformat_parse",
+    """
+    WITH t AS (
+      SELECT c_custkey,
+             CASE c_custkey % 4
+               WHEN 0 THEN '2023-07-15'
+               WHEN 1 THEN '15.07.2023'
+               WHEN 2 THEN '2023/07/15'
+               ELSE '---'
+             END AS raw
+      FROM customer
+    )
+    SELECT c_custkey,
+           coalesce(try_strptime(raw, '%Y-%m-%d'),
+                    try_strptime(raw, '%d.%m.%Y'),
+                    try_strptime(raw, '%Y/%m/%d')) AS parsed,
+           CAST(epoch_ms(coalesce(try_strptime(raw, '%Y-%m-%d'),
+                    try_strptime(raw, '%d.%m.%Y'),
+                    try_strptime(raw, '%Y/%m/%d'))) AS BIGINT) AS epoch_ms_floor
+    FROM t
+    """,
+)
+def date_multiformat_parse(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    raw = (
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("2023-07-15"))
+        .when(F.col("c_custkey") % 4 == 1, F.lit("15.07.2023"))
+        .when(F.col("c_custkey") % 4 == 2, F.lit("2023/07/15"))
+        .otherwise(F.lit("---"))
+    )
+    parsed = K.parse_datetime_multi(raw)
+    return c.select(
+        "c_custkey",
+        parsed.alias("parsed"),
+        K.to_epoch_ms(parsed, floor_day=True).alias("epoch_ms_floor"),
+    )

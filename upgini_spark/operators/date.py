@@ -19,7 +19,9 @@ def date_diff(a: Column, b: Column, unit: str = "D", replace_negative: bool = Fa
     if unit == "D":
         d = F.datediff(F.to_date(a), F.to_date(b)).cast("double")
     elif unit == "Y":
-        d = F.floor(F.months_between(F.to_date(a), F.to_date(b)) / 12).cast("double")
+        # reference: (timedelta / 365 / ... ).astype(int) — trunc toward 0
+        days = F.datediff(F.to_date(a), F.to_date(b)).cast("double") / 365.0
+        d = F.when(days >= 0, F.floor(days)).otherwise(-F.floor(-days)).cast("double")
     else:
         raise ValueError(f"unsupported diff unit {unit!r}")
     if replace_negative:
