@@ -903,3 +903,502 @@ def date_multiformat_parse(spark, sf_dir):
         parsed.alias("parsed"),
         K.to_epoch_ms(parsed, floor_day=True).alias("epoch_ms_floor"),
     )
+
+
+# ===========================================================================
+# Dedup operators (SURVEY.md §2.9 + scale near-dup family)
+# ===========================================================================
+
+from upgini_spark.functions import dedup as DD  # noqa: E402
+from upgini_spark.functions import sampling as SMP  # noqa: E402
+from upgini_spark.functions import similarity as SIM  # noqa: E402
+from upgini_spark.functions import stats as ST  # noqa: E402
+from upgini_spark.functions import text as TX  # noqa: E402
+
+
+@_q(
+    "dedup_full_rows",
+    """
+    SELECT event_id FROM (
+      SELECT event_id, row_number() OVER (
+        PARTITION BY user_id, event_type, value ORDER BY event_id
+      ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_full_rows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = DD.drop_full_duplicates(
+        ev, subset=["user_id", "event_type", "value"], order_col="event_id"
+    )
+    return out.select("event_id")
+
+
+@_q(
+    "dedup_key_conflicts",
+    """
+    SELECT event_id FROM (
+      SELECT event_id,
+             count(DISTINCT CAST(value > 25 AS INT))
+               OVER (PARTITION BY user_id, event_type, CAST(floor(value / 5) AS INT))
+               AS nt
+      FROM events
+    ) WHERE nt <= 1
+    """,
+)
+def dedup_key_conflicts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumns(
+        {
+            "vbucket": F.floor(F.col("value") / 5).cast("int"),
+            "tgt": (F.col("value") > 25).cast("int"),
+        }
+    )
+    out = DD.drop_key_conflicts(ev, ["user_id", "event_type", "vbucket"], "tgt")
+    return out.select("event_id")
+
+
+@_q(
+    "fintech_dedup_1h",
+    """
+    WITH flagged AS (
+      SELECT event_id, user_id, event_type,
+             max(CASE WHEN prev_t IS NOT NULL AND prev_t <> tgt
+                       AND epoch_us(ts) - epoch_us(prev_ts) < 3600000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, event_type) AS flag
+      FROM (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(value > 25 AS INT) AS tgt,
+               lag(CAST(value > 25 AS INT))
+                 OVER (PARTITION BY user_id, event_type ORDER BY ts) AS prev_t,
+               lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) AS prev_ts
+        FROM events
+      )
+    )
+    SELECT event_id FROM flagged WHERE flag = 0
+    """,
+)
+def fintech_dedup_1h(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("tgt", (F.col("value") > 25).cast("int"))
+    out = DD.fintech_dedup(ev, ["user_id", "event_type"], "tgt", "ts", window_seconds=3600)
+    return out.select("event_id")
+
+
+@_q(
+    "minhash_signatures",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) - 2 >= 1
+                  THEN list_transform(range(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                  ELSE [array_to_string(words, ' ')] END AS shingles
+      FROM t
+    )
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
+           list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
+           list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
+           list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3
+    FROM sh
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = DD.minhash_signature(docs.select("doc_id", "text"), "text", k=4, shingle_n=3)
+    return out.select("doc_id", "mh0", "mh1", "mh2", "mh3")
+
+
+@_q("minhash_lsh_pairs")  # band-join candidate pairs; verified rows-only
+def minhash_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_band_pairs(docs, "doc_id", "text", k=8, bands=4)
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 40
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) - 2 >= 1
+                  THEN list_distinct(list_transform(range(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                  ELSE [text] END AS s
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+                 / (len(a.s) + len(b.s)
+                    - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) > 0
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    jac = DD.ngram_jaccard(F.col("ta"), F.col("tb"), n=3)
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") > 0)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@_q("simhash_32")  # hex→int conv() has no DuckDB twin; rows-only
+def simhash_32(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", DD.simhash64("text", bits=32).alias("simhash"))
+
+
+@_q(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return DD.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.99)
+
+
+# ===========================================================================
+# Similarity search (brute force + LSH)
+# ===========================================================================
+
+@_q(
+    "knn_cosine_top3",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_raw
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT q_id, n_id, round(cos_raw, 6) AS cos,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_raw DESC, n_id ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_cosine_top3(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = SIM.cosine_topk_bruteforce(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q("knn_cosine_lsh")  # approximate variant; rows-only (bucket recall < 1)
+def knn_cosine_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_lsh(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding", k=3, n_planes=6, dims=64
+    )
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+@_q(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> len(t) > 0)) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens_bpe,
+           round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                     'that','for','on','with','as','at','by','this','be','are'],
+                                    lower(t)))) AS DOUBLE)
+                 / len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> len(t) > 0)), 6) AS stopword_ratio,
+           round(CAST(list_sum(list_transform(
+                     list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0),
+                     t -> len(t))) AS DOUBLE)
+                 / len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> len(t) > 0)), 6) AS mean_word_len
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(t).alias("n_tokens"),
+        TX.token_count_bpe_ish(t).alias("n_tokens_bpe"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TX.mean_word_length(t), 6).alias("mean_word_len"),
+    )
+
+
+@_q(
+    "lang_id_heuristic",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                      'that','for','on','with','as','at','by','this','be','are'],
+                                     lower(t)))) AS DOUBLE)
+             / len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   t -> len(t) > 0)) AS score
+      FROM documents
+    )
+    SELECT doc_id, round(score, 6) AS en_score,
+           CASE WHEN score >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM s
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(TX.lang_id_en_score(t), 6).alias("en_score"),
+        TX.lang_id_predict(t).alias("lang_pred"),
+    )
+
+
+@_q(
+    "doc_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ), w AS (
+      SELECT doc_id, norm, string_split(norm, ' ') AS words FROM t
+    )
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           CASE WHEN len(words) - 3 >= 1
+                THEN list_min(list_transform(range(1, len(words) - 2),
+                     i -> md5(words[i] || ' ' || words[i+1] || ' '
+                              || words[i+2] || ' ' || words[i+3])))
+                ELSE md5(norm) END AS fp_rolling
+    FROM w
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    # rolling fingerprint falls back to md5(norm) for <window word docs
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    roll = TX.rolling_hash_fingerprint(t, window=4)
+    n_words = F.size(F.split(norm, " "))
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_md5(t).alias("fp_md5"),
+        F.when(n_words >= 4, roll).otherwise(F.md5(norm)).alias("fp_rolling"),
+    )
+
+
+# ===========================================================================
+# Stats / stability / sampling (SURVEY.md §2.5, §2.10, §2.11)
+# ===========================================================================
+
+@_q(
+    "psi_halves",
+    """
+    WITH d AS (
+      SELECT value AS v,
+             CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS split
+      FROM events
+    ), rng AS (SELECT min(v) AS lo, max(v) AS hi FROM d),
+    binned AS (
+      SELECT split,
+             least(CAST(floor((v - (SELECT lo FROM rng))
+                   / (((SELECT hi FROM rng) - (SELECT lo FROM rng)) / 10)) AS INT), 9)
+               AS bin
+      FROM d
+    ), counts AS (
+      SELECT split, bin, count(*) AS n FROM binned GROUP BY split, bin
+    ), shares AS (
+      SELECT split, bin, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY split) AS share
+      FROM counts
+    )
+    SELECT CAST(p.split AS INT) AS split,
+           round(sum((p.share + 1e-6 - coalesce(q.share, 0) - 1e-6)
+                 * ln((p.share + 1e-6) / (coalesce(q.share, 0) + 1e-6))), 6) AS psi
+    FROM shares p
+    LEFT JOIN (SELECT bin, share FROM shares WHERE split = 0) q USING (bin)
+    WHERE p.split != 0
+    GROUP BY p.split
+    """,
+)
+def psi_halves(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = ST.psi_equal_width(
+        ev, "value", F.when(F.dayofmonth("ts") > 15, 1).otherwise(0), n_bins=10
+    )
+    return out.select(F.col("split").cast("int").alias("split"), "psi")
+
+
+@_q(
+    "class_balance",
+    """
+    WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS k FROM c)
+    SELECT event_type, n,
+           round(n / (SELECT total FROM t), 6) AS share,
+           (n / (SELECT total FROM t)) < (0.6 / (SELECT k FROM t)) AS is_minor
+    FROM c
+    """,
+)
+def class_balance(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ST.class_balance(ev, "event_type")
+
+
+@_q(
+    "feature_validator_stats",
+    """
+    WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM lineitem)
+    SELECT 'l_returnflag' AS column_name,
+           count(DISTINCT l_returnflag) AS n_distinct,
+           round((SELECT max(c) FROM (SELECT count(*) c FROM lineitem GROUP BY l_returnflag))
+                 / (SELECT total FROM n), 6) AS top_share,
+           count(DISTINCT l_returnflag) <= 1 AS drop_constant,
+           count(DISTINCT l_returnflag) / (SELECT total FROM n) >= 0.85 AS drop_high_card
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey',
+           count(DISTINCT l_orderkey),
+           round((SELECT max(c) FROM (SELECT count(*) c FROM lineitem GROUP BY l_orderkey))
+                 / (SELECT total FROM n), 6),
+           count(DISTINCT l_orderkey) <= 1,
+           count(DISTINCT l_orderkey) / (SELECT total FROM n) >= 0.85
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity',
+           count(DISTINCT l_quantity),
+           round((SELECT max(c) FROM (SELECT count(*) c FROM lineitem GROUP BY l_quantity))
+                 / (SELECT total FROM n), 6),
+           count(DISTINCT l_quantity) <= 1,
+           count(DISTINCT l_quantity) / (SELECT total FROM n) >= 0.85
+    FROM lineitem
+    """,
+)
+def feature_validator_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return ST.feature_validator_stats(li, ["l_returnflag", "l_orderkey", "l_quantity"])
+
+
+@_q(
+    "ts_truncate_trailing_7d",
+    """
+    SELECT event_id FROM (
+      SELECT event_id,
+             epoch_us(ts) > max(epoch_us(ts)) OVER (PARTITION BY user_id)
+               - 604800000000 AS keep
+      FROM events
+    ) WHERE keep
+    """,
+)
+def ts_truncate_trailing_7d(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = SMP.ts_truncate_trailing(ev, "ts", ["user_id"], 7 * 86400)
+    return out.select("event_id")
+
+
+@_q(
+    "hash_sample_exact_1000",
+    """
+    SELECT event_id FROM (
+      SELECT event_id, row_number() OVER (
+        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+      ) AS rk FROM events
+    ) WHERE rk <= 1000
+    """,
+)
+def hash_sample_exact_1000(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return SMP.hash_sample_exact(ev, 1000, ["event_id"]).select("event_id")
+
+
+@_q(
+    "undersample_imbalanced",
+    """
+    WITH counts AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+    q AS (
+      SELECT CAST(2 * (min(n) + (25000.0 - count(*) * min(n)) / (count(*) - 1)) AS BIGINT)
+        AS quota FROM counts
+    )
+    SELECT event_id FROM (
+      SELECT event_id, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events
+    ) WHERE rk <= (SELECT quota FROM q)
+    """,
+)
+def undersample_imbalanced(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = SMP.undersample_imbalanced(ev, "event_type", ["event_id"])
+    return out.select("event_id")
+
+
+@_q(
+    "system_record_ids",
+    """
+    SELECT event_id,
+           CAST(row_number() OVER (
+             ORDER BY date_trunc('day', ts),
+                      md5(concat_ws(chr(31),
+                          CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR)))
+           ) AS BIGINT) AS system_record_id
+    FROM events
+    """,
+)
+def system_record_ids(spark, sf_dir):
+    """Deterministic fit sort + dense record ids
+    (features_enricher.py:4488-4595, utils/sort.py:16-61)."""
+    from upgini_spark.pipeline.record_ids import add_system_record_id
+
+    ev = _t(spark, sf_dir, "events").withColumn("__day__", F.date_trunc("day", "ts"))
+    out = add_system_record_id(ev, "__day__", ["user_id", "event_id"])
+    return out.select("event_id", F.col("system_record_id").cast("long").alias("system_record_id"))
+
+
+@_q(
+    "cross_series_ratio",
+    """
+    SELECT event_id,
+           round(CASE WHEN avg(value) OVER (PARTITION BY date_trunc('day', ts)) = 0
+                 THEN NULL ELSE value / avg(value)
+                      OVER (PARTITION BY date_trunc('day', ts)) END, 6) AS vs_market
+    FROM events
+    """,
+)
+def cross_series_ratio(spark, sf_dir):
+    """CrossSeriesInteraction analog (autofe/timeseries/cross.py:13-149):
+    each series' value against the aligned cross-sectional aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    market = F.avg("value").over(Window.partitionBy(day))
+    return ev.select(
+        "event_id", F.round(F.try_divide(F.col("value"), market), 6).alias("vs_market")
+    )

@@ -1,0 +1,228 @@
+"""Deduplication operators.
+
+Reference semantics (src/upgini/utils/deduplicate_utils.py):
+- full-row keep-first dedup excluding system columns (:162-255, keep-first
+  at :188-192);
+- key-conflict dedup: rows whose search keys collide with *different
+  targets* are all removed, keep=False (:228-253);
+- fintech dedup: among key-duplicate groups, drop groups whose differing
+  targets occur within a 60-day window (:21-159, window :95-100).
+
+Scale additions (not in the reference; first-class per the task brief):
+MinHash-LSH, SimHash and n-gram-Jaccard near-duplicate detection over a
+document corpus — all expressed with native array/higher-order functions
+(hashes are md5-based so an ANSI-SQL oracle can reproduce them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def drop_full_duplicates(
+    df: DataFrame, subset: list[str] | None = None, order_col: str | None = None
+) -> DataFrame:
+    """Keep-first full dedup (deduplicate_utils.py:188-192) with an explicit
+    total order: "first" = smallest ``order_col`` (required at scale —
+    Spark has no implicit row order)."""
+    cols = subset or df.columns
+    if order_col is None:
+        return df.dropDuplicates(cols)
+    w = Window.partitionBy(*cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def drop_key_conflicts(df: DataFrame, keys: list[str], target: str) -> DataFrame:
+    """Remove ALL rows of key groups holding >1 distinct target
+    (keep=False semantics, deduplicate_utils.py:228-253)."""
+    w = Window.partitionBy(*keys)
+    n_targets = F.size(F.collect_set(F.col(target)).over(w))
+    return (
+        df.withColumn("__nt__", n_targets)
+        .filter(F.col("__nt__") <= 1)
+        .drop("__nt__")
+    )
+
+
+def fintech_dedup(
+    df: DataFrame,
+    keys: list[str],
+    target: str,
+    ts_col: str,
+    window_seconds: int = 60 * 86400,
+) -> DataFrame:
+    """Drop whole key groups where two *different* targets occur within
+    ``window_seconds`` of each other (deduplicate_utils.py:95-100: sorted
+    adjacent diff < 60 days ms with target change)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    prev_t = F.lag(F.col(target)).over(w)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    close_conflict = (
+        prev_t.isNotNull()
+        & (prev_t != F.col(target))
+        & (
+            (F.unix_micros(F.col(ts_col).cast("timestamp"))
+             - F.unix_micros(prev_ts.cast("timestamp")))
+            < window_seconds * 1_000_000
+        )
+    ).cast("int")
+    wg = Window.partitionBy(*keys)
+    flagged = F.max(close_conflict).over(wg)
+    return (
+        df.withColumn("__flag__", flagged)
+        .filter(F.col("__flag__") == 0)
+        .drop("__flag__")
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate detection at scale
+# --------------------------------------------------------------------------
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """n-word shingles of a whitespace-tokenized text column (native
+    higher-order functions, no Python)."""
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, k: int = 8, shingle_n: int = 3,
+    out_prefix: str = "mh",
+) -> DataFrame:
+    """k md5-permutation minhashes over word shingles.
+
+    MinHash permutation j = lexicographic min of md5(j || shingle) — md5 so
+    the signature is reproducible in any engine; lexicographic min over hex
+    is a valid uniform min-order. Scales: per-row arrays only, no shuffle.
+    """
+    sh = word_shingles(text_col, shingle_n)
+
+    def perm(j: int):
+        # NB: keep the inner lambda single-arg — a two-arg lambda makes
+        # F.transform pass (element, index) and the index would shadow j.
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    cols = [
+        F.array_min(F.transform(sh, perm(j))).alias(f"{out_prefix}{j}")
+        for j in range(k)
+    ]
+    return df.select("*", *cols)
+
+
+def minhash_band_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: signatures banded into ``bands`` groups of
+    k/bands rows; docs sharing any full band collide. One shuffle on the
+    band key — the scale path for near-dup at 10^12 rows (band key is
+    uniformly distributed; no hot keys)."""
+    rows_per_band = k // bands
+    sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    melted = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band_no", "bk.band_key")
+    a = melted.alias("a")
+    b = melted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    a_text: F.Column, b_text: F.Column, n: int = 3
+) -> F.Column:
+    """Exact n-gram (word) Jaccard similarity between two text columns."""
+    def sh(c):
+        words = F.split(c, " ")
+        k = F.size(words) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)],
+                    ),
+                )
+            ),
+        ).otherwise(F.array(c))
+
+    sa, sb = sh(a_text), sh(b_text)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.try_divide(inter, union)
+
+
+def simhash64(text_col: str, bits: int = 32) -> F.Column:
+    """SimHash over whitespace tokens: bit b of the fingerprint is the
+    majority vote of bit b across md5(token) hashes. md5-hex → integer via
+    conv(); ``bits``≤32 keeps the per-bit sum in long range. Native
+    higher-order expressions only."""
+    words = F.split(F.col(text_col), " ")
+    tok_hash = F.transform(words, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    def bit_sum(b: int) -> F.Column:
+        return F.aggregate(
+            tok_hash,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return out
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force; compose with LSH
+    bucketing from similarity.py for the scale path)."""
+    from upgini_spark.operators.binary import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not in the reference (its text handling stops at string truncation /
+similarity); these are the first-class pipeline ops the task brief
+mandates: token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All native expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are",
+]
+
+BPE_ISH_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_ws(c: Column) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count_ws(c: Column) -> Column:
+    return F.size(tokens_ws(c))
+
+
+def token_count_bpe_ish(c: Column) -> Column:
+    """Sub-word-ish token count: alpha runs + digit runs + single
+    punctuation marks (a cheap BPE proxy)."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_REGEX), 0))
+
+
+def punct_ratio(c: Column) -> Column:
+    total = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.try_divide(punct.cast("double"), total)
+
+
+def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    toks = F.transform(tokens_ws(c), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.try_divide(hits.cast("double"), F.size(toks))
+
+
+def mean_word_length(c: Column) -> Column:
+    toks = tokens_ws(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.try_divide(total.cast("double"), F.size(toks))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite heuristic in [0,1]: length band + word-length sanity +
+    punctuation sanity (Gopher-rule-flavored; deterministic)."""
+    n_tok = token_count_ws(c).cast("double")
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    pr = F.coalesce(punct_ratio(c), F.lit(0.0))
+    punct_ok = F.when(pr <= 0.2, 1.0).otherwise(0.0)
+    return (len_ok + mwl_ok + punct_ok) / 3.0
+
+
+def lang_id_en_score(c: Column) -> Column:
+    """English-likelihood = stopword hit ratio (n-gram/stopword heuristic)."""
+    return F.coalesce(stopword_ratio(c), F.lit(0.0))
+
+
+def lang_id_predict(c: Column, threshold: float = 0.05) -> Column:
+    return F.when(lang_id_en_score(c) >= threshold, F.lit("en")).otherwise(F.lit("other"))
+
+
+def fingerprint_md5(c: Column) -> Column:
+    """Canonical-text fingerprint: lowercase, collapse whitespace, md5."""
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def rolling_hash_fingerprint(c: Column, window: int = 4) -> Column:
+    """Winnowing-style fingerprint: min md5 over ``window``-word rolling
+    shingles — stable under small edits far from the minimum."""
+    from upgini_spark.functions.dedup import word_shingles
+
+    # word_shingles expects a column name; inline the same construction
+    words = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    k = F.size(words) - (window - 1)
+    shingles = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(window)]
+            ),
+        ),
+    ).otherwise(F.array(c))
+    return F.array_min(F.transform(shingles, lambda s: F.md5(s)))
