@@ -1,0 +1,126 @@
+"""Throughput benchmark.
+
+Measures (a) the north-star metric — enriched sequences/sec for the
+flagship pipeline (as-of enrichment join + windowed temporal features +
+sessionization) over the synthetic tokenized-sequence table at the
+SF-matched row count — and (b) per-query wall times for the headline
+operator queries over $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "sequences_per_sec": ..., ...}
+
+Timing uses the noop sink so every projected column is actually computed
+(count() would let Catalyst prune the feature columns away).
+
+Scaling evidence (BASELINE.md protocol): run twice —
+  SPARK_GRAFT_CPUS=8  python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compare sequences_per_sec (efficiency = (thr_32 / thr_8) / 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# synthetic tokenized-sequence scale matched to the sf dir (TESTDATA.md:
+# lineitem ~600k rows at sf0.1)
+SEQ_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+
+HEADLINE = [
+    "asof_join_backward",
+    "asof_join_arrow",
+    "roll_windows_7d",
+    "roll_quantiles_7d",
+    "time_lag_1d",
+    "sessionize_30m",
+    "session_stats",
+    "groupby_then_ops",
+    "unary_scalars",
+    "date_list_aggs",
+    "minhash_signatures",
+    "knn_cosine_top3",
+    "text_stats",
+    "dedup_key_conflicts",
+    "psi_halves",
+]
+
+
+def _noop_time(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    from upgini_spark.fixtures import feature_source, tokenized_sequences
+    from upgini_spark.joins.asof import asof_join
+    from upgini_spark.operators.timeseries import roll_features, sessionize
+    from upgini_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    n_rows = SEQ_ROWS.get(sf_name, 600_000)
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=4 * CPUS)
+
+    # --- north-star pipeline over the tokenized-sequence table ------------
+    cache = f"/tmp/upgini_spark_bench_{sf_name}"
+    left_path, right_path = f"{cache}/sequences", f"{cache}/features"
+    if not os.path.isdir(left_path):
+        shutil.rmtree(cache, ignore_errors=True)
+        tokenized_sequences(spark, n_rows, n_partitions=4 * CPUS).write.parquet(left_path)
+        feature_source(spark, n_rows, points_per_entity=8,
+                       n_partitions=4 * CPUS).write.parquet(right_path)
+
+    left = spark.read.parquet(left_path)
+    right = spark.read.parquet(right_path)
+
+    def flagship():
+        enriched = asof_join(
+            left, right, left_on="event_time", right_on="feature_ts",
+            by_left="doc_id", by_right="entity_id", keep_match_ts=True,
+        )
+        feat = roll_features(
+            enriched, "event_time", ["doc_id"], "f_ext_num_1",
+            [(7, "D", "mean"), (7, "D", "std"), (30, "D", "max"), (1, "D", "count")],
+        )
+        return sessionize(feat, "event_time", ["doc_id"], gap_seconds=86400,
+                          tie_cols=["n_tok"])
+
+    flagship().write.format("noop").mode("overwrite").save()  # warm-up (JIT, IO cache)
+    t_flagship = _noop_time(flagship())
+    sequences_per_sec = n_rows / t_flagship
+
+    # --- headline operator queries over the star schema -------------------
+    qs = entry_mod.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = round(_noop_time(qs[name](spark, SF_DIR)), 3)
+    per_query["flagship_enrich"] = round(t_flagship, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (flagship as-of enrich + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_name,
+        "sequences_per_sec": round(sequences_per_sec, 1),
+        "seq_rows": n_rows,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
