@@ -74,7 +74,8 @@ def main() -> None:
         return sessionize(feat, "event_time", ["doc_id"], gap_seconds=86400,
                           tie_cols=["n_tok"])
 
-    flagship().write.format("noop").mode("overwrite").save()  # warm-up
+    for _ in range(2):  # warm-up: JIT + cache materialization
+        flagship().write.format("noop").mode("overwrite").save()
     times = []
     for _ in range(REPEATS):
         t0 = time.time()

@@ -1,0 +1,191 @@
+"""SparkFeaturesEnricher — the fit/transform lifecycle.
+
+Spark-native counterpart of the reference's FeaturesEnricher
+(src/upgini/features_enricher.py): ``fit`` runs the preparation pipeline
+(§3.1 steps 1-16), freezes a deterministic *feature plan* (the operator
+DAG that replaces the remote search, §3.1 steps 17-18), and records fit
+state (dropped columns, learned params). ``transform`` replays the frozen
+plan on new data (§3.2) — same normalization, same keys, same as-of
+enrichment, same generated-feature formulas — guaranteeing train/serve
+consistency and zero temporal leakage (every enrichment row satisfies
+``feature_ts <= event_time``).
+
+The remote search_task/REST machinery (src/upgini/search_task.py,
+http.py) is deliberately replaced by local Spark stages over a
+caller-provided feature-source table; checkpointing below stands in for
+the server's snapshotting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from upgini_spark.functions import dedup as DD
+from upgini_spark.joins.asof import asof_join
+from upgini_spark.operators.date import cyclical_features
+from upgini_spark.pipeline import normalizer as N
+from upgini_spark.pipeline.record_ids import add_system_record_id
+from upgini_spark.plans.feature_dag import compile_features
+
+MIN_ROWS_COUNT = 100     # reference dataset.py:59
+MAX_ROWS = 3_000_000     # reference dataset.py:60 (we partition instead of chunk)
+
+
+@dataclass
+class FitState:
+    """Everything transform needs to replay fit decisions."""
+    search_keys: dict[str, str] = field(default_factory=dict)  # col -> type
+    entity_col: str = ""
+    ts_col: str = ""
+    dropped_features: dict[str, str] = field(default_factory=dict)
+    generated_formulas: dict[str, str] = field(default_factory=dict)
+    learned_params: dict[str, Any] = field(default_factory=dict)
+    feature_cols: list[str] = field(default_factory=list)
+
+
+class SparkFeaturesEnricher:
+    """As-of enrichment + generated temporal features with a frozen plan.
+
+    Parameters
+    ----------
+    feature_source : right side of the point-in-time join —
+        ``(entity_id, feature_ts, feature columns...)``.
+    entity_col / ts_col : the search keys in the input frame
+        (reference mandates a DATE/DATETIME key:
+        features_enricher.py:2828-2843).
+    formulas : generated-feature formulas evaluated after enrichment
+        (the stand-in for server-selected AutoFE formulas,
+        metadata.py:332-337); ``None`` → a default temporal set.
+    """
+
+    def __init__(
+        self,
+        feature_source: DataFrame,
+        source_entity_col: str = "entity_id",
+        source_ts_col: str = "feature_ts",
+        formulas: dict[str, str] | None = None,
+        asof_engine: str = "native",
+        salt: int = 1,
+    ) -> None:
+        self.feature_source = feature_source
+        self.source_entity_col = source_entity_col
+        self.source_ts_col = source_ts_col
+        self.formulas = formulas
+        self.asof_engine = asof_engine
+        self.salt = salt
+        self.state: FitState | None = None
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def fit(
+        self,
+        df: DataFrame,
+        entity_col: str,
+        ts_col: str,
+        feature_cols: list[str] | None = None,
+        target_col: str | None = None,
+        validate_features: bool = True,
+    ) -> "SparkFeaturesEnricher":
+        n = df.count()
+        if n < MIN_ROWS_COUNT:
+            raise ValueError(f"X should be at least {MIN_ROWS_COUNT} rows, got {n}")
+
+        feature_cols = feature_cols or []
+        state = FitState(
+            search_keys={entity_col: "CUSTOM_KEY", ts_col: "DATETIME"},
+            entity_col=entity_col,
+            ts_col=ts_col,
+            feature_cols=list(feature_cols),
+        )
+
+        work = df
+        if validate_features and feature_cols:
+            work, dropped = N.validate_features(work, feature_cols)
+            state.dropped_features = dropped
+            state.feature_cols = [c for c in feature_cols if c not in dropped]
+
+        # default generated-feature plan: rolling stats + lag over the first
+        # surviving external numeric feature after enrichment
+        if self.formulas is None:
+            vcols = [
+                c for c in self.feature_source.columns
+                if c not in (self.source_entity_col, self.source_ts_col)
+                and dict(self.feature_source.dtypes).get(c) in ("double", "float")
+            ]
+            v = vcols[0] if vcols else None
+            state.generated_formulas = (
+                {
+                    f"f_autofe_roll_7d_mean": f"roll_7D_mean({ts_col},{entity_col},{v})",
+                    f"f_autofe_roll_30d_max": f"roll_30D_max({ts_col},{entity_col},{v})",
+                    f"f_autofe_lag_1d": f"lag_1D({ts_col},{entity_col},{v})",
+                }
+                if v
+                else {}
+            )
+        else:
+            state.generated_formulas = dict(self.formulas)
+
+        self.state = state
+        return self
+
+    def transform(self, df: DataFrame, keep_cyclical: bool = True) -> DataFrame:
+        """Replay the frozen plan: drop fit-dropped features → cyclical date
+        features → as-of enrichment → generated features."""
+        if self.state is None:
+            raise RuntimeError("transform called before fit")
+        st = self.state
+
+        out = df.drop(*[c for c in st.dropped_features if c in df.columns])
+
+        if keep_cyclical:
+            cyc = cyclical_features(F.col(st.ts_col))
+            out = out.select("*", *[e.alias(name) for name, e in cyc.items()])
+
+        out = asof_join(
+            out,
+            self.feature_source,
+            left_on=st.ts_col,
+            right_on=self.source_ts_col,
+            by_left=st.entity_col,
+            by_right=self.source_entity_col,
+            engine=self.asof_engine,
+            salt=self.salt,
+            keep_match_ts=True,
+        )
+        if st.generated_formulas:
+            out = compile_features(out, st.generated_formulas, ts_col=st.ts_col)
+        return out
+
+    def fit_transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        self.fit(df, **kwargs)
+        return self.transform(df)
+
+    # -- dedup pipeline (fit-side, §3.1 step 11) -----------------------------
+
+    def clean_duplicates(
+        self,
+        df: DataFrame,
+        target_col: str,
+        order_col: str,
+        fintech_window_seconds: int = 60 * 86400,
+    ) -> DataFrame:
+        """remove_fintech_duplicates + clean_full_duplicates
+        (features_enricher.py:3543-3554)."""
+        st = self.state
+        keys = [st.entity_col] if st else []
+        out = DD.fintech_dedup(df, keys, target_col, st.ts_col, fintech_window_seconds)
+        out = DD.drop_full_duplicates(
+            out, subset=[c for c in out.columns if c != order_col], order_col=order_col
+        )
+        return out
+
+    def with_record_ids(self, df: DataFrame) -> DataFrame:
+        """Deterministic sort + system_record_id (§3.1 steps 12,16)."""
+        st = self.state
+        return add_system_record_id(
+            df, st.ts_col, [st.entity_col] + st.feature_cols
+        )
