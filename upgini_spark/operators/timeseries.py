@@ -403,3 +403,55 @@ def sessionize(
     ).cast("long")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out_col, F.sum(new_sess).over(wrun))
+
+
+def cross_series_interaction(
+    df: DataFrame,
+    ts_col: str,
+    descriptor_cols: list[str],
+    left_descriptor: list[str],
+    right_descriptor: list[str],
+    value_col: str,
+    op_fn,
+    align_groups: list[str] | None = None,
+    out_col: str = "cross_interaction",
+) -> DataFrame:
+    """CrossSeriesInteraction (autofe/timeseries/cross.py:13-149): pick the
+    two series identified by descriptor values, align them on
+    (align_groups, ts), apply the binary op, and write the interaction back
+    to the rows of BOTH series (other rows null).
+
+    ``op_fn(left_col, right_col) -> Column`` is any binary operator from
+    operators.binary. Alignment is a full outer join on the time grid —
+    one shuffle on (align_groups, ts).
+    """
+    align_groups = align_groups or []
+    key = align_groups + [ts_col]
+
+    def side(desc: list[str], alias: str) -> DataFrame:
+        cond = F.lit(True)
+        for c, v in zip(descriptor_cols, desc):
+            cond = cond & (F.col(c).cast("string") == F.lit(v))
+        return (
+            df.filter(cond)
+            .select(*key, F.col(value_col).alias(alias))
+            .dropDuplicates(key)  # keep-first dedup analog (base.py:29)
+        )
+
+    left = side(left_descriptor, "__lv__")
+    right = side(right_descriptor, "__rv__")
+    inter = left.join(right, on=key, how="full").select(
+        *key, op_fn(F.col("__lv__"), F.col("__rv__")).alias(out_col)
+    )
+
+    in_left = F.lit(True)
+    for c, v in zip(descriptor_cols, left_descriptor):
+        in_left = in_left & (F.col(c).cast("string") == F.lit(v))
+    in_right = F.lit(True)
+    for c, v in zip(descriptor_cols, right_descriptor):
+        in_right = in_right & (F.col(c).cast("string") == F.lit(v))
+
+    joined = df.join(inter, on=key, how="left")
+    return joined.withColumn(
+        out_col, F.when(in_left | in_right, F.col(out_col))
+    )

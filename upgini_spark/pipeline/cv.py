@@ -1,0 +1,76 @@
+"""CV split factory — fold-id assignment columns.
+
+Reference: src/upgini/utils/cv_utils.py:12-91 (KFold / StratifiedKFold /
+GroupKFold / TimeSeriesSplit from CVType, metadata.py:380-388) and
+src/upgini/utils/blocked_time_series.py:11-99 (BlockedTimeSeriesSplit:
+k equal blocks, each block's head = train, trailing ``test_size`` share =
+test). A distributed engine assigns folds as a *column* (deterministic,
+order-free) rather than returning index arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def kfold_column(
+    df: DataFrame, id_cols: list[str], n_splits: int = 5, out_col: str = "fold_id"
+) -> DataFrame:
+    """Hash-based KFold (shuffle-equivalent, deterministic)."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols]))
+    return df.withColumn(out_col, F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_splits)).cast("int"))
+
+
+def stratified_kfold_column(
+    df: DataFrame, target_col: str, id_cols: list[str], n_splits: int = 5,
+    out_col: str = "fold_id",
+) -> DataFrame:
+    """Per-class round-robin over the hash order: every class spreads
+    evenly across folds."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols]))
+    w = Window.partitionBy(target_col).orderBy(h.asc(), *[F.col(c) for c in id_cols])
+    return df.withColumn(out_col, ((F.row_number().over(w) - 1) % n_splits).cast("int"))
+
+
+def group_kfold_column(
+    df: DataFrame, group_cols: list[str], n_splits: int = 5, out_col: str = "fold_id"
+) -> DataFrame:
+    """All rows of a group land in one fold (GroupKFold)."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols]))
+    return df.withColumn(out_col, F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_splits)).cast("int"))
+
+
+def time_series_split_column(
+    df: DataFrame, ts_col: str, tie_cols: list[str], n_splits: int = 5,
+    out_col: str = "fold_id",
+) -> DataFrame:
+    """sklearn TimeSeriesSplit fold of the TEST block each row falls in:
+    rows in chronological (n_splits+1)-quantile block b>=1 are test of fold
+    b-1; block 0 is never test (fold null)."""
+    w = Window.orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tie_cols])
+    n = df.count()
+    block = F.floor((F.row_number().over(w) - 1) * (n_splits + 1) / F.lit(n)).cast("int")
+    return df.withColumn(out_col, F.when(block >= 1, block - 1).cast("int"))
+
+
+def blocked_time_series_column(
+    df: DataFrame, ts_col: str, tie_cols: list[str], n_splits: int = 3,
+    test_size: float = 0.2, out_col: str = "fold_id", role_col: str = "cv_role",
+) -> DataFrame:
+    """BlockedTimeSeriesSplit (blocked_time_series.py:11-99): k equal
+    chronological blocks; within each block the leading (1−test_size)
+    share is train, the trailing share is test."""
+    w = Window.orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tie_cols])
+    n = df.count()
+    rn = F.row_number().over(w) - 1
+    block = F.floor(rn * n_splits / F.lit(n)).cast("int")
+    pos_in_block = rn - F.floor(block * F.lit(n) / n_splits)
+    block_size = (
+        F.floor((block + 1) * F.lit(n) / n_splits) - F.floor(block * F.lit(n) / n_splits)
+    )
+    is_test = pos_in_block >= (block_size * (1.0 - test_size))
+    return df.withColumn(out_col, block).withColumn(
+        role_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
