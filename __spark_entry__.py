@@ -1402,3 +1402,345 @@ def cross_series_ratio(spark, sf_dir):
     return ev.select(
         "event_id", F.round(F.try_divide(F.col("value"), market), 6).alias("vs_market")
     )
+
+
+# ===========================================================================
+# Batch 4: converters, CV folds, unnest/one-hot, cross-series, PSI-quantile,
+# date-distribution, multimodal
+# ===========================================================================
+
+from upgini_spark.operators import binary as OB  # noqa: E402
+from upgini_spark.operators.timeseries import cross_series_interaction  # noqa: E402
+from upgini_spark.pipeline import cv as CV  # noqa: E402
+from upgini_spark.pipeline import unnest as UN  # noqa: E402
+
+
+@_q(
+    "ip_converters",
+    """
+    WITH t AS (
+      SELECT c_custkey,
+             printf('%d.%d.%d.%d', 10 + c_custkey % 200, c_custkey % 256,
+                    (c_custkey * 7) % 256, 1 + c_custkey % 254) AS ip
+      FROM customer
+    )
+    SELECT c_custkey, ip,
+           (10 + c_custkey % 200) * 16777216 + (c_custkey % 256) * 65536
+             + ((c_custkey * 7) % 256) * 256 + (1 + c_custkey % 254) AS ip_int,
+           (10 + c_custkey % 200) || '.' || (c_custkey % 256) AS ip_prefix
+    FROM t
+    """,
+)
+def ip_converters(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    ip = F.format_string(
+        "%d.%d.%d.%d",
+        10 + F.col("c_custkey") % 200,
+        F.col("c_custkey") % 256,
+        (F.col("c_custkey") * 7) % 256,
+        1 + F.col("c_custkey") % 254,
+    )
+    return c.select(
+        "c_custkey",
+        ip.alias("ip"),
+        K.ipv4_to_int(ip).alias("ip_int"),
+        K.ipv4_prefix(ip, 2).alias("ip_prefix"),
+    )
+
+
+@_q(
+    "date_percentile_bucket",
+    """
+    SELECT o_orderkey,
+           (CASE WHEN o_totalprice > 25000 THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS pct_bucket
+    FROM orders
+    """,
+)
+def date_percentile_bucket(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        D.date_percentile(F.col("o_totalprice"), [25000.0, 100000.0, 200000.0])
+        .cast("int").alias("pct_bucket"),
+    )
+
+
+@_q(
+    "cv_stratified_folds",
+    """
+    SELECT event_id,
+           CAST((row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY md5(concat_ws(chr(31), CAST(event_id AS VARCHAR))), event_id
+           ) - 1) % 5 AS INT) AS fold_id
+    FROM events
+    """,
+)
+def cv_stratified_folds(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return CV.stratified_kfold_column(ev, "event_type", ["event_id"], 5).select(
+        "event_id", "fold_id"
+    )
+
+
+@_q(
+    "cv_time_series_folds",
+    """
+    WITH n AS (SELECT count(*) AS total FROM events)
+    SELECT event_id,
+           CASE WHEN blk >= 1 THEN CAST(blk - 1 AS INT) END AS fold_id
+    FROM (
+      SELECT event_id,
+             CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1) * 5.0
+                  / (SELECT total FROM n)) AS INT) AS blk
+      FROM events
+    )
+    """,
+)
+def cv_time_series_folds(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return CV.time_series_split_column(ev, "ts", ["event_id"], 4).select(
+        "event_id", "fold_id"
+    )
+
+
+@_q(
+    "cv_blocked_folds",
+    """
+    WITH n AS (SELECT count(*) AS total FROM events),
+    r AS (
+      SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    )
+    SELECT event_id,
+           CAST(floor(rn * 3.0 / (SELECT total FROM n)) AS INT) AS fold_id,
+           CASE WHEN rn - floor(floor(rn * 3.0 / (SELECT total FROM n))
+                      * (SELECT total FROM n) / 3.0)
+                     >= (floor((floor(rn * 3.0 / (SELECT total FROM n)) + 1)
+                         * (SELECT total FROM n) / 3.0)
+                        - floor(floor(rn * 3.0 / (SELECT total FROM n))
+                          * (SELECT total FROM n) / 3.0)) * 0.8
+                THEN 'test' ELSE 'train' END AS cv_role
+    FROM r
+    """,
+)
+def cv_blocked_folds(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return CV.blocked_time_series_column(ev, "ts", ["event_id"], 3, 0.2).select(
+        "event_id", "fold_id", "cv_role"
+    )
+
+
+@_q("cv_hash_kfold")  # hex→int conv() has no DuckDB twin; rows-only
+def cv_hash_kfold(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return CV.kfold_column(ev, ["event_id"], 5).select("event_id", "fold_id")
+
+
+@_q(
+    "unnest_multi_keys",
+    """
+    SELECT event_id, 'user_id' AS search_key_unnest,
+           CAST(user_id AS VARCHAR) AS key_val
+    FROM events
+    UNION ALL
+    SELECT event_id, 'event_type' AS search_key_unnest, event_type AS key_val
+    FROM events
+    """,
+)
+def unnest_multi_keys(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type"),
+    )
+    out = UN.explode_multi_keys(ev, ["user_id", "event_type"], "key_val")
+    return out.select("event_id", UN.SEARCH_KEY_UNNEST, "key_val")
+
+
+@_q(
+    "one_hot_decode",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN '0'
+                WHEN o_orderstatus = 'O' THEN '1'
+                WHEN o_orderstatus = 'P' THEN '2' END AS cat
+    FROM orders
+    """,
+)
+def one_hot_decode(spark, sf_dir):
+    """Build a one-hot group from o_orderstatus, detect it, decode it back."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderstatus") == "F").cast("int").alias("cat0"),
+        (F.col("o_orderstatus") == "O").cast("int").alias("cat1"),
+        (F.col("o_orderstatus") == "P").cast("int").alias("cat2"),
+    )
+    groups = UN.detect_one_hot_groups(o)
+    assert "cat" in groups, groups
+    return UN.decode_one_hot(o, "cat", groups["cat"]).select("o_orderkey", "cat")
+
+
+@_q(
+    "cross_series_click_vs_purchase",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, event_type,
+             round(avg(value), 6) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    l AS (SELECT d, v FROM daily WHERE event_type = 'click'),
+    r AS (SELECT d, v FROM daily WHERE event_type = 'purchase')
+    SELECT coalesce(l.d, r.d) AS d,
+           round(l.v - r.v, 6) AS click_minus_purchase
+    FROM l FULL JOIN r ON l.d = r.d
+    """,
+)
+def cross_series_click_vs_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    out = cross_series_interaction(
+        daily, "d", ["event_type"], ["click"], ["purchase"], "v",
+        OB.subtract, out_col="click_minus_purchase",
+    )
+    return (
+        out.filter(F.col("event_type") == "click")
+        .select("d", F.round("click_minus_purchase", 6).alias("click_minus_purchase"))
+    )
+
+
+@_q(
+    "psi_quantile_halves",
+    """
+    WITH d AS (
+      SELECT value AS v, CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS split
+      FROM events
+    ), e AS (
+      SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges
+      FROM d WHERE split = 0
+    ), binned AS (
+      SELECT split,
+             len(list_filter((SELECT edges FROM e), x -> v > x)) AS bin
+      FROM d
+    ), counts AS (
+      SELECT split, bin, count(*) AS n FROM binned GROUP BY 1, 2
+    ), shares AS (
+      SELECT split, bin,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY split) AS share
+      FROM counts
+    )
+    SELECT CAST(p.split AS INT) AS split,
+           round(sum((p.share + 1e-6 - coalesce(q.share, 0) - 1e-6)
+                 * ln((p.share + 1e-6) / (coalesce(q.share, 0) + 1e-6))), 6) AS psi
+    FROM shares p
+    LEFT JOIN (SELECT bin, share FROM shares WHERE split = 0) q USING (bin)
+    WHERE p.split != 0 GROUP BY p.split
+    """,
+)
+def psi_quantile_halves(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = ST.psi_quantile(
+        ev, "value", F.when(F.dayofmonth("ts") > 15, 1).otherwise(0), n_bins=10
+    )
+    return out.select(F.col("split").cast("int").alias("split"), "psi")
+
+
+@_q(
+    "date_distribution_check",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+    ), rng AS (
+      SELECT min(d) AS lo_d,
+             min(d) + CAST(floor(datediff('day', min(d), max(d)) / 2.0)
+                      AS INT) AS mid
+      FROM daily
+    )
+    SELECT round(avg(CASE WHEN d <= (SELECT mid FROM rng) THEN n END), 6)
+             AS first_half_mean,
+           round(avg(CASE WHEN d > (SELECT mid FROM rng) THEN n END), 6)
+             AS second_half_mean,
+           round(avg(CASE WHEN d > (SELECT mid FROM rng) THEN n END)
+                 / avg(CASE WHEN d <= (SELECT mid FROM rng) THEN n END), 6) AS ratio,
+           (avg(CASE WHEN d > (SELECT mid FROM rng) THEN n END)
+            / avg(CASE WHEN d <= (SELECT mid FROM rng) THEN n END))
+             BETWEEN 0.8 AND 1.2 AS is_stable
+    FROM daily
+    """,
+)
+def date_distribution_check(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ST.date_distribution_check(ev, "ts")
+
+
+@_q(
+    "is_time_series_stats",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1
+    )
+    SELECT count(DISTINCT d) AS n_unique_dates,
+           datediff('day', min(d), max(d)) + 1 AS span_days,
+           round(CAST(count(DISTINCT d) AS DOUBLE)
+                 / (datediff('day', min(d), max(d)) + 1), 6) AS date_coverage,
+           round(avg(CASE WHEN c > 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS multi_row_date_share,
+           count(DISTINCT c) AS n_distinct_daily_counts
+    FROM daily
+    """,
+)
+def is_time_series_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = ST.is_time_series_stats(ev, "ts")
+    return out.select(
+        "n_unique_dates",
+        F.col("span_days").cast("long").alias("span_days"),
+        "date_coverage", "multi_row_date_share", "n_distinct_daily_counts",
+    )
+
+
+@_q(
+    "multimodal_meta",
+    """
+    SELECT printf('m%09d', r) AS media_id,
+           ['image','audio','video'][1 + r % 3] AS media_type_stub,
+           32 * (1 + r % 8) AS n_bytes,
+           sha256(repeat(md5(CAST(r AS VARCHAR)), 1 + r % 8)) AS content_sha256
+    FROM (SELECT range AS r FROM range(0, 500))
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing through Arrow mapInPandas; payload metadata
+    is oracle-checked (the media-type hash differs per engine → stubbed
+    deterministically here from row id)."""
+    from upgini_spark.functions.multimodal import synthetic_media, extract_media_features
+
+    media = synthetic_media(spark, 500)
+    feats = extract_media_features(media)
+    # n_bytes and sha256 derive purely from the row id -> portable oracle
+    rid = F.regexp_extract("media_id", r"(\d+)", 1).cast("long")
+    return feats.select(
+        "media_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (rid % 3 + 1).cast("int"),
+        ).alias("media_type_stub"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "content_sha256",
+    )
+
+
+@_q("multimodal_features")  # fake-decode vectors: rows-only
+def multimodal_features(spark, sf_dir):
+    from upgini_spark.functions.multimodal import synthetic_media, extract_media_features
+
+    return extract_media_features(synthetic_media(spark, 500)).select(
+        "media_id", "features"
+    )

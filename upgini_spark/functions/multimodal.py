@@ -104,8 +104,9 @@ def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     mtype = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (h % 3 + 1).cast("int")
     )
+    # repeat factor from the plain row id (portable to any SQL oracle)
     payload = F.to_binary(
-        F.repeat(F.md5(i.cast("string")), (h % 8 + 1).cast("int")), F.lit("utf-8")
+        F.repeat(F.md5(i.cast("string")), (i % 8 + 1).cast("int")), F.lit("utf-8")
     )
     return df.select(
         F.format_string("m%09d", i).alias("media_id"),

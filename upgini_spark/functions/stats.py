@@ -109,3 +109,83 @@ def feature_validator_stats(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def psi_quantile(
+    df: DataFrame,
+    value_col: str,
+    split_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reference-faithful PSI (utils/psi.py:293-298): bin edges are the
+    base interval's quantiles (±inf outer edges), Σ(p−q)·ln(p/q) per
+    non-base interval. Exact percentile here (oracle parity); swap in
+    approx_percentile at the 100TB scale."""
+    d = df.select(F.col(value_col).alias("v"), split_col.cast("int").alias("split"))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = (
+        d.filter(F.col("split") == 0)
+        .agg(F.expr(f"percentile(v, array({','.join(str(q) for q in qs)}))").alias("e"))
+        .collect()[0]["e"]
+    )
+    bin_expr = F.lit(0)
+    for e in edges:
+        bin_expr = bin_expr + F.when(F.col("v") > F.lit(float(e)), 1).otherwise(0)
+    counts = d.withColumn("bin", bin_expr).groupBy("split", "bin").count()
+    totals = counts.groupBy("split").agg(F.sum("count").alias("total"))
+    shares = counts.join(totals, "split").select(
+        "split", "bin", (F.col("count") / F.col("total")).alias("share")
+    )
+    base = shares.filter(F.col("split") == 0).select("bin", F.col("share").alias("q"))
+    rest = shares.filter(F.col("split") != 0)
+    joined = rest.join(base, "bin", "left").select(
+        "split",
+        (F.col("share") + EPS).alias("p"),
+        (F.coalesce(F.col("q"), F.lit(0.0)) + EPS).alias("q"),
+    )
+    return joined.groupBy("split").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi")
+    )
+
+
+def date_distribution_check(
+    df: DataFrame, ts_col: str, lo: float = 0.8, hi: float = 1.2
+) -> DataFrame:
+    """Half-vs-half mean-daily-count ratio gate
+    (utils/datetime_utils.py:392-443): split the date range in half, ratio
+    of mean rows/day must fall in [lo, hi]."""
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("d")).count()
+    rng = daily.agg(F.min("d").alias("lo_d"), F.max("d").alias("hi_d")).collect()[0]
+    mid = rng["lo_d"] + (rng["hi_d"] - rng["lo_d"]) / 2
+    agg = daily.agg(
+        F.avg(F.when(F.col("d") <= F.lit(mid), F.col("count"))).alias("first_half"),
+        F.avg(F.when(F.col("d") > F.lit(mid), F.col("count"))).alias("second_half"),
+    ).select(
+        F.round("first_half", 6).alias("first_half_mean"),
+        F.round("second_half", 6).alias("second_half_mean"),
+        F.round(F.try_divide(F.col("second_half"), F.col("first_half")), 6).alias("ratio"),
+    )
+    return agg.select(
+        "*",
+        ((F.col("ratio") >= lo) & (F.col("ratio") <= hi)).alias("is_stable"),
+    )
+
+
+def is_time_series_stats(df: DataFrame, ts_col: str) -> DataFrame:
+    """Inputs to the is_time_series / is_blocked_time_series decision
+    (datetime_utils.py:303-389): unique dates, gap-free share, multi-row
+    date share, per-date count constancy."""
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("d")).count()
+    return daily.agg(
+        F.countDistinct("d").alias("n_unique_dates"),
+        (F.datediff(F.max("d"), F.min("d")) + 1).alias("span_days"),
+        F.round(
+            F.countDistinct("d") / (F.datediff(F.max("d"), F.min("d")) + 1), 6
+        ).alias("date_coverage"),
+        F.round(
+            F.avg((F.col("count") > 1).cast("double")), 6
+        ).alias("multi_row_date_share"),
+        F.countDistinct("count").alias("n_distinct_daily_counts"),
+    )
