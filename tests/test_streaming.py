@@ -1,0 +1,117 @@
+"""Streaming feature operators: batch equivalence via Trigger.AvailableNow
+file streams (no reference semantics to match — we define ours and test
+against the batch twin, SURVEY.md §7 risk register)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from upgini_spark.fixtures import feature_source, tokenized_sequences
+from upgini_spark.streaming.stream_features import (
+    enrich_stream_static,
+    session_agg_stream,
+    windowed_agg_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    df = tokenized_sequences(spark, 300, n_partitions=2).select(
+        "doc_id", "event_time", F.col("n_tok").cast("double").alias("value")
+    )
+    df.write.parquet(path)
+    return path, df
+
+
+def _run_stream(spark, stream_df, name, mode="append"):
+    # append mode only emits watermark-closed windows; equivalence tests
+    # use complete mode so end-of-stream windows are visible too
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_agg_batch_equivalence(spark, stream_input):
+    path, batch_df = stream_input
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = _run_stream(
+        spark,
+        windowed_agg_stream(stream, "event_time", ["doc_id"], "value", "1 day"),
+        "win_agg", mode="complete",
+    ).toPandas()
+
+    exp = (
+        batch_df.groupBy("doc_id", F.window("event_time", "1 day").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "doc_id",
+            F.col("win.start").alias("window_start"),
+            "n_events", "mean_value", "sum_value",
+        )
+        .toPandas()
+    )
+    key = ["doc_id", "window_start"]
+    got = out[key + ["n_events", "mean_value"]].sort_values(key).reset_index(drop=True)
+    want = exp[key + ["n_events", "mean_value"]].sort_values(key).reset_index(drop=True)
+    # availableNow + append mode: all windows close at end-of-stream
+    assert len(got) == len(want)
+    assert (got["n_events"].values == want["n_events"].values).all()
+
+
+def test_session_agg_stream_runs(spark, stream_input):
+    path, _ = stream_input
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = _run_stream(
+        spark,
+        session_agg_stream(stream, "event_time", ["doc_id"], "value", gap="1 hour"),
+        "sess_agg", mode="complete",
+    )
+    assert out.count() > 0
+    bad = out.filter("session_end < session_start").count()
+    assert bad == 0
+
+
+def test_enrich_stream_static_pit(spark, stream_input, tmp_path_factory):
+    path, batch_df = stream_input
+    feat = feature_source(spark, 300, points_per_entity=4, n_partitions=2)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    enriched = enrich_stream_static(
+        stream, feat, entity_col="doc_id", ts_col="event_time"
+    )
+    out = _run_stream(spark, enriched, "stream_enrich")
+    assert out.count() == 300
+    # zero temporal leakage on the stream path
+    assert out.filter("matched_ts IS NOT NULL AND matched_ts > event_time").count() == 0
+
+    # batch twin: as-of join gives identical matches
+    from upgini_spark.joins.asof import asof_join
+
+    exp = asof_join(
+        batch_df, feat, left_on="event_time", right_on="feature_ts",
+        by_left="doc_id", by_right="entity_id", keep_match_ts=True,
+    ).toPandas()
+    got = out.toPandas()
+    key = ["doc_id", "event_time"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert (
+        got["matched_ts"].fillna(0).values == exp["matched_ts"].fillna(0).values
+    ).all()
+    assert (
+        got["f_ext_num_1"].fillna(-1).values == exp["f_ext_num_1"].fillna(-1).values
+    ).all()

@@ -112,7 +112,7 @@ def enrich_stream_static(
         F.col("__history__"),
         lambda s: s[source_ts_col] <= F.col(ts_col),
     )
-    picked = F.element_at(valid, -1)
+    picked = F.try_element_at(valid, F.lit(-1))  # empty history -> null
     out_cols = [F.col(c) for c in stream.columns]
     out_cols.append(picked[source_ts_col].alias("matched_ts"))
     out_cols.extend(picked[c].alias(c) for c in feat_cols)
