@@ -1,0 +1,88 @@
+"""Deterministic fit sort with correlation-ranked feature columns.
+
+Reference (src/upgini/utils/sort.py:16-155 applied at
+features_enricher.py:4488-4595): rows sort by [date, row-hash of
+(sorted search keys + correlation-ranked features)], where feature rank =
+max(|Spearman|, |Pearson|) against the target, truncated to 7 dp,
+tie-broken by column-name hash; string features are factorized sorted.
+
+Spark-first split: the column *ranking* runs on a bounded sample in the
+driver (same math — it is a per-column scalar, the reference itself uses a
+sample-capped frame), while the row ordering runs distributed with the
+portable md5 row hash from record_ids.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from upgini_spark.pipeline.record_ids import add_system_record_id
+
+
+def _trunc7(x: float) -> float:
+    return math.trunc(x * 1e7) / 1e7 if x == x else 0.0
+
+
+def rank_feature_columns(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    sample_rows: int = 100_000,
+) -> list[str]:
+    """Order features by max(|Spearman|, |Pearson|) vs target desc,
+    truncated at 7 dp, ties broken by sha256(column name) — the exact
+    reference tie discipline (sort.py:100-155)."""
+    if not feature_cols:
+        return []
+    pdf = (
+        df.select(*feature_cols, target_col)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    y = pd.to_numeric(pdf[target_col], errors="coerce")
+    scores: dict[str, float] = {}
+    for c in feature_cols:
+        s = pdf[c]
+        if not pd.api.types.is_numeric_dtype(s):
+            # factorize sorted (string features), per reference
+            s = pd.Series(pd.factorize(s.astype(str), sort=True)[0], index=s.index).where(
+                s.notna()
+            )
+        s = pd.to_numeric(s, errors="coerce")
+        if s.notna().sum() < 2 or y.notna().sum() < 2 or s.nunique() < 2:
+            scores[c] = 0.0
+            continue
+        pearson = s.corr(y, method="pearson")
+        # Spearman = Pearson of average ranks (no scipy dependency)
+        spearman = s.rank(method="average").corr(y.rank(method="average"), method="pearson")
+        scores[c] = max(
+            _trunc7(abs(pearson if pearson == pearson else 0.0)),
+            _trunc7(abs(spearman if spearman == spearman else 0.0)),
+        )
+    return sorted(
+        feature_cols,
+        key=lambda c: (-scores[c], hashlib.sha256(c.encode()).hexdigest()),
+    )
+
+
+def deterministic_fit_sort(
+    df: DataFrame,
+    date_col: str | None,
+    key_cols: list[str],
+    feature_cols: list[str],
+    target_col: str | None = None,
+) -> DataFrame:
+    """Full reference fit-sort: rank features (when a target is given),
+    hash rows over (sorted keys + ranked features), assign
+    system_record_id by [date, hash] per eval segment."""
+    ranked = (
+        rank_feature_columns(df, feature_cols, target_col)
+        if target_col
+        else sorted(feature_cols)
+    )
+    hash_cols = sorted(key_cols) + ranked
+    return add_system_record_id(df, date_col, hash_cols)

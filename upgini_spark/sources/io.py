@@ -1,0 +1,74 @@
+"""Sources / sinks (SURVEY.md §2.1).
+
+- CSV ingest with delimiter sniffing (reference dataset.py:94-112 uses
+  csv.Sniffer on the file head; we sniff a driver-side sample then hand the
+  scan to Spark's distributed CSV reader);
+- parquet sink with bounded file sizes (the reference caps uploads at
+  512 MB, dataset.py:63 — distributed analog: maxRecordsPerFile);
+- Iceberg writers when a catalog is configured (gated — no Iceberg runtime
+  in this sandbox), parquet snapshot fallback otherwise.
+"""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def sniff_delimiter(path: str, sample_bytes: int = 64 * 1024) -> str:
+    """csv.Sniffer on the file head (driver-side, one small read)."""
+    import builtins
+
+    with builtins.open(path, "r", errors="replace") as f:
+        sample = f.read(sample_bytes)
+    try:
+        return csv.Sniffer().sniff(sample, delimiters=",;\t|").delimiter
+    except csv.Error:
+        return ","
+
+
+def read_csv_auto(
+    spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True
+) -> DataFrame:
+    """Distributed CSV scan with a sniffed delimiter."""
+    sep = sniff_delimiter(path)
+    return (
+        spark.read.option("header", header)
+        .option("inferSchema", infer_schema)
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
+def write_parquet_bounded(
+    df: DataFrame, path: str, max_records_per_file: int = 1_000_000,
+    partition_by: list[str] | None = None, mode: str = "overwrite",
+) -> None:
+    """Parquet sink with bounded output files (the scalable analog of the
+    reference's 512 MB upload cap)."""
+    w = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_iceberg_or_parquet(
+    df: DataFrame, table_or_path: str, mode: str = "append"
+) -> str:
+    """Write to an Iceberg table when a catalog is configured; otherwise a
+    parquet snapshot directory. Returns the sink actually used."""
+    spark = df.sparkSession
+    has_iceberg = any(
+        "iceberg" in (spark.conf.get(k, "") or "").lower()
+        for k in (
+            "spark.sql.catalog.spark_catalog",
+            "spark.sql.extensions",
+        )
+    )
+    if has_iceberg and "/" not in table_or_path:
+        (df.writeTo(table_or_path).append()
+         if mode == "append" else df.writeTo(table_or_path).createOrReplace())
+        return "iceberg"
+    df.write.mode("append" if mode == "append" else "overwrite").parquet(table_or_path)
+    return "parquet"
