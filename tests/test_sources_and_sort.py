@@ -40,6 +40,7 @@ def test_rank_feature_columns(spark):
 
 def test_deterministic_fit_sort_stable(spark):
     df = spark.range(300).selectExpr(
+        "id",
         "CAST(id AS DOUBLE) AS y",
         "CAST(id % 13 AS DOUBLE) AS f1",
         "timestamp_seconds(id * 3600) AS ts",
