@@ -272,3 +272,94 @@ def test_sessionize_gaps(spark):
     )
     out = sessionize(df, "ts", [], gap_seconds=1800, tie_cols=["ord"])
     _check([float(x) for x in _result(out, "session_id")], [1.0, 1.0, 2.0, 2.0, 3.0])
+
+
+# ---- Delta goldens (tests/autofe/test_delta.py) ------------------------------
+
+def test_delta_golden(spark):
+    df = _mkdf(spark, ["2024-05-05", "2024-05-06", "2024-05-07", "2024-05-09"], [1, 2, 3, 5])
+    cases = [(1, [NAN, 1.0, 1.0, NAN]), (2, [NAN, NAN, 2.0, 2.0])]
+    for n, exp in cases:
+        out = ts_feature_parity(
+            df, "ts", [], "value",
+            lambda s, n=n: delta_feature(s, "ts", [], "value", n, "D", out_col="d"),
+            "d", order_col="ord",
+        )
+        _check(_result(out, "d"), exp)
+
+
+def test_delta_groups_golden(spark):
+    df = _mkdf(
+        spark,
+        ["2024-05-06", "2024-05-06", "---", "2024-05-07", "2024-05-07", "2024-05-07"],
+        [1, 1, 3, 4, 4, 5],
+        groups={"f1": ["a", "b", "a", "a", "a", "b"], "f2": [1, 2, 1, 1, 1, 2]},
+    )
+    cases = [
+        (1, [NAN, NAN, NAN, 3.0, 3.0, 4.0]),
+        (2, [NAN, NAN, NAN, NAN, NAN, NAN]),
+    ]
+    for n, exp in cases:
+        out = ts_feature_parity(
+            df, "ts", ["f1", "f2"], "value",
+            lambda s, n=n: delta_feature(s, "ts", ["f1", "f2"], "value", n, "D", out_col="d"),
+            "d", order_col="ord",
+        )
+        _check(_result(out, "d"), exp)
+
+
+def test_delta2_golden(spark):
+    df = _mkdf(
+        spark,
+        ["2024-05-05", "2024-05-06", "2024-05-07", "2024-05-08", "2024-05-09"],
+        [1, 2, 4, 7, 11],
+    )
+    cases = [
+        (1, [NAN, NAN, 1.0, 1.0, 1.0]),
+        (2, [NAN, NAN, NAN, NAN, 4.0]),
+    ]
+    for n, exp in cases:
+        out = ts_feature_parity(
+            df, "ts", [], "value",
+            lambda s, n=n: delta_feature(s, "ts", [], "value", n, "D", order=2, out_col="d"),
+            "d", order_col="ord",
+        )
+        _check(_result(out, "d"), exp)
+
+
+# ---- Volatility goldens (tests/autofe/test_rolling_vol.py, test_ewma_vol.py) --
+
+from upgini_spark.operators.timeseries import ewma_volatility, rolling_volatility  # noqa: E402
+
+VOL_DATES = ["2024-05-01", "2024-05-02", "2024-05-03", "2024-05-04", "2024-05-05"]
+VOL_VALUES = [100, 110, 99, 121, 115]
+
+
+@pytest.mark.parametrize("n,expected", [
+    (3, [NAN, 0.07071067811865482, 0.10000000000000003, 0.16266808337776115, 0.17332473642609442]),
+    (2, [NAN, 0.07071067811865482, 0.14142135623730956, 0.22784551838233202, 0.1921979864382168]),
+    (5, [NAN, 0.07071067811865482, 0.10000000000000003, 0.1378852627332318, 0.12833643782026619]),
+])
+def test_rolling_volatility_golden(spark, n, expected):
+    df = _mkdf(spark, VOL_DATES, VOL_VALUES)
+    out = ts_feature_parity(
+        df, "ts", [], "value",
+        lambda s: rolling_volatility(s, "ts", [], "value", n, "D", out_col="v"),
+        "v", order_col="ord",
+    )
+    _check(_result(out, "v"), expected)
+
+
+@pytest.mark.parametrize("span,expected", [
+    (3, [NAN, 0.07071067811865477, 0.1164964745021435, 0.17599803590374327, 0.15403830565097604]),
+    (2, [NAN, 0.07071067811865481, 0.12403473458920847, 0.19273115769200153, 0.16516062582879912]),
+    (5, [NAN, 0.07071067811865482, 0.1100239208440362, 0.16118516299625862, 0.14428760780515082]),
+])
+def test_ewma_volatility_golden(spark, span, expected):
+    df = _mkdf(spark, VOL_DATES, VOL_VALUES)
+    out = ts_feature_parity(
+        df, "ts", [], "value",
+        lambda s: ewma_volatility(s, "ts", [], "value", span, out_col="v"),
+        "v", order_col="ord",
+    )
+    _check(_result(out, "v"), expected)

@@ -276,6 +276,33 @@ def delta_feature(
 # Volatility family
 # --------------------------------------------------------------------------
 
+def step_returns(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    step: int = 1,
+    step_unit: str = "D",
+    out_col: str = "__ret__",
+    use_abs: bool = False,
+) -> DataFrame:
+    """pandas ``pct_change(freq=step)`` parity (volatility.py:10-12):
+    v(t)/v(t−step) − 1 against the EXACT t−step point (not the nearest),
+    missing → 0. The exact-shift lookup is a degenerate range frame
+    [−step, −step] — no join."""
+    d = _with_ts_us(df, ts_col)
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col(_TS_US))
+        .rangeBetween(-unit_us(step, step_unit), -unit_us(step, step_unit))
+    )
+    prev = F.first(F.col(value_col)).over(w)
+    r = F.coalesce(F.try_divide(F.col(value_col), prev) - 1, F.lit(0.0))
+    if use_abs:
+        r = F.abs(r)
+    return _drop_ts_us(d.withColumn(out_col, r))
+
+
 def rolling_volatility(
     df: DataFrame,
     ts_col: str,
@@ -284,23 +311,18 @@ def rolling_volatility(
     n: int,
     unit: str = "D",
     step: int = 1,
-    step_unit: str | None = None,
+    step_unit: str = "D",
     use_abs: bool = False,
     out_col: str | None = None,
 ) -> DataFrame:
-    """std over (t−n·unit, t] of step-returns ``v/lag(v) − 1`` (fillna 0)
-    — volatility.py:75-146."""
-    step_unit = step_unit or unit
+    """std over (t−n·unit, t] of exact-step returns (volatility.py:94-105);
+    min_periods=1 ⇒ a single-point window yields null (sample std)."""
     out_col = out_col or f"{value_col}_roll_vol_{n}{unit}"
     ret = "__ret__"
-    d = lag_feature(df, ts_col, groups, value_col, step, step_unit, out_col="__lagv__")
-    r = F.coalesce(F.try_divide(F.col(value_col), F.col("__lagv__")) - 1, F.lit(0.0))
-    if use_abs:
-        r = F.abs(r)
-    d = d.withColumn(ret, r).drop("__lagv__")
+    d = step_returns(df, ts_col, groups, value_col, step, step_unit, ret, use_abs)
     d = _with_ts_us(d, ts_col)
     w = _rolling_window(groups, n, unit)
-    d = d.withColumn(out_col, F.coalesce(F.stddev_samp(ret).over(w), F.lit(0.0)))
+    d = d.withColumn(out_col, F.stddev_samp(ret).over(w))
     return _drop_ts_us(d.drop(ret))
 
 
@@ -330,21 +352,29 @@ def ewma_volatility(
     groups: list[str],
     value_col: str,
     span: int,
+    step: int = 1,
+    step_unit: str = "D",
     out_col: str | None = None,
 ) -> DataFrame:
-    """Recursive EWM std of step returns — no native Spark expression, so an
-    Arrow-batched per-group pandas kernel (volatility.py:15-72). Returns are
-    consecutive-row pct_change (fillna 0) in event-time order."""
+    """Recursive EWM std of exact-step returns — no native Spark
+    expression, so an Arrow-batched per-group pandas kernel reusing the
+    very same pandas calls as the reference (volatility.py:62-72):
+    ``pct_change(freq=step).fillna(0).ewm(span).std()``."""
     out_col = out_col or f"{value_col}_ewma_vol_{span}"
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType(), True)])
     cols = list(df.columns)
+    freq = f"{step}{step_unit}"
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort")
-        ret = pdf[value_col].astype("float64").pct_change().fillna(0.0)
-        pdf[out_col] = ret.ewm(span=span).std()
+        s = pd.Series(
+            pdf[value_col].astype("float64").values,
+            index=pd.DatetimeIndex(pdf[ts_col].values),
+        )
+        ret = s.pct_change(freq=freq).fillna(0.0)
+        pdf[out_col] = ret.ewm(span=span).std().values
         return pdf[cols + [out_col]]
 
     return df.groupBy(*groups).applyInPandas(kernel, schema=schema)
