@@ -697,9 +697,6 @@ def date_anniversary(spark, sf_dir):
     )
     return o.select(
         "o_orderkey",
-        D.date_diff_type2(b, F.col("o_orderdate")).alias("days_to_anniv"),
-    ) if False else o.select(
-        "o_orderkey",
         D.date_diff_type2(F.col("o_orderdate"), b).alias("days_to_anniv"),
     )
 
@@ -1744,3 +1741,113 @@ def multimodal_features(spark, sf_dir):
     return extract_media_features(synthetic_media(spark, 500)).select(
         "media_id", "features"
     )
+
+
+# ===========================================================================
+# Batch 5: volatility family over a per-user daily series
+# ===========================================================================
+
+from upgini_spark.operators.timeseries import (  # noqa: E402
+    rolling_volatility,
+    rolling_volatility2,
+    volatility_ratio,
+)
+
+
+def _daily_series(spark, sf_dir):
+    """Per-(user, day) mean value — a regular grid so exact 1-day step
+    returns exist (pct_change(freq='1D') parity)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+
+
+_DAILY_SQL = """
+      SELECT user_id, date_trunc('day', ts) AS d, round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+"""
+
+_RET_SQL = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    ret AS (
+      SELECT a.user_id, a.d,
+             coalesce(a.v / nullif(b.v, 0) - 1, 0.0) AS r
+      FROM daily a
+      LEFT JOIN daily b
+        ON a.user_id = b.user_id AND b.d = a.d - INTERVAL 1 DAY
+    )
+"""
+
+
+@_q(
+    "rolling_volatility_7d",
+    _RET_SQL + """
+    SELECT user_id, d,
+           round(stddev_samp(r) OVER (
+             PARTITION BY user_id ORDER BY epoch_ms(d)
+             RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW), 6) AS vol_7d
+    FROM ret
+    """,
+)
+def rolling_volatility_7d(spark, sf_dir):
+    daily = _daily_series(spark, sf_dir)
+    out = rolling_volatility(daily, "d", ["user_id"], "v", 7, "D", out_col="vol_7d")
+    return out.select("user_id", "d", F.round("vol_7d", 6).alias("vol_7d"))
+
+
+@_q(
+    "volatility_ratio_7_to_14",
+    _RET_SQL + """
+    , vols AS (
+      SELECT user_id, d,
+             stddev_samp(r) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(d)
+               RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW) AS vs,
+             stddev_samp(r) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(d)
+               RANGE BETWEEN 1209599999 PRECEDING AND CURRENT ROW) AS vl
+      FROM ret
+    )
+    SELECT user_id, d,
+           round(CASE WHEN vs IS NULL OR vl IS NULL OR vl = 0 OR isnan(vs / vl)
+                      THEN 1.0 ELSE vs / vl END, 6) AS vol_ratio
+    FROM vols
+    """,
+)
+def volatility_ratio_7_to_14(spark, sf_dir):
+    daily = _daily_series(spark, sf_dir)
+    out = volatility_ratio(daily, "d", ["user_id"], "v", 7, 14, "D", out_col="vol_ratio")
+    return out.select("user_id", "d", F.round("vol_ratio", 6).alias("vol_ratio"))
+
+
+@_q("rolling_volatility2_7d")  # two-stage vol-of-vol: rows-only
+def rolling_volatility2_7d(spark, sf_dir):
+    daily = _daily_series(spark, sf_dir)
+    out = rolling_volatility2(daily, "d", ["user_id"], "v", 7, "D", out_col="vol2_7d")
+    return out.select("user_id", "d", F.round("vol2_7d", 6).alias("vol2_7d"))
+
+
+@_q(
+    "trend_coefficient_daily",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d, round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT user_id, v,
+             CAST(floor((epoch_ms(d) - min(epoch_ms(d)) OVER (PARTITION BY user_id))
+                  / 86400000.0) AS DOUBLE) AS i
+      FROM daily
+    )
+    SELECT user_id,
+           round(CASE WHEN (avg(i*i) - avg(i)*avg(i)) = 0 THEN 0.0
+                 ELSE (avg(i*v) - avg(i)*avg(v)) / (avg(i*i) - avg(i)*avg(i))
+                 END, 6) AS trend
+    FROM g GROUP BY user_id
+    """,
+)
+def trend_coefficient_daily(spark, sf_dir):
+    daily = _daily_series(spark, sf_dir)
+    out = trend_coefficient(daily, "d", ["user_id"], "v", out_col="trend")
+    return out.groupBy("user_id").agg(F.round(F.first("trend"), 6).alias("trend"))

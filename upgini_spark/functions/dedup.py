@@ -111,18 +111,19 @@ def minhash_signature(
     the signature is reproducible in any engine; lexicographic min over hex
     is a valid uniform min-order. Scales: per-row arrays only, no shuffle.
     """
-    sh = word_shingles(text_col, shingle_n)
-
     def perm(j: int):
         # NB: keep the inner lambda single-arg — a two-arg lambda makes
         # F.transform pass (element, index) and the index would shadow j.
         return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
 
+    # materialize the shingle array once; k projections share it (Catalyst
+    # does not CSE the array construction across separate expressions)
+    staged = df.withColumn("__sh__", word_shingles(text_col, shingle_n))
     cols = [
-        F.array_min(F.transform(sh, perm(j))).alias(f"{out_prefix}{j}")
+        F.array_min(F.transform(F.col("__sh__"), perm(j))).alias(f"{out_prefix}{j}")
         for j in range(k)
     ]
-    return df.select("*", *cols)
+    return staged.select(*df.columns, *cols)
 
 
 def minhash_band_pairs(

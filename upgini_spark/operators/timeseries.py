@@ -485,3 +485,28 @@ def cross_series_interaction(
     return joined.withColumn(
         out_col, F.when(in_left | in_right, F.col(out_col))
     )
+
+
+def rolling_volatility2(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    n: int,
+    unit: str = "D",
+    step: int = 1,
+    step_unit: str = "D",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Volatility of the abs-returns volatility (volatility.py:149-193):
+    stage 1 = rolling std of |exact-step returns|, stage 2 = rolling std of
+    the stage-1 series' exact-step returns."""
+    out_col = out_col or f"{value_col}_roll_vol2_{n}{unit}"
+    d = rolling_volatility(
+        df, ts_col, groups, value_col, n, unit, step, step_unit,
+        use_abs=True, out_col="__vol1__",
+    )
+    d = rolling_volatility(
+        d, ts_col, groups, "__vol1__", n, unit, step, step_unit, out_col=out_col
+    )
+    return d.drop("__vol1__")
