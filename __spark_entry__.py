@@ -1851,3 +1851,90 @@ def trend_coefficient_daily(spark, sf_dir):
     daily = _daily_series(spark, sf_dir)
     out = trend_coefficient(daily, "d", ["user_id"], "v", out_col="trend")
     return out.groupBy("user_id").agg(F.round(F.first("trend"), 6).alias("trend"))
+
+
+# ===========================================================================
+# Batch 6: eval-set / target correction / hit-rate
+# ===========================================================================
+
+from upgini_spark.pipeline.evalset import (  # noqa: E402
+    combine_train_eval,
+    correct_target,
+    hit_rate_report,
+)
+
+
+@_q(
+    "eval_set_combine",
+    """
+    SELECT o_orderkey, 0 AS eval_set_index, o_totalprice AS target
+    FROM orders WHERE o_orderkey % 10 < 8
+    UNION ALL
+    SELECT o_orderkey, 1, o_totalprice FROM orders
+    WHERE o_orderkey % 10 = 8
+    UNION ALL
+    SELECT o_orderkey, 2, NULL FROM orders
+    WHERE o_orderkey % 10 = 9
+    """,
+)
+def eval_set_combine(spark, sf_dir):
+    """Train/eval/OOT concat with eval_set_index
+    (features_enricher.py:2483-2501); OOT targets nulled."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("target")
+    )
+    train = o.filter(F.col("o_orderkey") % 10 < 8)
+    ev = o.filter(F.col("o_orderkey") % 10 == 8)
+    oot = o.filter(F.col("o_orderkey") % 10 == 9)
+    out = combine_train_eval(train, [ev, oot], target_col="target", oot_indices={2})
+    return out.select("o_orderkey", "eval_set_index", "target")
+
+
+@_q(
+    "target_correction",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 25 = 0 THEN 'bad'
+                  ELSE CAST(o_totalprice AS VARCHAR) END AS y
+      FROM orders
+    )
+    SELECT o_orderkey, TRY_CAST(y AS DOUBLE) AS y_corrected FROM t
+    """,
+)
+def target_correction(spark, sf_dir):
+    """<5% non-numeric targets -> NaN-coerce path
+    (features_enricher.py:4597-4613)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 25 == 0, F.lit("bad"))
+        .otherwise(F.col("o_totalprice").cast("string")).alias("y"),
+    )
+    out = correct_target(o, "y")
+    return out.select("o_orderkey", "y_corrected")
+
+
+@_q(
+    "enrichment_hit_rate",
+    f"""
+    WITH joined AS (
+      SELECT l.event_id, l.event_type, r.r_ts
+      FROM events l
+      ASOF LEFT JOIN ({_CLICKS_SQL}) r
+        ON l.user_id = r.r_user AND l.ts >= r.r_ts
+    )
+    SELECT event_type, count(*) AS rows,
+           round(avg(CASE WHEN r_ts IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS hit_rate
+    FROM joined GROUP BY event_type
+    """,
+)
+def enrichment_hit_rate(spark, sf_dir):
+    """Per-segment enrichment match share (metadata.py:308-314)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "ts")
+    joined = asof_join(
+        ev, _clicks(spark, sf_dir),
+        left_on="ts", right_on="r_ts", by_left="user_id", by_right="r_user",
+        keep_match_ts=True,
+    )
+    return hit_rate_report(joined, "matched_ts", by=["event_type"])

@@ -1,0 +1,84 @@
+"""Search-key autodetection (reference: features_enricher.py:5198-5265,
+per-type detectors in utils/*_utils.py).
+
+The reference probes a 100-row head — tiny by design, so the probe runs
+driver-side on ``df.limit(head_rows).toPandas()`` with the same decision
+rules:
+
+- DATE/DATETIME: name hints (datetime_utils.py:33-39) or ≥50% of sampled
+  values parse as datetimes;
+- EMAIL: >10% of values match the email regex (email_utils.py:16-28);
+- PHONE: name hints (phone_utils.py:11-16) + digit-shape share;
+- COUNTRY: >10% of values resolve to ISO codes (country_utils.py:23-33);
+- POSTAL: postal-shape regex share (postal_code_utils.py:12-49).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+DATE_NAME_HINTS = ("date", "time", "day", "_dt", "timestamp")
+PHONE_NAME_HINTS = ("phone", "msisdn", "mobile", "tel")
+
+_EMAIL_RE = re.compile(r"^[^@\s]+@[^@\s]+\.[A-Za-z]{2,}$")
+_PHONE_RE = re.compile(r"^\+?[0-9 ()\-\.]{8,20}$")
+_POSTAL_RE = re.compile(r"^[0-9]{4,6}$|^[A-Za-z][0-9][A-Za-z] ?[0-9][A-Za-z][0-9]$")
+_DATE_RES = [
+    re.compile(r"^\d{4}-\d{2}-\d{2}([ T].*)?$"),
+    re.compile(r"^\d{2}[./]\d{2}[./]\d{4}$"),
+    re.compile(r"^\d{4}/\d{2}/\d{2}$"),
+    re.compile(r"^\d{8}$"),
+]
+
+COUNTRY_TOKENS = {
+    "US", "USA", "GB", "UK", "DE", "FR", "ES", "IT", "CA", "AU", "BR", "IN",
+    "CN", "JP", "RU", "MX", "NL", "PL", "SE", "NO", "FI", "DK", "IE", "CH",
+    "UNITEDSTATES", "UNITEDKINGDOM", "GERMANY", "FRANCE", "SPAIN", "ITALY",
+}
+
+
+def _share(vals: list, pred) -> float:
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return 0.0
+    return sum(1 for v in vals if pred(str(v))) / len(vals)
+
+
+def detect_search_keys(df: DataFrame, head_rows: int = 100) -> dict[str, str]:
+    """column → SearchKey type ('DATE', 'EMAIL', 'PHONE', 'COUNTRY',
+    'POSTAL_CODE'); undetected columns are omitted."""
+    head = df.limit(head_rows).toPandas()
+    out: dict[str, str] = {}
+    for c in df.columns:
+        lc = c.lower()
+        vals = head[c].tolist() if c in head else []
+        dtype = dict(df.dtypes).get(c, "")
+        if dtype.startswith(("timestamp", "date")):
+            out[c] = "DATE"
+            continue
+        date_share = _share(vals, lambda s: any(r.match(s) for r in _DATE_RES))
+        if any(h in lc for h in DATE_NAME_HINTS) and date_share >= 0.5:
+            out[c] = "DATE"
+            continue
+        if date_share >= 0.9:
+            out[c] = "DATE"
+            continue
+        if _share(vals, lambda s: bool(_EMAIL_RE.match(s))) > 0.1:
+            out[c] = "EMAIL"
+            continue
+        if any(h in lc for h in PHONE_NAME_HINTS) and _share(
+            vals, lambda s: bool(_PHONE_RE.match(s))
+        ) > 0.5:
+            out[c] = "PHONE"
+            continue
+        if _share(
+            vals, lambda s: re.sub(r"[^A-Z]", "", s.upper()) in COUNTRY_TOKENS
+        ) > 0.1:
+            out[c] = "COUNTRY"
+            continue
+        if "post" in lc or "zip" in lc:
+            if _share(vals, lambda s: bool(_POSTAL_RE.match(s))) > 0.5:
+                out[c] = "POSTAL_CODE"
+    return out

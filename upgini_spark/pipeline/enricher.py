@@ -37,7 +37,10 @@ MAX_ROWS = 3_000_000     # reference dataset.py:60 (we partition instead of chun
 
 @dataclass
 class FitState:
-    """Everything transform needs to replay fit decisions."""
+    """Everything transform needs to replay fit decisions. JSON-round-trips
+    so a frozen plan survives session restarts (the Spark analog of the
+    reference's downloadable FileMetadata/search-task state,
+    dataset.py:444-525)."""
     search_keys: dict[str, str] = field(default_factory=dict)  # col -> type
     entity_col: str = ""
     ts_col: str = ""
@@ -45,6 +48,18 @@ class FitState:
     generated_formulas: dict[str, str] = field(default_factory=dict)
     learned_params: dict[str, Any] = field(default_factory=dict)
     feature_cols: list[str] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        import dataclasses
+        import json
+
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "FitState":
+        import json
+
+        return cls(**json.loads(s))
 
 
 class SparkFeaturesEnricher:
