@@ -1938,3 +1938,32 @@ def enrichment_hit_rate(spark, sf_dir):
         keep_match_ts=True,
     )
     return hit_rate_report(joined, "matched_ts", by=["event_type"])
+
+
+@_q(
+    "outlier_dist_per_class",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), dims AS (
+      SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+    ), per_dim AS (
+      SELECT label, dim, avg(x) AS m FROM dims GROUP BY label, dim
+    ), cents AS (
+      SELECT label, list(m ORDER BY dim) AS centroid FROM per_dim GROUP BY label
+    )
+    SELECT e.vec_id,
+           round(1 - list_cosine_similarity(e.v, c.centroid), 6) AS outlier_dist
+    FROM e JOIN cents c USING (label)
+    """,
+)
+def outlier_dist_per_class(spark, sf_dir):
+    """outlier_dist: distance to own-class centroid (unary.py:193-219)."""
+    from upgini_spark.operators.vector import outlier_distance
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    out = outlier_distance(emb, "v", "label")
+    return out.select("vec_id", F.round("outlier_dist", 6).alias("outlier_dist"))

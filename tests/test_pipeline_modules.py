@@ -176,3 +176,33 @@ def test_multimodal_stub(spark):
         assert again[r["media_id"]] == r["features"]
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         extract_media_features(media, strict=True).collect()
+
+
+def test_outlier_distance(spark):
+    from upgini_spark.operators.vector import class_centroids, outlier_distance
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]), ("a", [3.0, 0.0]),     # centroid a = [2, 0]
+            ("b", [0.0, 2.0]), ("b", [0.0, 4.0]),     # centroid b = [0, 3]
+        ],
+        ["cls", "vec"],
+    )
+    cents = {r["cls"]: r["centroid"] for r in class_centroids(df, "vec", "cls").collect()}
+    assert cents["a"] == [2.0, 0.0] and cents["b"] == [0.0, 3.0]
+    out = outlier_distance(df, "vec", "cls")
+    for r in out.collect():
+        assert abs(r["outlier_dist"]) < 1e-9  # colinear with centroid -> cos dist 0
+    eu = outlier_distance(df, "vec", "cls", metric="euclidean")
+    got = sorted(round(r["outlier_dist"], 9) for r in eu.collect())
+    assert got == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_server_side_op_detection():
+    from upgini_spark.plans.feature_dag import is_server_side
+
+    assert is_server_side("onnx")
+    assert is_server_side("catboost_model1")
+    assert is_server_side("emb")
+    assert not is_server_side("embX")
+    assert not is_server_side("roll_7D_mean")

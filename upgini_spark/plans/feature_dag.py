@@ -272,3 +272,16 @@ def compile_features(
             order_col=order_col, offset=offset,
         )
     return out
+
+
+# Server-side / external-model operators: the reference declares them for
+# formula round-trip but computes them remotely (unary.py:151-156,
+# vector.py:36-76). We preserve registry identity and fail loudly at
+# lowering time.
+SERVER_SIDE_OPS = {"emb", "cluster", "onnx", "catboost"}
+
+
+def is_server_side(op_name: str) -> bool:
+    return op_name in SERVER_SIDE_OPS or any(
+        op_name.startswith(p + "_") for p in SERVER_SIDE_OPS
+    )
