@@ -88,7 +88,8 @@ def sim_levenshtein(a: Column, b: Column) -> Column:
     """1 − levenshtein/max_len — native (binary.py:214-238 does a Python
     loop; Spark's levenshtein is JVM-side)."""
     ml = F.greatest(F.length(a), F.length(b))
-    return F.when(ml > 0, F.lit(1.0) - F.levenshtein(a, b) / ml).otherwise(F.lit(1.0))
+    sim = F.when(ml > 0, F.lit(1.0) - F.levenshtein(a, b) / ml).otherwise(F.lit(1.0))
+    return F.when(a.isNotNull() & b.isNotNull(), sim)
 
 
 def _jaro_winkler(s1: str, s2: str) -> float:
