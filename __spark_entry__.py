@@ -1449,9 +1449,9 @@ def ip_converters(spark, sf_dir):
     "date_percentile_bucket",
     """
     SELECT o_orderkey,
-           (CASE WHEN o_totalprice > 25000 THEN 1 ELSE 0 END
-            + CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END
-            + CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS pct_bucket
+           (CASE WHEN o_totalprice >= 25000 THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS pct_bucket
     FROM orders
     """,
 )

@@ -167,3 +167,49 @@ def test_trend_coef_golden(spark):
     ).withColumn("ts", F.to_timestamp("d"))
     out = trend_coefficient(df, "ts", [], "value", out_col="tc").orderBy("ord").collect()
     _check_rows([r["tc"] for r in out], [1.0, 1.0, 1.0, 1.0])
+
+
+def test_bin_golden(spark):
+    from upgini_spark.operators.unary import bin_
+
+    df = spark.createDataFrame(
+        [(0, 10.0), (1, 20.0), (2, 30.0), (3, 40.0), (4, 50.0), (5, None)],
+        "ord int, x double",
+    )
+    out = df.select("ord", bin_(F.col("x"), [0.0, 25.0, 45.0]).alias("b")).orderBy("ord").collect()
+    assert [r["b"] for r in out] == [1, 1, 2, 2, 3, -1]
+    out0 = df.select(bin_(F.col("x"), []).alias("b")).collect()
+    assert all(r["b"] == -1 for r in out0)
+    neg = spark.createDataFrame(
+        [(0, -20.0), (1, -10.0), (2, 0.0), (3, 10.0)], "ord int, x double"
+    )
+    outn = neg.select("ord", bin_(F.col("x"), [-30.0, -15.0, 0.0, 15.0]).alias("b")).orderBy("ord").collect()
+    assert [r["b"] for r in outn] == [1, 2, 3, 3]
+
+
+def test_norm_golden(spark):
+    from upgini_spark.operators.unary import norm_
+
+    vals = [None, 1.0, 333.0, 1.0, 3.0, 0.0, 1.0, 2.0, 3.0, 1.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "ord int, a double")
+    l2 = df.agg(F.sqrt(F.sum(F.col("a") ** 2))).collect()[0][0]
+    out = df.select("ord", norm_(F.col("a"), l2).alias("n")).orderBy("ord").collect()
+    got = [r["n"] for r in out]
+    # reference golden digits carry ~1e-5 relative error vs its own formula
+    # (assert_series_equal default rtol) — compare at that tolerance
+    exp = [None, 0.00300266, 0.99988729, 0.00300266, 0.00900799,
+           0.0, 0.00300266, 0.00600533, 0.00900799, 0.00300266]
+    for g, e in zip(got, exp):
+        if e is None:
+            assert g is None
+        else:
+            assert abs(g - e) <= 2e-5 * max(abs(e), 1e-9) + 1e-9, (g, e)
+
+
+def test_date_percentile_boundary_golden(spark):
+    # bucket = #bounds <= x (test_percentile.py: 32 vs [...,31.4,32.0,...] -> 51)
+    bounds = [0.0] + [2.6 + 0.6 * i for i in range(50)]  # 0.0,2.6,...,31.99-ish,32.0? emulate boundary
+    # explicit boundary case
+    df = spark.createDataFrame([(0, 2.0), (1, 32.0)], "ord int, x double")
+    out = df.select("ord", D.date_percentile(F.col("x"), [0.0, 2.6, 32.0]).alias("p")).orderBy("ord").collect()
+    assert [r["p"] for r in out] == [1, 3]  # 32.0 counts (<= semantics)

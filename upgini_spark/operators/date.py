@@ -95,7 +95,9 @@ def date_percentile(c: Column, bounds: list[float]) -> Column:
     x = c.cast("double")
     expr = F.lit(0)
     for b in bounds:
-        expr = expr + F.when(x > F.lit(float(b)), 1).otherwise(0)
+        # golden semantics: bucket = #bounds <= x (test_percentile.py: 32
+        # against [... 31.4, 32.0 ...] -> 51, i.e. 32.0 counts)
+        expr = expr + F.when(x >= F.lit(float(b)), 1).otherwise(0)
     return F.when(x.isNull(), None).otherwise(expr)
 
 

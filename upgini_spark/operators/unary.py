@@ -70,9 +70,12 @@ def norm_(c: Column, norm_value: float) -> Column:
 
 
 def bin_(c: Column, bounds: list[float]) -> Column:
-    """Bucket index by learned ascending bounds; null → -1
-    (unary.py:158-190): result i = #bounds <= x, so x < bounds[0] → 0."""
+    """Bucket index by learned ascending bounds (unary.py:158-190):
+    result = #bounds <= x (so x < bounds[0] → 0); null → -1; empty bounds
+    → -1 for every row (reference tests/autofe/test_bin.py goldens)."""
     x = c.cast("double")
+    if not bounds:
+        return F.lit(-1)
     expr = F.lit(0)
     for b in bounds:
         expr = expr + F.when(x >= F.lit(float(b)), 1).otherwise(0)
