@@ -363,3 +363,58 @@ def test_ewma_volatility_golden(spark, span, expected):
         "v", order_col="ord",
     )
     _check(_result(out, "v"), expected)
+
+
+# ---- Cross-series golden (tests/autofe/test_cross.py) -----------------------
+
+def test_cross_series_golden(spark):
+    from upgini_spark.operators import binary as B
+    from upgini_spark.operators.timeseries import cross_series_interaction
+
+    dates = ["2024-05-06", "2024-05-07", "2024-05-08", "2024-05-09"] * 2
+    cats = ["A"] * 4 + ["B"] * 4
+    vals = [10.0, 20.0, 30.0, 40.0, 5.0, 15.0, 25.0, 35.0]
+    df = _mkdf(spark, dates, vals, groups={"category": cats})
+    cases = [
+        (B.add, [15.0, 35.0, 55.0, 75.0] * 2),
+        (B.subtract, [5.0, 5.0, 5.0, 5.0] * 2),
+        (B.multiply, [50.0, 300.0, 750.0, 1400.0] * 2),
+        (B.divide, [2.0, 20 / 15, 30 / 25, 40 / 35] * 2),
+    ]
+    for op, exp in cases:
+        out = cross_series_interaction(
+            df, "ts", ["category"], ["A"], ["B"], "value", op, out_col="x"
+        )
+        _check(_result(out, "x"), exp)
+
+
+# ---- VolatilityRatio golden (tests/autofe/test_volatility_ratio.py) ---------
+
+def test_volatility_ratio_golden(spark):
+    import pandas as pd
+    import numpy as np
+    from upgini_spark.operators.timeseries import volatility_ratio
+
+    dates = ["2024-05-01", "2024-05-02", "2024-05-03", "2024-05-04",
+             "2024-05-05", "2024-05-06", "2024-05-07"]
+    vals = [100.0, 110.0, 99.0, 121.0, 115.0, 105.0, 112.0]
+
+    def pandas_expected(short, long):
+        s = pd.Series(vals, index=pd.to_datetime(dates))
+        ret = s.pct_change(freq="1D").fillna(0)
+        sv = ret.rolling(f"{short}D", min_periods=1).std()
+        lv = ret.rolling(f"{long}D", min_periods=1).std()
+        ratio = sv / lv
+        ratio[~np.isfinite(ratio)] = 1.0
+        return ratio.tolist()
+
+    df = _mkdf(spark, dates, vals)
+    for short, long in [(2, 4), (3, 6)]:
+        out = ts_feature_parity(
+            df, "ts", [], "value",
+            lambda s, a=short, b=long: volatility_ratio(
+                s, "ts", [], "value", a, b, "D", out_col="vr"
+            ),
+            "vr", order_col="ord",
+        )
+        _check(_result(out, "vr"), pandas_expected(short, long))
