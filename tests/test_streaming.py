@@ -115,3 +115,37 @@ def test_enrich_stream_static_pit(spark, stream_input, tmp_path_factory):
     assert (
         got["f_ext_num_1"].fillna(-1).values == exp["f_ext_num_1"].fillna(-1).values
     ).all()
+
+
+def test_running_entity_stats_stateful(spark, stream_input):
+    """applyInPandasWithState custom stateful op: final running stats per
+    entity equal the batch aggregates."""
+    from upgini_spark.streaming.stream_features import running_entity_stats_stream
+
+    path, batch_df = stream_input
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = _run_stream(
+        spark,
+        running_entity_stats_stream(stream, "event_time", "doc_id", "value"),
+        "stateful_stats",
+    ).toPandas()
+
+    exp = (
+        batch_df.groupBy("doc_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("running_mean"),
+            F.stddev_samp("value").alias("running_std"),
+        )
+        .toPandas()
+    )
+    # one emission per entity per micro-batch; availableNow may produce
+    # several micro-batches -> keep the final (max n) emission per entity
+    out = out.sort_values("n").groupby("entity", as_index=False).last()
+    got = out.set_index("entity")
+    want = exp.set_index("doc_id")
+    assert set(got.index) == set(want.index)
+    for e in want.index:
+        assert got.loc[e, "n"] == want.loc[e, "n"]
+        assert abs(got.loc[e, "running_mean"] - want.loc[e, "running_mean"]) < 1e-9

@@ -19,6 +19,7 @@ stream with ``Trigger.AvailableNow`` and over the plain batch frame.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -117,3 +118,60 @@ def enrich_stream_static(
     out_cols.append(picked[source_ts_col].alias("matched_ts"))
     out_cols.extend(picked[c].alias(c) for c in feat_cols)
     return joined.select(*out_cols)
+
+
+def running_entity_stats_stream(
+    stream: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    value_col: str,
+    watermark: str = "1 day",
+    timeout_conf: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful per-entity running statistics via
+    ``applyInPandasWithState`` — the extension point for recursive
+    operators (EWMA-style) that window aggregates cannot express.
+
+    State per entity: (n, mean, M2) — Welford's algorithm, so the running
+    std is exact and mergeable across micro-batches. Emits one row per
+    entity per micro-batch with the post-batch running stats.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("entity", StringType()),
+        StructField("n", LongType()),
+        StructField("running_mean", DoubleType()),
+        StructField("running_std", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+    ])
+
+    def update(key, pdf_iter, state: GroupState):
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdf_iter:
+            for v in pdf[value_col].astype("float64"):
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        std = (m2 / (n - 1)) ** 0.5 if n > 1 else None
+        yield pd.DataFrame(
+            {"entity": [key[0]], "n": [n], "running_mean": [mean], "running_std": [std]}
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
