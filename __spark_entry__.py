@@ -1967,3 +1967,24 @@ def outlier_dist_per_class(spark, sf_dir):
     )
     out = outlier_distance(emb, "v", "label")
     return out.select("vec_id", F.round("outlier_dist", 6).alias("outlier_dist"))
+
+
+@_q(
+    "asof_join_broadcast",
+    f"""
+    SELECT l.event_id, l.user_id, l.ts, r.r_ts AS matched_ts, r.click_value
+    FROM events l
+    ASOF LEFT JOIN ({_CLICKS_SQL}) r
+      ON l.user_id = r.r_user AND l.ts >= r.r_ts
+    """,
+)
+def asof_join_broadcast(spark, sf_dir):
+    """Broadcast as-of engine: feature histories broadcast, event stream
+    never shuffled — the feature-store-sized-right-side plan."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = asof_join(
+        ev, _clicks(spark, sf_dir),
+        left_on="ts", right_on="r_ts", by_left="user_id", by_right="r_user",
+        engine="broadcast", keep_match_ts=True,
+    )
+    return out.select("event_id", "user_id", "ts", "matched_ts", "click_value")

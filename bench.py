@@ -39,6 +39,7 @@ SEQ_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 HEADLINE = [
     "asof_join_backward",
     "asof_join_arrow",
+    "asof_join_broadcast",
     "roll_windows_7d",
     "roll_quantiles_7d",
     "time_lag_1d",

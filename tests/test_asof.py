@@ -131,3 +131,40 @@ def test_asof_auto_salt(spark, frames):
     ).toPandas()
     exp = _oracle(left.toPandas(), right.toPandas())
     _compare(out, exp)
+
+
+@pytest.mark.parametrize("tolerance", [None, 30 * 86400])
+def test_asof_broadcast_engine(spark, frames, tolerance):
+    left, right = frames
+    out = asof_join(
+        left, right, left_on="event_time", right_on="feature_ts",
+        by_left="doc_id", by_right="entity_id", engine="broadcast",
+        tolerance_seconds=tolerance,
+    ).toPandas()
+    exp = _oracle(left.toPandas(), right.toPandas(), tolerance=tolerance)
+    _compare(out, exp)
+
+
+def test_asof_broadcast_no_left_shuffle(spark, frames):
+    """The event stream must NOT be exchanged: only a BroadcastExchange of
+    the collapsed feature side may appear."""
+    left, right = frames
+    out = asof_join(
+        left, right, left_on="event_time", right_on="feature_ts",
+        by_left="doc_id", by_right="entity_id", engine="broadcast",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\((?!entity_id)", plan)
+    assert not shuffles, plan[:2000]
+
+
+def test_asof_broadcast_forward(spark, frames):
+    left, right = frames
+    out = asof_join(
+        left, right, left_on="event_time", right_on="feature_ts",
+        by_left="doc_id", by_right="entity_id", engine="broadcast",
+        direction="forward", keep_match_ts=True,
+    )
+    assert out.filter("matched_ts IS NOT NULL AND matched_ts < event_time").count() == 0

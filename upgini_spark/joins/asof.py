@@ -7,7 +7,7 @@ is enforced server-side by mandatory DATE/DATETIME search keys
 join itself: every matched right row satisfies ``right_ts <= left_ts``
 (backward direction) — zero temporal leakage by construction.
 
-Two engines:
+Three engines:
 
 - ``native``: union + window trick. Left and right rows are unioned on the
   entity key, totally ordered by (ts, side-marker), and each right value
@@ -18,6 +18,10 @@ Two engines:
   entity-hash bucket, with optional salting for hot entities (right side
   replicated across salts). This is the kernel mandated by the north rule;
   it also gives exact pandas parity semantics for tolerance handling.
+- ``broadcast``: the right side collapses to per-entity sorted history
+  arrays and broadcasts; the left never shuffles (zero exchanges on the
+  event stream) — the plan of choice when the feature source is
+  dimension-sized relative to a 100TB event table.
 
 Both engines produce identical results (tested against each other and a
 pandas ``merge_asof`` oracle). Token payload columns ride through
@@ -88,6 +92,11 @@ def asof_join(
             left, right, left_on, right_on, by_left, by_right,
             direction, tolerance_seconds, keep_match_ts,
             n_buckets=n_buckets, salt=salt,
+        )
+    if engine == "broadcast":
+        return _asof_broadcast(
+            left, right, left_on, right_on, by_left, by_right,
+            direction, tolerance_seconds, keep_match_ts,
         )
     raise ValueError(f"unknown engine {engine!r}")
 
@@ -244,3 +253,65 @@ def _asof_arrow(
         .cogroup(r_b.groupBy("__bkt__", "__salt__"))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def _asof_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by_left: list[str],
+    by_right: list[str],
+    direction: str,
+    tolerance_seconds: float | None,
+    keep_match_ts: bool,
+) -> DataFrame:
+    """Broadcast engine: right side collapsed to one row per entity holding
+    its time-sorted history array, then broadcast-joined — the LEFT side is
+    never shuffled. This is the 100TB plan whenever the feature source is
+    dimension-sized (the common feature-store case): per-row work is a scan
+    of that entity's (small) history with higher-order functions; zero
+    exchanges on the event stream."""
+    vcols = _value_cols(right, right_on, by_right)
+    clash = set(vcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right value columns clash with left: {sorted(clash)}")
+
+    hist = (
+        right.groupBy(*by_right)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(right_on).alias("__t__"), *vcols)),
+                asc=True,
+            ).alias("__hist__")
+        )
+    )
+    cond = [left[lb] == hist[rb] for lb, rb in zip(by_left, by_right)]
+    joined = left.join(F.broadcast(hist), on=cond, how="left").drop(
+        *[hist[rb] for rb in by_right] if by_left != by_right else []
+    )
+    # drop duplicated right key columns when names differ
+    for lb, rb in zip(by_left, by_right):
+        if rb != lb and rb in joined.columns:
+            joined = joined.drop(hist[rb])
+
+    t = F.col(left_on)
+    if direction == "backward":
+        valid = F.filter(F.col("__hist__"), lambda s: s["__t__"] <= t)
+        picked = F.try_element_at(valid, F.lit(-1))
+    else:
+        valid = F.filter(F.col("__hist__"), lambda s: s["__t__"] >= t)
+        picked = F.try_element_at(valid, F.lit(1))
+
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(t.cast("timestamp"))
+            - F.unix_micros(picked["__t__"].cast("timestamp"))
+        ) / 1e6
+        picked = F.when(gap <= F.lit(float(tolerance_seconds)), picked)
+
+    out_cols = [F.col(c) for c in left.columns]
+    if keep_match_ts:
+        out_cols.append(picked["__t__"].alias("matched_ts"))
+    out_cols.extend(picked[c].alias(c) for c in vcols)
+    return joined.select(*out_cols)
