@@ -1988,3 +1988,67 @@ def asof_join_broadcast(spark, sf_dir):
         engine="broadcast", keep_match_ts=True,
     )
     return out.select("event_id", "user_id", "ts", "matched_ts", "click_value")
+
+
+@_q(
+    "ip_range_join",
+    """
+    WITH ips AS (
+      SELECT c_custkey,
+             (10 + c_custkey % 200) * 16777216 + (c_custkey % 256) * 65536
+               + ((c_custkey * 7) % 256) * 256 + (1 + c_custkey % 254) AS ip_int
+      FROM customer
+    ), ranges AS (
+      SELECT r * 16777216 AS ip_lo, (r + 1) * 16777216 - 1 AS ip_hi,
+             'block_' || CAST(r AS VARCHAR) AS block_name
+      FROM (SELECT range AS r FROM range(0, 256))
+    )
+    SELECT i.c_custkey, i.ip_int, g.block_name
+    FROM ips i LEFT JOIN ranges g
+      ON i.ip_int >= g.ip_lo AND i.ip_int <= g.ip_hi
+    """,
+)
+def ip_range_join(spark, sf_dir):
+    """Range join: IP int against /8 allocation blocks (broadcast ranges)."""
+    from upgini_spark.joins.enrich import range_join
+
+    c = _t(spark, sf_dir, "customer")
+    ip = F.format_string(
+        "%d.%d.%d.%d",
+        10 + F.col("c_custkey") % 200, F.col("c_custkey") % 256,
+        (F.col("c_custkey") * 7) % 256, 1 + F.col("c_custkey") % 254,
+    )
+    ips = c.select("c_custkey", K.ipv4_to_int(ip).alias("ip_int"))
+    ranges = spark.range(0, 256).select(
+        (F.col("id") * 16777216).alias("ip_lo"),
+        ((F.col("id") + 1) * 16777216 - 1).alias("ip_hi"),
+        F.concat(F.lit("block_"), F.col("id").cast("string")).alias("block_name"),
+    )
+    out = range_join(ips, ranges, "ip_int", "ip_lo", "ip_hi")
+    return out.select("c_custkey", "ip_int", "block_name")
+
+
+@_q(
+    "cyclical_intraday",
+    """
+    SELECT event_id,
+           round(sin(2 * pi() * second(ts) / 60.0), 6) AS sin_second,
+           round(cos(2 * pi() * second(ts) / 60.0), 6) AS cos_second,
+           round(sin(2 * pi() * minute(ts) / 60.0), 6) AS sin_minute,
+           round(sin(2 * pi() * (minute(ts) % 30) / 30.0), 6) AS sin_minute_half,
+           round(cos(2 * pi() * hour(ts) / 24.0), 6) AS cos_hour
+    FROM events
+    """,
+)
+def cyclical_intraday(spark, sf_dir):
+    """Intraday cyclical encodings (datetime_utils.py:184-252)."""
+    ev = _t(spark, sf_dir, "events")
+    feats = D.cyclical_features(F.col("ts"), intraday=True)
+    return ev.select(
+        "event_id",
+        F.round(feats["datetime_sin_second"], 6).alias("sin_second"),
+        F.round(feats["datetime_cos_second"], 6).alias("cos_second"),
+        F.round(feats["datetime_sin_minute"], 6).alias("sin_minute"),
+        F.round(feats["datetime_sin_minute_half"], 6).alias("sin_minute_half"),
+        F.round(feats["datetime_cos_hour"], 6).alias("cos_hour"),
+    )

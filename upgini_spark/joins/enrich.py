@@ -48,3 +48,22 @@ def enrich(
         raise ValueError(f"feature columns clash with input: {sorted(clash)}")
     right = F.broadcast(features) if broadcast_features else features
     return left.join(right, on=on, how=how)
+
+
+def range_join(
+    left: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "left",
+    broadcast_ranges: bool = True,
+) -> DataFrame:
+    """Interval/range enrichment (SearchKey.IP_RANGE_*, reference
+    metadata.py:75-92 — server-side there, modeled here): attach the range
+    row whose [lo, hi] contains the value. Small range tables broadcast
+    (the IP-geo case); large ones rely on AQE. Assumes non-overlapping
+    ranges (IP allocations)."""
+    r = F.broadcast(ranges) if broadcast_ranges else ranges
+    cond = (left[value_col] >= r[lo_col]) & (left[value_col] <= r[hi_col])
+    return left.join(r, on=cond, how=how)
