@@ -418,3 +418,32 @@ def test_volatility_ratio_golden(spark):
             "vr", order_col="ord",
         )
         _check(_result(out, "vr"), pandas_expected(short, long))
+
+
+def test_session_window_agg_equivalence(spark):
+    """Batch F.session_window aggregation == aggregating our cumulative
+    session ids: the two sessionization representations agree."""
+    from upgini_spark.fixtures import tokenized_sequences
+
+    df = tokenized_sequences(spark, 400, n_partitions=4).select(
+        "doc_id", "event_time", F.col("n_tok").cast("double").alias("v")
+    )
+    gap = "1 hour"
+    via_window = (
+        df.groupBy("doc_id", F.session_window("event_time", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 6).alias("s"))
+        .select("doc_id", F.col("sw.start").alias("start"), "n", "s")
+    )
+    ids = sessionize(df, "event_time", ["doc_id"], gap_seconds=3600, tie_cols=["v"])
+    via_ids = ids.groupBy("doc_id", "session_id").agg(
+        F.min("event_time").alias("start"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 6).alias("s"),
+    ).select("doc_id", "start", "n", "s")
+    a = via_window.orderBy("doc_id", "start").collect()
+    b = via_ids.orderBy("doc_id", "start").collect()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert (x["doc_id"], x["start"], x["n"], x["s"]) == (
+            y["doc_id"], y["start"], y["n"], y["s"]
+        )
