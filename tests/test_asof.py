@@ -168,3 +168,22 @@ def test_asof_broadcast_forward(spark, frames):
         direction="forward", keep_match_ts=True,
     )
     assert out.filter("matched_ts IS NOT NULL AND matched_ts < event_time").count() == 0
+
+
+def test_asof_engines_agree_multipartition(spark):
+    """Regression: cogroup key dtypes must match between sides — a
+    bigint/int salt mismatch hash-partitioned the two sides differently
+    and silently lost ~60% of matches once data spanned multiple
+    partitions (masked at small scale by AQE coalescing to 1 partition)."""
+    left = tokenized_sequences(spark, 3000, n_partitions=8)  # tokens keep it >1 partition
+    right = feature_source(spark, 3000, points_per_entity=6, n_partitions=8)
+    counts = {}
+    for eng, salt in [("native", 1), ("arrow", 1), ("arrow", 4), ("broadcast", 1)]:
+        j = asof_join(
+            left, right, left_on="event_time", right_on="feature_ts",
+            by_left="doc_id", by_right="entity_id", engine=eng, salt=salt,
+            keep_match_ts=True,
+        )
+        counts[f"{eng}_salt{salt}"] = j.filter("matched_ts IS NOT NULL").count()
+    assert len(set(counts.values())) == 1, counts
+    assert next(iter(counts.values())) > 0

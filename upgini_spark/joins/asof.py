@@ -200,8 +200,12 @@ def _asof_arrow(
     if n_buckets is None:
         n_buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
-    bkt = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
-    lsalt = F.pmod(F.xxhash64(F.lit("asof-salt"), F.col(left_on)), F.lit(salt))
+    # NB: both cogroup sides MUST carry identical key dtypes — Spark hashes
+    # 0 (int) and 0L (bigint) to different partitions, silently misaligning
+    # the cogroups (caught by an end-to-end drive; small inputs mask it
+    # because AQE coalesces to one partition). Cast everything to int.
+    bkt = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")  # noqa: E731
+    lsalt = F.pmod(F.xxhash64(F.lit("asof-salt"), F.col(left_on)), F.lit(salt)).cast("int")
     l_b = left.withColumn("__bkt__", bkt(by_left)).withColumn("__salt__", lsalt)
     r_b = (
         right.withColumn("__bkt__", bkt(by_right))
