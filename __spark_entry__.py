@@ -2052,3 +2052,76 @@ def cyclical_intraday(spark, sf_dir):
         F.round(feats["datetime_sin_minute_half"], 6).alias("sin_minute_half"),
         F.round(feats["datetime_cos_hour"], 6).alias("cos_hour"),
     )
+
+
+@_q(
+    "psi_sparsity_halves",
+    """
+    WITH d AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+             CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS split
+      FROM events
+    ), counts AS (
+      SELECT split, CASE WHEN v IS NULL THEN 1 ELSE 0 END AS bin, count(*) AS n
+      FROM d GROUP BY 1, 2
+    ), shares AS (
+      SELECT split, bin, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY split) AS share
+      FROM counts
+    )
+    SELECT CAST(p.split AS INT) AS split,
+           round(sum((p.share + 1e-6 - coalesce(q.share, 0) - 1e-6)
+                 * ln((p.share + 1e-6) / (coalesce(q.share, 0) + 1e-6))), 6) AS psi
+    FROM shares p
+    LEFT JOIN (SELECT bin, share FROM shares WHERE split = 0) q USING (bin)
+    WHERE p.split != 0 GROUP BY p.split
+    """,
+)
+def psi_sparsity_halves(spark, sf_dir):
+    """Sparsity PSI on a synthetic null mask (value nulled for 'error'
+    events) — reference utils/psi.py sparsity variant."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    out = ST.psi_sparsity(ev, "v", F.when(F.dayofmonth("ts") > 15, 1).otherwise(0))
+    return out.select(F.col("split").cast("int").alias("split"), "psi")
+
+
+@_q(
+    "formula_compiled_features",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice / 1000.0 + CAST(o_custkey AS DOUBLE), 6) AS f_arith,
+           round(CASE WHEN ln(abs(avg(o_totalprice)
+                 OVER (PARTITION BY o_orderpriority))) >= 0
+             THEN floor(ln(abs(avg(o_totalprice)
+                  OVER (PARTITION BY o_orderpriority))) * 1e10) / 1e10
+             ELSE -floor(-ln(abs(avg(o_totalprice)
+                  OVER (PARTITION BY o_orderpriority))) * 1e10) / 1e10 END, 6)
+             AS f_log_gbmean,
+           CASE WHEN o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+                THEN concat_ws('_', o_orderstatus, o_orderpriority) END AS f_combine
+    FROM orders
+    """,
+)
+def formula_compiled_features(spark, sf_dir):
+    """Formula strings through the §2.12 DAG compiler: parse -> one fused
+    select (feature.py:308-371 grammar)."""
+    from upgini_spark.plans.feature_dag import compile_features
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_k", F.col("o_totalprice") / 1000.0
+    ).withColumn("cust_d", F.col("o_custkey").cast("double"))
+    out = compile_features(
+        o,
+        {
+            "f_arith": "(price_k+cust_d)",
+            "f_log_gbmean": "log(GroupByThenMean(o_totalprice,o_orderpriority))",
+            "f_combine": "Combine(o_orderstatus,o_orderpriority)",
+        },
+    )
+    return out.select(
+        "o_orderkey",
+        F.round("f_arith", 6).alias("f_arith"),
+        F.round("f_log_gbmean", 6).alias("f_log_gbmean"),
+        "f_combine",
+    )

@@ -189,3 +189,29 @@ def is_time_series_stats(df: DataFrame, ts_col: str) -> DataFrame:
         ).alias("multi_row_date_share"),
         F.countDistinct("count").alias("n_distinct_daily_counts"),
     )
+
+
+def psi_sparsity(df: DataFrame, value_col: str, split_col) -> DataFrame:
+    """Sparsity PSI (psi.py sparsity variant): PSI of the is-null mask —
+    2 bins (null / not-null) per interval vs the base interval."""
+    d = df.select(
+        F.col(value_col).isNull().cast("int").alias("bin"),
+        split_col.cast("int").alias("split"),
+    )
+    counts = d.groupBy("split", "bin").count()
+    totals = counts.groupBy("split").agg(F.sum("count").alias("total"))
+    shares = counts.join(totals, "split").select(
+        "split", "bin", (F.col("count") / F.col("total")).alias("share")
+    )
+    base = shares.filter(F.col("split") == 0).select("bin", F.col("share").alias("q"))
+    rest = shares.filter(F.col("split") != 0)
+    joined = rest.join(base, "bin", "left").select(
+        "split",
+        (F.col("share") + EPS).alias("p"),
+        (F.coalesce(F.col("q"), F.lit(0.0)) + EPS).alias("q"),
+    )
+    return joined.groupBy("split").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi")
+    )
