@@ -447,3 +447,32 @@ def test_session_window_agg_equivalence(spark):
         assert (x["doc_id"], x["start"], x["n"], x["s"]) == (
             y["doc_id"], y["start"], y["n"], y["s"]
         )
+
+
+def test_rolling_volatility2_golden(spark):
+    """Vol-of-vol (tests/autofe/test_rolling_vol2.py): stage1 = rolling std
+    of |exact-step returns|, stage2 = rolling std of stage1's returns."""
+    import pandas as pd
+    import numpy as np
+    from upgini_spark.operators.timeseries import rolling_volatility2
+
+    dates = ["2024-05-01", "2024-05-02", "2024-05-03", "2024-05-04", "2024-05-05"]
+    vals = [100.0, 110.0, 99.0, 121.0, 115.0]
+
+    def pandas_vol(series, n, use_abs):
+        ret = series.pct_change(freq="1D").fillna(0)
+        if use_abs:
+            ret = ret.abs()
+        return ret.rolling(f"{n}D", min_periods=1).std()
+
+    s = pd.Series(vals, index=pd.to_datetime(dates))
+    stage1 = pandas_vol(s, 3, True)
+    expected = pandas_vol(stage1, 3, False).tolist()
+
+    df = _mkdf(spark, dates, vals)
+    out = ts_feature_parity(
+        df, "ts", [], "value",
+        lambda sl: rolling_volatility2(sl, "ts", [], "value", 3, "D", out_col="v2"),
+        "v2", order_col="ord",
+    )
+    _check(_result(out, "v2"), expected)
