@@ -1,0 +1,179 @@
+"""Round-2 regression tests: ADVICE bug fixes (Feb-29 anniversary,
+broadcast as-of same-name keys, null-ts leakage, record-id tie-break,
+pre-fit guard) and the single-partition scale-killer rewrites
+(record ids, hash sample, freq family)."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from upgini_spark.joins.asof import asof_join
+from upgini_spark.operators.date import date_diff_type2
+from upgini_spark.pipeline.record_ids import add_system_record_id
+from upgini_spark.functions.sampling import hash_sample_exact
+from upgini_spark.operators import binary as B
+from upgini_spark.operators import unary as U
+
+
+# -- date_diff_type2 Feb-29 / ANSI -----------------------------------------
+
+def test_anniversary_feb29_matches_pandas(spark):
+    """b = Feb 29: naive make_date throws under ANSI; pandas rolls to
+    Feb 28 and keeps day 28 when the +1y crosses into a leap year."""
+    rows = [
+        ("2023-03-15", "2020-02-29"),  # rolled anniversary already passed
+        ("2023-01-15", "2020-02-29"),  # upcoming in same (non-leap) year
+        ("2024-01-15", "2020-02-29"),  # leap year: pandas still Feb 29? no — direct replace works
+        ("2021-03-01", "2020-02-29"),  # +1y from rolled Feb 28 → Feb 28 2022
+    ]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {
+        r["a"]: r["dd"]
+        for r in df.select(
+            "a", date_diff_type2(F.col("a"), F.col("b")).alias("dd")
+        ).collect()
+    }
+
+    import numpy as np
+
+    left = pd.to_datetime(pd.Series([r[0] for r in rows]))
+    right = pd.to_datetime(pd.Series([r[1] for r in rows]))
+    future = right + (left.dt.year - right.dt.year).apply(
+        lambda y: pd.tseries.offsets.DateOffset(years=0 if np.isnan(y) else y)
+    )
+    future = pd.to_datetime(future)
+    before = future[future < left]
+    future[future < left] = before + pd.tseries.offsets.DateOffset(years=1)
+    exp = ((future - left) / np.timedelta64(1, "D")).tolist()
+    for (a, _), e in zip(rows, exp):
+        assert got[a] == e, (a, got[a], e)
+
+
+# -- broadcast as-of with by_right omitted (same key names) ------------------
+
+def test_asof_broadcast_same_key_names(spark):
+    left = spark.createDataFrame(
+        [("e1", dt.datetime(2023, 6, 2), 10), ("e2", dt.datetime(2023, 6, 3), 20)],
+        ["entity", "ts", "x"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("e1", dt.datetime(2023, 6, 1), 1.0),
+            ("e1", dt.datetime(2023, 6, 5), 9.0),
+            ("e2", dt.datetime(2023, 6, 1), 2.0),
+        ],
+        ["entity", "fts", "f"],
+    )
+    out = asof_join(
+        left, right, left_on="ts", right_on="fts",
+        by_left="entity",  # by_right omitted → defaults to by_left
+        engine="broadcast",
+    ).toPandas().set_index("entity")
+    assert out.loc["e1", "f"] == 1.0 and out.loc["e2", "f"] == 2.0
+    assert list(out.columns) == ["ts", "x", "f"]
+
+
+# -- null event-time must not match (zero temporal leakage) ------------------
+
+@pytest.mark.parametrize("engine", ["native", "arrow", "broadcast"])
+def test_null_event_time_gets_no_match(spark, engine):
+    left = spark.createDataFrame(
+        [("e1", dt.datetime(2023, 6, 2), 1), ("e1", None, 2)],
+        "entity string, ts timestamp, rid int",
+    )
+    right = spark.createDataFrame(
+        [("e1", dt.datetime(2023, 6, 1), 7.0)], "entity string, fts timestamp, f double"
+    )
+    out = asof_join(
+        left, right, left_on="ts", right_on="fts", by_left="entity", engine=engine
+    ).toPandas().set_index("rid")
+    assert out.loc[1, "f"] == 7.0
+    assert pd.isna(out.loc[2, "f"]), f"{engine}: null-ts row leaked a match"
+    assert len(out) == 2
+
+
+# -- record ids: distributed plan, dense per segment, tie-break --------------
+
+def _events(spark, n=500):
+    return spark.range(n).select(
+        (F.col("id") % 7).alias("k"),
+        F.to_timestamp(F.lit("2023-01-01")).alias("ts"),
+        (F.col("id") % 3).cast("int").alias("eval_set_index"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+
+
+def test_record_ids_dense_per_segment_and_distributed(spark):
+    df = _events(spark)
+    out = add_system_record_id(df, "ts", ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    pdf = out.toPandas()
+    for seg, g in pdf.groupby("eval_set_index"):
+        ids = sorted(g["system_record_id"])
+        assert ids == list(range(1, len(g) + 1)), f"segment {seg} ids not dense"
+
+
+def test_record_ids_partition_invariant_with_duplicates(spark):
+    """Rows duplicated on (date, hash_cols) get partition-invariant ids via
+    the all-columns tie-break."""
+    base = spark.range(300).select(
+        (F.col("id") % 5).alias("k"),
+        F.to_timestamp(F.lit("2023-01-01")).alias("ts"),
+        (F.col("id") % 11).alias("payload"),
+    )
+    a = add_system_record_id(base.repartition(2), "ts", ["k"]).toPandas()
+    b = add_system_record_id(base.repartition(16), "ts", ["k"]).toPandas()
+    key = ["k", "payload", "system_record_id"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+
+
+# -- hash sample: TakeOrderedAndProject, not a global window -----------------
+
+def test_hash_sample_plan_and_determinism(spark):
+    df = spark.range(2000).select(F.col("id"), (F.col("id") % 9).alias("v"))
+    out = hash_sample_exact(df, 100, ["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in hash_sample_exact(df.repartition(13), 100, ["id"]).collect())
+    assert a == b and len(a) == 100
+
+
+# -- freq family: fit-time total, no global window ---------------------------
+
+def test_freq_requires_total_and_matches(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], ["v"])
+    with pytest.raises(ValueError):
+        U.freq_(F.col("v"))
+    out = df.select(U.freq_(F.col("v"), 4).alias("f")).toPandas()["f"]
+    got = sorted(out.fillna(-1.0).tolist())
+    assert got == [-1.0, 0.25, 0.5, 0.5]
+    plan_df = df.select(U.freq_(F.col("v"), 4).alias("f"))
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_combine_then_freq_total(spark):
+    df = spark.createDataFrame([("a", "x"), ("a", "x"), ("b", "y")], ["p", "q"])
+    out = df.select(
+        B.combine_then_freq(F.col("p"), F.col("q"), 3).alias("f")
+    ).toPandas()["f"]
+    assert sorted(round(v, 6) for v in out) == [
+        round(1 / 3, 6), round(2 / 3, 6), round(2 / 3, 6)]
+
+
+# -- pre-fit guard ------------------------------------------------------------
+
+def test_clean_duplicates_before_fit_raises(spark):
+    from upgini_spark.pipeline.enricher import SparkFeaturesEnricher
+
+    df = spark.range(3).select(F.col("id").alias("x"))
+    enr = SparkFeaturesEnricher(feature_source=df)
+    with pytest.raises(RuntimeError, match="before fit"):
+        enr.clean_duplicates(df, "x", "x")

@@ -26,11 +26,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype(str)
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.round(9)
         elif s.dtype == object:
             df[c] = s.astype(str)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _col_mismatch(a: pd.Series, b: pd.Series):
+    """Strict driver-replica compare: exact values, NaN==NaN, but
+    -0.0 != +0.0 (the driver's value hash sees the sign bit —
+    CORRECTNESS_r01 failed date_diff_ops/cyclical on exactly this)."""
+    import numpy as np
+
+    if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+        af, bf = a.to_numpy(dtype=float), b.to_numpy(dtype=float)
+        eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
+        sign_flip = (af == 0) & (bf == 0) & (np.signbit(af) != np.signbit(bf))
+        return ~eq | sign_flip
+    if a.equals(b):
+        return None
+    return a.astype(str) != b.astype(str)
 
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
@@ -44,11 +58,11 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     a, b = normalize(spark_df), normalize(duck_df)
     if len(a) == len(b):
         for c in a.columns:
-            if not a[c].equals(b[c]):
-                neq = (a[c].astype(str) != b[c].astype(str))
+            neq = _col_mismatch(a[c], b[c])
+            if neq is not None and neq.any():
                 n_bad = int(neq.sum())
-                idx = neq[neq].index[:3]
-                samples = [(str(a[c][i]), str(b[c][i])) for i in idx]
+                idx = [i for i, bad in enumerate(neq) if bad][:3]
+                samples = [(repr(a[c].iloc[i]), repr(b[c].iloc[i])) for i in idx]
                 problems.append(f"col {c}: {n_bad} mismatches, e.g. {samples}")
     return problems
 

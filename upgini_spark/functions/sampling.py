@@ -20,14 +20,16 @@ FORCE_SAMPLE_SIZE = 7_000       # reference dataset.py:65
 
 
 def hash_sample_exact(df: DataFrame, n: int, id_cols: list[str]) -> DataFrame:
-    """Deterministic exact-n sample: rank by md5 of the id tuple."""
+    """Deterministic exact-n sample: keep the n rows with the smallest
+    md5 of the id tuple.
+
+    Planned as ``TakeOrderedAndProject`` (per-partition top-n, merged) —
+    NOT a global ``row_number()`` window, which would shuffle every row
+    through one partition. Same rows on any cluster size.
+    """
     h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols]))
-    w = Window.orderBy(h.asc(), *[F.col(c).asc() for c in id_cols])
-    return (
-        df.withColumn("__rk__", F.row_number().over(w))
-        .filter(F.col("__rk__") <= n)
-        .drop("__rk__")
-    )
+    order = [h.asc()] + [F.col(c).asc() for c in id_cols]
+    return df.orderBy(*order).limit(n)
 
 
 def threshold_downsample(

@@ -82,33 +82,38 @@ def feature_validator_stats(
 ) -> DataFrame:
     """Per-column: distinct count, top-value share, and the drop decisions
     (features_validator.py:25-91). Exact counts (the engine uses
-    approx_count_distinct at scale; exact here for oracle parity)."""
+    approx_count_distinct at scale; exact here for oracle parity).
+
+    ONE scan for all columns: melt via ``stack`` → groupBy(column, value)
+    counts → per-column rollup. The reference caps features at 3 500 —
+    a per-column loop would be thousands of jobs; this is always two
+    aggregations regardless of width.
+    """
     n = df.count()
-    parts = []
-    for c in feature_cols:
-        top = (
-            df.groupBy(F.col(c).cast("string").alias("v"))
-            .count()
-            .agg(F.max("count").alias("top_n"))
+    k = len(feature_cols)
+    stack_args = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in feature_cols
+    )
+    melted = df.selectExpr(
+        f"stack({k}, {stack_args}) as (column_name, v)"
+    )
+    per_value = melted.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_value.groupBy("column_name")
+        .agg(
+            F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_distinct"),
+            F.max("cnt").alias("top_n"),
         )
-        stats = df.agg(
-            F.countDistinct(F.col(c)).alias("n_distinct"),
+        .select(
+            "column_name",
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(F.col("top_n") / F.lit(float(n)), 6).alias("top_share"),
+            (F.col("n_distinct") <= 1).alias("drop_constant"),
+            (F.col("n_distinct") / F.lit(float(n)) >= high_card_threshold).alias(
+                "drop_high_card"
+            ),
         )
-        parts.append(
-            stats.crossJoin(top).select(
-                F.lit(c).alias("column_name"),
-                F.col("n_distinct").cast("long").alias("n_distinct"),
-                F.round(F.col("top_n") / F.lit(float(n)), 6).alias("top_share"),
-                (F.col("n_distinct") <= 1).alias("drop_constant"),
-                (F.col("n_distinct") / F.lit(float(n)) >= high_card_threshold).alias(
-                    "drop_high_card"
-                ),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def psi_quantile(

@@ -151,11 +151,19 @@ def _asof_native(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
+    # Left rows with a NULL event time sort last and would otherwise inherit
+    # the entity's LATEST right row from the running frame — future values,
+    # i.e. temporal leakage. pandas merge_asof refuses null keys outright;
+    # we keep the row but null every matched column.
+    has_ts = F.col(left_on).isNotNull()
     filled = unioned.select(
         *[c for c in left.columns],
         F.col(_MARK),
-        pick(F.col(_MATCH_TS), ignorenulls=True).over(w).alias(_MATCH_TS),
-        *[pick(F.col(c), ignorenulls=True).over(w).alias(c) for c in vcols],
+        F.when(has_ts, pick(F.col(_MATCH_TS), ignorenulls=True).over(w)).alias(_MATCH_TS),
+        *[
+            F.when(has_ts, pick(F.col(c), ignorenulls=True).over(w)).alias(c)
+            for c in vcols
+        ],
     ).filter(F.col(_MARK) == 1)
 
     if tolerance_seconds is not None:
@@ -230,7 +238,14 @@ def _asof_arrow(
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame(columns=[f.name for f in out_fields])
-        lpdf = lpdf.drop(columns=["__bkt__", "__salt__"]).sort_values(left_on, kind="mergesort")
+        lpdf = lpdf.drop(columns=["__bkt__", "__salt__"])
+        # merge_asof raises on null keys; null-ts rows pass through unmatched
+        # (same zero-leakage rule as the native engine).
+        null_ts = lpdf[lpdf[left_on].isna()]
+        lpdf = lpdf[lpdf[left_on].notna()].sort_values(left_on, kind="mergesort")
+        if lpdf.empty:
+            out = null_ts.reindex(columns=[f.name for f in out_fields])
+            return out
         rename = dict(zip(by_right, by_left))
         if keep_match_ts:
             rpdf = rpdf.assign(matched_ts=rpdf[right_on])
@@ -250,7 +265,10 @@ def _asof_arrow(
             suffixes=("", "__r"),
         )
         keep = left_cols + (["matched_ts"] if keep_match_ts else []) + vcols
-        return merged[keep]
+        merged = merged[keep]
+        if not null_ts.empty:
+            merged = pd.concat([merged, null_ts.reindex(columns=keep)], ignore_index=True)
+        return merged
 
     return (
         l_b.groupBy("__bkt__", "__salt__")
@@ -281,6 +299,11 @@ def _asof_broadcast(
     if clash:
         raise ValueError(f"right value columns clash with left: {sorted(clash)}")
 
+    # Alias the hist-side keys to temp names BEFORE the join: when
+    # by_right == by_left (the default) the raw join would leave duplicate
+    # same-named key columns and the final select-by-name hits
+    # AMBIGUOUS_REFERENCE.
+    tmp_keys = [f"__asof_k{i}__" for i in range(len(by_right))]
     hist = (
         right.groupBy(*by_right)
         .agg(
@@ -289,15 +312,13 @@ def _asof_broadcast(
                 asc=True,
             ).alias("__hist__")
         )
+        .select(
+            *[F.col(rb).alias(tk) for rb, tk in zip(by_right, tmp_keys)],
+            "__hist__",
+        )
     )
-    cond = [left[lb] == hist[rb] for lb, rb in zip(by_left, by_right)]
-    joined = left.join(F.broadcast(hist), on=cond, how="left").drop(
-        *[hist[rb] for rb in by_right] if by_left != by_right else []
-    )
-    # drop duplicated right key columns when names differ
-    for lb, rb in zip(by_left, by_right):
-        if rb != lb and rb in joined.columns:
-            joined = joined.drop(hist[rb])
+    cond = [left[lb] == F.col(tk) for lb, tk in zip(by_left, tmp_keys)]
+    joined = left.join(F.broadcast(hist), on=cond, how="left").drop(*tmp_keys)
 
     t = F.col(left_on)
     if direction == "backward":

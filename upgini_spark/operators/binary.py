@@ -49,16 +49,20 @@ def combine(a: Column, b: Column) -> Column:
     )
 
 
-def combine_then_freq(a: Column, b: Column) -> Column:
+def combine_then_freq(a: Column, b: Column, total: float | None = None) -> Column:
     """Frequency of the combined value (binary.py:120-133). The reference
     body is missing its ``return`` (latent bug); its tests define intent as
-    the relative frequency — we implement the intent."""
+    the relative frequency — we implement the intent.
+
+    ``total`` is the fit-time row count (see unary.freq_): required, so the
+    denominator never becomes a single-partition global window."""
+    if total is None:
+        raise ValueError(
+            "combine_then_freq needs the fit-time total row count (df.count())"
+        )
     c = combine(a, b)
     cnt = F.count(F.when(c.isNotNull(), 1)).over(Window.partitionBy(c))
-    total = F.count(F.lit(1)).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return F.when(c.isNotNull(), cnt.cast("double") / total)
+    return F.when(c.isNotNull(), cnt.cast("double") / F.lit(float(total)))
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -30,9 +30,21 @@ def date_diff(a: Column, b: Column, unit: str = "D", replace_negative: bool = Fa
 
 
 def date_diff_type2(a: Column, b: Column) -> Column:
-    """Days until the next anniversary of b, relative to a (date.py:82-109)."""
+    """Days until the next anniversary of b, relative to a (date.py:82-109).
+
+    The day-of-month is clamped to the target month's length (Feb 29 → Feb 28
+    in non-leap years), matching pandas ``DateOffset`` rollback; the naive
+    ``make_date(year(a), month(b), day(b))`` throws under ANSI mode when b is
+    Feb 29 and year(a) is non-leap.
+    """
     a_d, b_d = F.to_date(a), F.to_date(b)
-    this_year = F.make_date(F.year(a_d), F.month(b_d), F.dayofmonth(b_d))
+
+    month_start = F.make_date(F.year(a_d), F.month(b_d), F.lit(1))
+    day = F.least(F.dayofmonth(b_d), F.dayofmonth(F.last_day(month_start)))
+    this_year = F.make_date(F.year(a_d), F.month(b_d), day)
+    # +1 year from the ALREADY-ROLLED date (pandas applies DateOffset(years=1)
+    # to `future`, so Feb 28 stays Feb 28 even entering a leap year);
+    # add_months preserves day-of-month and clamps on overflow, same rule.
     anniversary = F.when(this_year < a_d, F.add_months(this_year, 12)).otherwise(this_year)
     return F.datediff(anniversary, a_d).cast("double")
 

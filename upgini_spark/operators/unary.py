@@ -53,14 +53,24 @@ def residual_(c: Column) -> Column:  # unary.py:93-104
     return x - F.floor(x)
 
 
-def freq_(c: Column) -> Column:
+def freq_(c: Column, total: float | None = None) -> Column:
     """Global relative frequency of the value (unary.py:107-116);
-    null values get null (reference excludes NaN)."""
+    null values get null (reference excludes NaN).
+
+    ``total`` is the fit-time row count (like :func:`norm_`'s learned
+    param). Passing it keeps the plan fully distributed: the per-value
+    count is a ``partitionBy(value)`` window (parallel shuffle); a
+    ``count() OVER ()`` denominator would be an ``Exchange
+    SinglePartition`` — every row through one task — so total=None
+    (legacy) is refused rather than silently planting the scale-killer.
+    """
+    if total is None:
+        raise ValueError(
+            "freq_ needs the fit-time total row count (df.count()); "
+            "a global-window denominator would single-partition the job"
+        )
     cnt = F.count(F.when(c.isNotNull(), 1)).over(Window.partitionBy(c))
-    total = F.count(F.lit(1)).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return F.when(c.isNotNull(), cnt.cast("double") / total)
+    return F.when(c.isNotNull(), cnt.cast("double") / F.lit(float(total)))
 
 
 def norm_(c: Column, norm_value: float) -> Column:

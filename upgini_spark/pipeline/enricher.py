@@ -191,7 +191,9 @@ class SparkFeaturesEnricher:
         """remove_fintech_duplicates + clean_full_duplicates
         (features_enricher.py:3543-3554)."""
         st = self.state
-        keys = [st.entity_col] if st else []
+        if st is None:
+            raise RuntimeError("clean_duplicates called before fit")
+        keys = [st.entity_col]
         out = DD.fintech_dedup(df, keys, target_col, st.ts_col, fintech_window_seconds)
         out = DD.drop_full_duplicates(
             out, subset=[c for c in out.columns if c != order_col], order_col=order_col

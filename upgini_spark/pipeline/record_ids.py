@@ -10,15 +10,33 @@ The row-hash here is md5 of the concatenated normalized values — chosen
 over xxhash64 because it is reproducible in ANSI SQL (DuckDB oracle
 parity), while remaining deterministic and uniform. Ids are dense
 row_numbers per eval segment, exactly like the reference's reset_index.
+
+Scale: a naive ``row_number() OVER (ORDER BY ...)`` is a single-partition
+exchange — every row funnels through one task. Instead this uses the
+distributed zipWithIndex pattern:
+
+1. range-partition + sort locally on the full order key (one shuffle,
+   all partitions in parallel, partition p holds keys < partition p+1);
+2. ``monotonically_increasing_id()`` = (partition_id << 33) + local index,
+   monotone with the total order within each partition;
+3. one tiny aggregation job collects per-(partition, segment) row counts
+   and min-ids (≤ partitions × segments rows on the driver);
+4. dense id = cumulative-offset(partition, segment) + (mid − min_mid) + 1,
+   attached via a broadcast join — no second full-data shuffle.
+
+``.explain()`` shows no ``Exchange SinglePartition`` (asserted in tests).
 """
 
 from __future__ import annotations
 
+from collections import defaultdict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from upgini_spark.joins.enrich import EVAL_SET_INDEX, SYSTEM_RECORD_ID
+
+_MID_BITS = 33  # monotonically_increasing_id: partition id << 33 | counter
 
 
 def row_hash(cols: list[str], sep: str = "\x1f") -> F.Column:
@@ -33,17 +51,69 @@ def add_system_record_id(
     hash_cols: list[str],
     out_col: str = SYSTEM_RECORD_ID,
     per_eval_segment: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign order-defining ids after the deterministic sort.
 
     Mirrors _add_fit_system_record_id (features_enricher.py:4488-4595):
-    order by [date, row-hash], numbered per eval_set_index segment when the
-    column is present.
+    order by [date, row-hash, tie-break row-hash of ALL columns], numbered
+    per eval_set_index segment when the column is present. The tie-break
+    makes ids partition-invariant even for rows duplicated on
+    (date, hash_cols): fully identical rows are interchangeable, so any
+    assignment among them yields the same output multiset.
+
+    The sorted+indexed intermediate is persisted (memory-and-disk) so the
+    offsets job and the final pass see one consistent partition layout.
     """
-    h = row_hash(hash_cols)
-    order = ([F.col(sort_date_col).asc_nulls_last()] if sort_date_col else []) + [h.asc()]
-    if per_eval_segment and EVAL_SET_INDEX in df.columns:
-        w = Window.partitionBy(EVAL_SET_INDEX).orderBy(*order)
-    else:
-        w = Window.partitionBy().orderBy(*order)
-    return df.withColumn(out_col, F.row_number().over(w))
+    spark = df.sparkSession
+    orig_cols = list(df.columns)
+    seg = EVAL_SET_INDEX if (per_eval_segment and EVAL_SET_INDEX in df.columns) else None
+
+    work = df.withColumn("__sri_h__", row_hash(hash_cols)).withColumn(
+        "__sri_tie__", row_hash(orig_cols)
+    )
+    order = (
+        ([F.col(seg).asc_nulls_first()] if seg else [])
+        + ([F.col(sort_date_col).asc_nulls_last()] if sort_date_col else [])
+        + [F.col("__sri_h__").asc(), F.col("__sri_tie__").asc()]
+    )
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    work = (
+        work.repartitionByRange(n, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__sri_mid__", F.monotonically_increasing_id())
+        .persist()
+    )
+
+    pid = F.shiftright(F.col("__sri_mid__"), _MID_BITS).alias("__sri_pid__")
+    seg_expr = F.col(seg) if seg else F.lit(0)
+    stats = (
+        work.groupBy(pid, seg_expr.alias("__sri_seg__"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("__sri_mid__").alias("min_mid"))
+        .collect()
+    )
+    if not stats:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+
+    by_seg: dict = defaultdict(list)
+    for r in stats:
+        by_seg[r["__sri_seg__"]].append(r)
+    offsets = []
+    for s, rows in by_seg.items():
+        rows.sort(key=lambda r: r["__sri_pid__"])
+        acc = 0
+        for r in rows:
+            offsets.append((int(r["__sri_pid__"]), s, acc, int(r["min_mid"])))
+            acc += int(r["cnt"])
+    map_df = spark.createDataFrame(
+        offsets, "__sri_pid__ long, __sri_seg__ int, __sri_off__ long, __sri_minmid__ long"
+    )
+
+    keyed = work.withColumn("__sri_pid__", F.shiftright(F.col("__sri_mid__"), _MID_BITS)).withColumn(
+        "__sri_seg__", seg_expr.cast("int")
+    )
+    out = keyed.join(F.broadcast(map_df), ["__sri_pid__", "__sri_seg__"])
+    rid = (
+        F.col("__sri_off__") + (F.col("__sri_mid__") - F.col("__sri_minmid__")) + 1
+    ).cast("long")
+    return out.select(*orig_cols, rid.alias(out_col))

@@ -199,13 +199,27 @@ _GROUPBY = {
 _VECTOR = {"mean": V.mean, "sum": V.sum_, "vectorize": V.vectorize}
 
 
-def lower_to_column(node: Node) -> Column:
+def _needs_total(node: Node) -> bool:
+    """freq-family ops divide by the fit-time row count."""
+    if isinstance(node, Op):
+        if node.op in ("freq", "CombineThenFreq"):
+            return True
+        return any(_needs_total(c) for c in node.children)
+    return False
+
+
+def lower_to_column(node: Node, total: float | None = None) -> Column:
     """Lower a scalar DAG to one Column expression. Raises on TS nodes —
-    those need :func:`compile_features`' staged path."""
+    those need :func:`compile_features`' staged path. ``total`` is the
+    fit-time row count consumed by the freq family (see unary.freq_)."""
     if isinstance(node, Col):
         return F.col(node.name)
     assert isinstance(node, Op)
-    kids = [lower_to_column(c) for c in node.children]
+    kids = [lower_to_column(c, total) for c in node.children]
+    if node.op == "freq" and len(kids) == 1:
+        return U.freq_(kids[0], total)
+    if node.op == "CombineThenFreq" and len(kids) == 2:
+        return B.combine_then_freq(kids[0], kids[1], total)
     if node.op in _UNARY and len(kids) == 1:
         return _UNARY[node.op](kids[0])
     if node.op in _BINARY and len(kids) == 2:
@@ -235,12 +249,14 @@ def compile_features(
     ``(date, group..., value)`` like the reference's vector form."""
     scalar_cols: list[Column] = []
     staged: list[tuple[str, Op]] = []
-    for out_name, formula in formulas.items():
-        node = parse_formula(formula)
+    nodes = {out_name: parse_formula(formula) for out_name, formula in formulas.items()}
+    # fit-time row count, computed once, only if a freq-family op appears
+    total = float(df.count()) if any(_needs_total(n) for n in nodes.values()) else None
+    for out_name, node in nodes.items():
         if isinstance(node, Op) and parse_ts_op(node.op) is not None:
             staged.append((out_name, node))
         else:
-            scalar_cols.append(lower_to_column(node).alias(out_name))
+            scalar_cols.append(lower_to_column(node, total).alias(out_name))
     out = df.select("*", *scalar_cols) if scalar_cols else df
 
     for out_name, node in staged:
