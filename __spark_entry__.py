@@ -2176,3 +2176,182 @@ def formula_compiled_features(spark, sf_dir):
         F.round("f_log_gbmean", 6).alias("f_log_gbmean"),
         "f_combine",
     )
+
+
+# ===========================================================================
+# Round-2 converter fidelity (SURVEY.md §2.3 tails: phone prefixes, full
+# country map, IPv6) — reference phone_utils.py:108-354,
+# country_utils.py:50-251, ip_utils.py:37-100.
+# ===========================================================================
+
+def _phone_prefix_values_sql() -> str:
+    from upgini_spark.functions.keys_tables import PHONE_COUNTRY_PREFIXES
+
+    rows = ", ".join(
+        f"('{cc}', '{pre}', {nd})" for cc, (pre, nd) in PHONE_COUNTRY_PREFIXES.items()
+    )
+    return f"(VALUES {rows}) AS pp(cc, prefix, ndigits)"
+
+
+def _country_map_values_sql() -> str:
+    from upgini_spark.functions.keys_tables import COUNTRY_NAMES_TO_ISO
+
+    rows = ", ".join(
+        "('" + name.replace("'", "''") + f"', '{code}')"
+        for name, code in COUNTRY_NAMES_TO_ISO.items()
+    )
+    return f"(VALUES {rows}) AS cm(name, code)"
+
+
+@_q(
+    "phone_prefix_converters",
+    f"""
+    WITH t AS (
+      SELECT c_custkey,
+             ['CH','US','DE','GB','ZZ',NULL][1 + c_custkey % 6] AS country,
+             CASE c_custkey % 3
+               WHEN 0 THEN printf('0%-2d 3834%04d', c_custkey % 100, c_custkey % 10000)
+               WHEN 1 THEN printf('%03d555%04d', c_custkey % 1000, c_custkey % 10000)
+               ELSE printf('%08d.0', c_custkey % 100000000)
+             END AS phone
+      FROM customer
+    ), conv AS (
+      SELECT c_custkey, country,
+             CAST(CASE WHEN regexp_replace(regexp_replace(phone, '\\.0$', ''),
+                            '[^0-9]', '', 'g') = '' THEN NULL
+                  ELSE regexp_replace(regexp_replace(phone, '\\.0$', ''),
+                       '[^0-9]', '', 'g') END AS BIGINT) AS p
+      FROM t
+    ), gated AS (
+      SELECT c_custkey, country,
+             CASE WHEN p BETWEEN 10000000 AND 999999999999999 THEN p END AS p
+      FROM conv
+    )
+    SELECT g.c_custkey,
+           CASE WHEN g.p IS NOT NULL AND pp.prefix IS NOT NULL
+                     AND length(CAST(g.p AS VARCHAR)) = pp.ndigits
+                THEN CAST(pp.prefix || CAST(g.p AS VARCHAR) AS BIGINT)
+                ELSE g.p END AS phone_e164
+    FROM gated g LEFT JOIN {_phone_prefix_values_sql()} ON g.country = pp.cc
+    """,
+)
+def phone_prefix_converters(spark, sf_dir):
+    """Country-prefix phone normalization (phone_utils.py:32-42,108-354):
+    the national number gets the calling code iff its digit count matches
+    the country's expected length; value-range gate [1e7, 1e15)."""
+    c = _t(spark, sf_dir, "customer")
+    country = F.element_at(
+        F.array(*[F.lit(x) for x in ["CH", "US", "DE", "GB", "ZZ"]] + [F.lit(None).cast("string")]),
+        (F.col("c_custkey") % 6 + 1).cast("int"),
+    )
+    phone = (
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.format_string("0%-2d 3834%04d", F.col("c_custkey") % 100, F.col("c_custkey") % 10000))
+        .when(F.col("c_custkey") % 3 == 1,
+              F.format_string("%03d555%04d", F.col("c_custkey") % 1000, F.col("c_custkey") % 10000))
+        .otherwise(F.format_string("%08d.0", F.col("c_custkey") % 100000000))
+    )
+    return c.select(
+        "c_custkey",
+        K.phone_with_country_prefix(phone, country).alias("phone_e164"),
+    )
+
+
+@_q(
+    "country_full_map",
+    f"""
+    WITH t AS (
+      SELECT c_custkey,
+             ['United States','COTE D''IVOIRE','Bosnia and Herzegovina','france',
+              'Ukraine','ZZ','Sweden','NORTH MACEDONIA','Republic of Korea',
+              'russian federation','Czech Republic','Holy See'][1 + c_custkey % 12]
+               AS raw
+      FROM customer
+    )
+    SELECT t.c_custkey, coalesce(cm.code, t.raw) AS country_iso
+    FROM t LEFT JOIN {_country_map_values_sql()} ON upper(t.raw) = cm.name
+    """,
+)
+def country_full_map(spark, sf_dir):
+    """Full ~200-entry country-name map (country_utils.py:36-48 +
+    table :50-251): uppercase lookup, unmapped values pass through."""
+    c = _t(spark, sf_dir, "customer")
+    names = [
+        "United States", "COTE D'IVOIRE", "Bosnia and Herzegovina", "france",
+        "Ukraine", "ZZ", "Sweden", "NORTH MACEDONIA", "Republic of Korea",
+        "russian federation", "Czech Republic", "Holy See",
+    ]
+    raw = F.element_at(
+        F.array(*[F.lit(x) for x in names]), (F.col("c_custkey") % 12 + 1).cast("int")
+    )
+    return c.select(
+        "c_custkey", K.country_full_name_to_iso(raw).alias("country_iso")
+    )
+
+
+@_q(
+    "ip_v6_converters",
+    """
+    WITH t AS (
+      SELECT c_custkey,
+             c_custkey % 65536 AS x,
+             c_custkey % 6 AS v
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE v
+             WHEN 0 THEN '2001:0db8:0000:0000:0000:0000:0000:'
+                         || lpad(lower(hex(x)), 4, '0')
+             WHEN 1 THEN '0000:0000:0000:0000:0000:ffff:'
+                         || lpad(lower(hex(160 * 256 + x % 256)), 4, '0') || ':'
+                         || lpad(lower(hex((x % 256) * 256 + 7)), 4, '0')
+             WHEN 2 THEN 'fe80:0000:0000:0000:0000:0000:'
+                         || lpad(lower(hex(x)), 4, '0') || ':0001'
+             ELSE NULL
+           END AS exploded,
+           CASE v
+             WHEN 0 THEN '2001:0db8'
+             WHEN 1 THEN '160.' || CAST(x % 256 AS VARCHAR)
+             WHEN 2 THEN 'fe80:0000'
+             WHEN 3 THEN '10.' || CAST(x % 256 AS VARCHAR)
+             ELSE NULL
+           END AS prefix,
+           CASE v
+             WHEN 0 THEN '20010db800000000000000000000'
+                         || lpad(lower(hex(x)), 4, '0')
+             WHEN 1 THEN lpad(lower(hex(160 * 256 + x % 256)), 4, '0')
+                         || lpad(lower(hex((x % 256) * 256 + 7)), 4, '0')
+             WHEN 2 THEN 'fe8000000000000000000000'
+                         || lpad(lower(hex(x)), 4, '0') || '0001'
+             WHEN 3 THEN lpad(lower(hex(((10 * 256 + x % 256) * 256 + 3) * 256 + 44)), 8, '0')
+             ELSE NULL
+           END AS bin_hex
+    FROM t
+    """,
+)
+def ip_v6_converters(spark, sf_dir):
+    """IPv6 native parsing (ip_utils.py:37-100): exploded form, prefix
+    (first 2 exploded groups; v4-mapped unwraps to first 2 octets), and
+    the packed-bytes hex (v4-mapped packs to 4 bytes). Patterns: full v6,
+    '::ffff:a.b.c.d' v4-mapped, compressed v6, dotted v4, invalid, null."""
+    c = _t(spark, sf_dir, "customer")
+    x = (F.col("c_custkey") % 65536).cast("long")
+    v = F.col("c_custkey") % 6
+    ip = (
+        F.when(v == 0, F.concat(F.lit("2001:db8::"), F.lower(F.hex(x))))
+        .when(v == 1, F.concat(F.lit("::ffff:160."), (x % 256).cast("string"), F.lit(".")
+                               , (x % 256).cast("string"), F.lit(".7")))
+        .when(v == 2, F.concat(F.lit("fe80::"), F.lower(F.hex(x)), F.lit(":1")))
+        .when(v == 3, F.concat(F.lit("10."), (x % 256).cast("string"), F.lit(".3.44")))
+        .when(v == 4, F.lit("not-an-ip"))
+    )
+    staged = c.select("c_custkey", ip.alias("__ip__")).withColumn(
+        "__g__", K.ipv6_groups(F.col("__ip__"))
+    )
+    g = F.col("__g__")
+    return staged.select(
+        "c_custkey",
+        K.ipv6_exploded(F.col("__ip__"), groups=g).alias("exploded"),
+        K.ip_prefix(F.col("__ip__"), groups=g).alias("prefix"),
+        K.ip_binary_hex(F.col("__ip__"), groups=g).alias("bin_hex"),
+    )

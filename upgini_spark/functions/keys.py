@@ -104,11 +104,37 @@ def email_domain(c: Column) -> Column:
 # --- phone -------------------------------------------------------------------
 
 def phone_to_int(c: Column) -> Column:
-    """Strip non-digits → long, gated to 8-15 digits
-    (phone_utils.py:44-73, length gate :101-106)."""
-    digits = F.regexp_replace(c.cast("string"), "[^0-9]", "")
-    n = F.length(digits)
-    return F.when((n >= 8) & (n <= 15), digits.cast("long"))
+    """Phone → Int64 (phone_utils.py:44-106): strip a trailing ".0"
+    (float-typed sources), keep digits, convert, and gate on the VALUE
+    range [10^7, 10^15-1] — leading zeros vanish in the int conversion,
+    so the gate is numeric, not a digit count."""
+    s = F.regexp_replace(c.cast("string"), r"\.0$", "")
+    digits = F.regexp_replace(s, "[^0-9]", "")
+    v = F.when(digits != "", digits).cast("long")
+    return F.when((v >= 10_000_000) & (v <= 999_999_999_999_999), v)
+
+
+def phone_with_country_prefix(phone: Column, country: Column) -> Column:
+    """Prepend the country calling code when the converted national number
+    has exactly that country's expected digit count
+    (phone_utils.py:32-42 + the COUNTRIES_PREFIXES table :108-354).
+    Otherwise the bare converted number passes through."""
+    from upgini_spark.functions.keys_tables import PHONE_COUNTRY_PREFIXES
+
+    p = phone_to_int(phone)
+    p_str = p.cast("string")
+    prefix_map = F.create_map(
+        *[F.lit(x) for cc, (pre, _n) in PHONE_COUNTRY_PREFIXES.items() for x in (cc, pre)]
+    )
+    ndigits_map = F.create_map(
+        *[F.lit(x) for cc, (_pre, n) in PHONE_COUNTRY_PREFIXES.items() for x in (cc, n)]
+    )
+    pre = prefix_map[country]
+    nd = ndigits_map[country]
+    return F.when(
+        p.isNotNull() & pre.isNotNull() & (F.length(p_str) == nd),
+        F.concat(pre, p_str).cast("long"),
+    ).otherwise(p)
 
 
 # --- IP ------------------------------------------------------------------------
@@ -141,28 +167,169 @@ def ipv4_prefix(c: Column, octets: int = 2) -> Column:
     return F.when(s.rlike(_V4), F.concat_ws(".", *parts))
 
 
+# --- IPv6 (native expressions; ip_utils.py:37-100 v6 + ipv4-mapped paths) ----
+
+_HEX_GROUP = r"^[0-9a-f]{1,4}$"
+
+
+def _ipv6_groups(c: Column) -> Column:
+    """array<string> of the 8 zero-padded hex groups of a v6 literal, or
+    null when the text is not valid IPv6. Handles '::' compression and an
+    embedded dotted-quad tail ('::ffff:1.2.3.4'). Pure string/HOF
+    expressions — codegen'd, replicable in ANSI SQL for the oracle."""
+    s = F.lower(F.trim(c))
+    # rewrite an embedded v4 tail as two hex groups
+    v4tail = F.regexp_extract(s, r"((?:[0-9]{1,3}\.){3}[0-9]{1,3})$", 1)
+    q = F.split(v4tail, r"\.")
+    valid_tail = (v4tail != "") & (
+        (q[0].cast("int") <= 255) & (q[1].cast("int") <= 255)
+        & (q[2].cast("int") <= 255) & (q[3].cast("int") <= 255)
+    )
+    tail_hex = F.concat(
+        F.lower(F.lpad(F.hex(q[0].cast("long") * 256 + q[1].cast("long")), 4, "0")),
+        F.lit(":"),
+        F.lower(F.lpad(F.hex(q[2].cast("long") * 256 + q[3].cast("long")), 4, "0")),
+    )
+    s2 = F.when(
+        s.contains("."),
+        F.when(
+            valid_tail,
+            F.concat(F.regexp_replace(s, r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}$", ""), tail_hex),
+        ),
+    ).otherwise(s)
+
+    halves = F.split(s2, "::", -1)
+    has_comp = F.size(halves) == 2
+    left = F.filter(F.split(halves[0], ":"), lambda g: g != "")
+    right = F.when(has_comp, F.filter(F.split(halves[1], ":"), lambda g: g != "")) \
+        .otherwise(F.array().cast("array<string>"))
+    mid = F.lit(8) - F.size(left) - F.size(right)
+    groups = F.concat(
+        left, F.array_repeat(F.lit("0"), F.greatest(mid, F.lit(0))), right
+    )
+    padded = F.transform(groups, lambda g: F.lpad(g, 4, "0"))
+    all_hex = F.forall(groups, lambda g: g.rlike(_HEX_GROUP))
+    ok = (
+        s2.isNotNull()
+        & s2.contains(":")
+        & (F.size(halves) <= 2)
+        & all_hex
+        & (F.size(padded) == 8)
+        & (~has_comp | (mid >= F.lit(1)))
+        & (has_comp | (F.size(left) == 8))
+    )
+    return F.when(ok, padded)
+
+
+def ipv6_groups(c: Column) -> Column:
+    """Public alias of the parsed 8-group array — materialize this ONCE
+    (``withColumn``) and pass it to exploded/prefix/binary via ``groups=``:
+    the parser is a large expression tree and duplicating it triples
+    planning + codegen time."""
+    return _ipv6_groups(c)
+
+
+def ipv6_exploded(c: Column, groups: Column | None = None) -> Column:
+    """Full lowercase exploded form, e.g. '2001:0db8:...:0001'."""
+    return F.array_join(_ipv6_groups(c) if groups is None else groups, ":")
+
+
+def _is_v4_mapped(groups: Column) -> Column:
+    """::ffff:a.b.c.d — first five groups zero, sixth 'ffff'."""
+    return (
+        F.forall(F.slice(groups, 1, 5), lambda g: g == "0000")
+        & (F.element_at(groups, 6) == "ffff")
+    )
+
+
+def _v4_of_mapped(groups: Column) -> Column:
+    """Dotted-quad string of the embedded v4 (groups 7..8)."""
+    g7, g8 = F.element_at(groups, 7), F.element_at(groups, 8)
+    o = lambda h: F.conv(h, 16, 10).cast("long")  # noqa: E731
+    return F.concat_ws(
+        ".",
+        (o(g7) / 256).cast("long").cast("string"),
+        (o(g7) % 256).cast("string"),
+        (o(g8) / 256).cast("long").cast("string"),
+        (o(g8) % 256).cast("string"),
+    )
+
+
+def ip_prefix(c: Column, groups: Column | None = None) -> Column:
+    """_ip_to_prefix parity (ip_utils.py:60-72): v4 → first two octets;
+    v4-mapped v6 → first two octets of the embedded v4; other v6 → first
+    two exploded groups."""
+    s = F.trim(c)
+    groups = _ipv6_groups(c) if groups is None else groups
+    v4m = _v4_of_mapped(groups)
+    return (
+        F.when(s.rlike(_V4), ipv4_prefix(c))
+        .when(
+            groups.isNotNull() & _is_v4_mapped(groups),
+            F.concat_ws(".", F.split(v4m, r"\.")[0], F.split(v4m, r"\.")[1]),
+        )
+        .when(
+            groups.isNotNull(),
+            F.concat(F.element_at(groups, 1), F.lit(":"), F.element_at(groups, 2)),
+        )
+    )
+
+
+def ip_binary_hex(c: Column, groups: Column | None = None) -> Column:
+    """Hex string of _ip_to_binary (ip_utils.py:48-58): v4 and
+    ipv4-mapped v6 pack to 4 bytes, other v6 to 16 bytes. Emitted as
+    lowercase hex (engine-portable; wrap in unhex() for raw bytes)."""
+    s = F.trim(c)
+    groups = _ipv6_groups(c) if groups is None else groups
+    v4_hex = F.lower(F.lpad(F.hex(ipv4_to_int(c)), 8, "0"))
+    mapped_hex = F.lower(
+        F.concat(F.element_at(groups, 7), F.element_at(groups, 8))
+    )
+    full_hex = F.lower(F.array_join(groups, ""))
+    return (
+        F.when(s.rlike(_V4), v4_hex)
+        .when(groups.isNotNull() & _is_v4_mapped(groups), mapped_hex)
+        .when(groups.isNotNull(), full_hex)
+    )
+
+
 # --- country -------------------------------------------------------------------
 
-# Compact ISO map — the reference carries a ~200-entry full-name dict
-# (country_utils.py); we normalize the common names + pass through valid
-# alpha-2 codes. UK→GB special case per country_utils.py:7-22.
-COUNTRY_NAME_TO_ISO = {
-    "UNITEDSTATES": "US", "UNITEDSTATESOFAMERICA": "US", "USA": "US",
-    "UNITEDKINGDOM": "GB", "GREATBRITAIN": "GB", "UK": "GB",
-    "GERMANY": "DE", "FRANCE": "FR", "SPAIN": "ES", "ITALY": "IT",
-    "CANADA": "CA", "AUSTRALIA": "AU", "BRAZIL": "BR", "INDIA": "IN",
-    "CHINA": "CN", "JAPAN": "JP", "RUSSIA": "RU", "RUSSIANFEDERATION": "RU",
-    "MEXICO": "MX", "NETHERLANDS": "NL", "POLAND": "PL", "SWEDEN": "SE",
-    "NORWAY": "NO", "FINLAND": "FI", "DENMARK": "DK", "IRELAND": "IE",
-    "SWITZERLAND": "CH", "AUSTRIA": "AT", "BELGIUM": "BE", "PORTUGAL": "PT",
-}
+def _country_full_map() -> dict[str, str]:
+    from upgini_spark.functions.keys_tables import COUNTRY_NAMES_TO_ISO
+
+    return COUNTRY_NAMES_TO_ISO
+
+
+# Back-compat alias: stripped-key variant of the full table (see
+# country_to_iso). Built lazily below.
+def _country_stripped_map() -> dict[str, str]:
+    import re as _re
+
+    out = {"UK": "GB"}
+    for name, code in _country_full_map().items():
+        out[_re.sub("[^A-Z]", "", name)] = code
+    return out
+
+
+def country_full_name_to_iso(c: Column) -> Column:
+    """convert_country_to_iso_code parity (country_utils.py:36-48): map the
+    UPPERCASED raw value through the ~200-entry full-name table; unmapped
+    values pass through unchanged (fillna with the original)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _country_full_map().items() for x in kv]
+    )
+    return F.coalesce(mapping[F.upper(c.cast("string"))], c.cast("string"))
 
 
 def country_to_iso(c: Column) -> Column:
-    """Uppercase, strip non A-Z, map full names, UK→GB
-    (country_utils.py:7-48)."""
+    """Uppercase, strip non A-Z, map full names (full reference table with
+    punctuation/spaces removed from the keys), UK→GB, pass through valid
+    alpha-2 codes (country_utils.py:7-48 + the table :50-251)."""
     cleaned = F.regexp_replace(F.upper(F.trim(c)), "[^A-Z]", "")
-    mapping = F.create_map(*[F.lit(x) for kv in COUNTRY_NAME_TO_ISO.items() for x in kv])
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _country_stripped_map().items() for x in kv]
+    )
     mapped = mapping[cleaned]
     return F.coalesce(
         mapped,
