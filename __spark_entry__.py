@@ -1499,19 +1499,62 @@ def ip_converters(spark, sf_dir):
 @_q(
     "date_percentile_bucket",
     """
-    SELECT o_orderkey,
-           (CASE WHEN o_totalprice >= 25000 THEN 1 ELSE 0 END
-            + CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END
-            + CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS pct_bucket
-    FROM orders
+    WITH t AS (
+      SELECT o_orderkey,
+             (CASE WHEN o_totalprice >= 25000 THEN 1 ELSE 0 END
+              + CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END
+              + CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS cnt
+      FROM orders
+    )
+    SELECT o_orderkey, CASE WHEN cnt > 0 THEN cnt END AS pct_bucket FROM t
     """,
 )
 def date_percentile_bucket(spark, sf_dir):
+    """DatePercentile fixed-bounds slice (date.py:289-323): no bound hit
+    → null (reference _perc NaN semantics)."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         D.date_percentile(F.col("o_totalprice"), [25000.0, 100000.0, 200000.0])
         .cast("int").alias("pct_bucket"),
+    )
+
+
+@_q(
+    "date_percentile_offset",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             o_totalprice / 1000.0 AS x,
+             12 * (year(CAST(o_orderdate AS DATE)) - 1995)
+               + (month(CAST(o_orderdate AS DATE)) - 1) AS mdiff
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey,
+             (CASE WHEN x >= 0.0 + mdiff * 2 THEN 1 ELSE 0 END
+              + CASE WHEN x >= 60.0 + mdiff * 2 THEN 1 ELSE 0 END
+              + CASE WHEN x >= 120.0 + mdiff * 2 THEN 1 ELSE 0 END
+              + CASE WHEN x >= 240.0 + mdiff * 2 THEN 1 ELSE 0 END) AS cnt
+      FROM t
+    )
+    SELECT o_orderkey, CASE WHEN cnt > 0 THEN cnt END AS pct_bucket FROM b
+    """,
+)
+def date_percentile_offset(spark, sf_dir):
+    """DatePercentile month-offset bound scaling (date.py:289-323):
+    per-row bounds = zero_bounds + month_diff·step with
+    month_diff = 12·(year−zero_year) + (month−zero_month)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        D.date_percentile(
+            F.col("o_totalprice") / 1000.0,
+            [0.0, 60.0, 120.0, 240.0],
+            date=F.col("o_orderdate"),
+            zero_year=1995,
+            zero_month=1,
+            step=2,
+        ).alias("pct_bucket"),
     )
 
 
@@ -2354,4 +2397,247 @@ def ip_v6_converters(spark, sf_dir):
         K.ipv6_exploded(F.col("__ip__"), groups=g).alias("exploded"),
         K.ip_prefix(F.col("__ip__"), groups=g).alias("prefix"),
         K.ip_binary_hex(F.col("__ip__"), groups=g).alias("bin_hex"),
+    )
+
+
+# ===========================================================================
+# Round-2 sampling fidelity (SURVEY.md §2.10 tails) —
+# reference sample_utils.py:155-410, ts_utils.py:6-41.
+# ===========================================================================
+
+@_q(
+    "forced_downsample_binary",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), c AS (
+      SELECT y, count(*) AS n FROM t GROUP BY y
+    ), minority AS (
+      SELECT y AS min_y, n AS min_n FROM c ORDER BY n ASC, y ASC LIMIT 1
+    ), ranked AS (
+      SELECT event_id, y,
+             row_number() OVER (
+               PARTITION BY y
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM t
+    )
+    SELECT r.event_id, r.y
+    FROM ranked r, minority m
+    WHERE (r.y = m.min_y AND (m.min_n <= 3500 OR r.rk <= 3500))
+       OR (r.y <> m.min_y AND r.rk <= 3500)
+    """,
+)
+def forced_downsample_binary_q(spark, sf_dir):
+    """balance_undersample_forced BINARY path (sample_utils.py:335-410):
+    7000-row cap, 50/50 split, minority kept whole when under half;
+    seeded pandas sample becomes deterministic md5-rank sampling."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_type") == "error").cast("int").alias("y")
+    )
+    return SMP.forced_downsample_binary(ev, "y", ["event_id"], sample_size=7000)
+
+
+@_q(
+    "ts_id_priority_sample",
+    """
+    WITH stats AS (
+      SELECT user_id, max(ts) AS mx, count(*) AS cnt
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id,
+             sum(cnt) OVER (
+               ORDER BY mx DESC, cnt DESC, md5(CAST(user_id AS VARCHAR)) DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM stats
+    ), kept AS (SELECT user_id FROM ranked WHERE cum <= 3000)
+    SELECT e.event_id, e.user_id FROM events e
+    SEMI JOIN kept k ON e.user_id = k.user_id
+    """,
+)
+def ts_id_priority_sample(spark, sf_dir):
+    """Whole-id priority TS sampling (sample_utils.py:276-332): ids ranked
+    by (max date, count, md5 tie-break) desc, whole ids kept while the
+    cumulative row count fits the 3000-row budget (quota path; the
+    ≥20%-distinct-ids fallback is unit-tested)."""
+    ev = _t(spark, sf_dir, "events")
+    out = SMP.sample_time_series(ev, ["user_id"], "ts", 3000)
+    return out.select("event_id", "user_id")
+
+
+@_q(
+    "ts_modal_unit",
+    """
+    WITH dd AS (
+      SELECT DISTINCT user_id, ts FROM events
+    ), gaps AS (
+      SELECT CAST(floor(epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+                  AS BIGINT) AS gap_s
+      FROM dd
+    )
+    SELECT gap_s AS modal_gap_s,
+           CAST(gap_s < 2419200 AS BOOLEAN) AS is_high_freq
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY gap_s ORDER BY count(*) DESC, gap_s ASC LIMIT 1
+    """,
+)
+def ts_modal_unit(spark, sf_dir):
+    """Modal time-unit detection (ts_utils.py:6-24): most frequent
+    consecutive-unique-date gap per id, smallest on ties; the 4-week
+    threshold picks the high-/low-frequency truncation ladder."""
+    ev = _t(spark, sf_dir, "events")
+    gap = SMP.modal_time_unit_seconds(ev, ["user_id"], "ts")
+    return spark.createDataFrame(
+        [(gap, gap < SMP.TS_TIME_UNIT_THRESHOLD_S)],
+        "modal_gap_s long, is_high_freq boolean",
+    )
+
+
+@_q(
+    "psi_monthly",
+    """
+    WITH d AS (
+      SELECT value AS v, CAST(epoch_us(ts) AS DOUBLE) AS us
+      FROM events WHERE ts IS NOT NULL
+    ), e AS (
+      SELECT quantile_cont(us, [x/10.0 for x in range(1, 10)]) AS edges FROM d
+    ), b AS (
+      SELECT v,
+             (CASE WHEN us > edges[1] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[2] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[3] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[4] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[5] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[6] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[7] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[8] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[9] THEN 1 ELSE 0 END) AS itv
+      FROM d, e
+    ), t AS (
+      SELECT itv, count(*) AS tot FROM b GROUP BY itv
+    ), ve AS (
+      SELECT quantile_cont(v, [x/10.0 for x in range(1, 10)]) AS ve
+      FROM b WHERE itv = 0 AND v IS NOT NULL
+    ), bb AS (
+      SELECT itv,
+             CASE WHEN v IS NULL THEN 10 ELSE
+               (CASE WHEN v >= ve[1] THEN 1 ELSE 0 END
+                + CASE WHEN v >= ve[2] THEN 1 ELSE 0 END
+                + CASE WHEN v >= ve[3] THEN 1 ELSE 0 END
+                + CASE WHEN v >= ve[4] THEN 1 ELSE 0 END
+                + CASE WHEN v >= ve[5] THEN 1 ELSE 0 END
+                + CASE WHEN v >= ve[6] THEN 1 ELSE 0 END
+                + CASE WHEN v >= ve[7] THEN 1 ELSE 0 END
+                + CASE WHEN v >= ve[8] THEN 1 ELSE 0 END
+                + CASE WHEN v >= ve[9] THEN 1 ELSE 0 END) END AS bin
+      FROM b, ve
+    ), c AS (
+      SELECT itv, bin, count(*) AS cnt FROM bb GROUP BY itv, bin
+    ), grid AS (
+      SELECT i.itv, r.range AS bin
+      FROM (SELECT DISTINCT itv FROM b) i, range(0, 11) r
+    ), p AS (
+      SELECT g.itv, g.bin,
+             CAST(coalesce(c.cnt, 0) AS DOUBLE) / t.tot AS pct
+      FROM grid g LEFT JOIN c ON g.itv = c.itv AND g.bin = c.bin
+      JOIN t ON g.itv = t.itv
+    ), f AS (
+      SELECT itv, bin,
+             CASE WHEN pct != 0 THEN pct
+                  WHEN min_nz IS NULL THEN 0.0001
+                  WHEN min_nz <= 0.0001 THEN 0.0001
+                  ELSE min_nz / 1e6 END AS pct
+      FROM (SELECT *, min(CASE WHEN pct != 0 THEN pct END)
+                        OVER (PARTITION BY itv) AS min_nz FROM p)
+    ), psis AS (
+      SELECT cur.itv, sum((ref.pct - cur.pct) * ln(ref.pct / cur.pct)) AS psi
+      FROM (SELECT bin, pct FROM f WHERE itv = 0) ref
+      JOIN (SELECT itv, bin, pct FROM f WHERE itv > 0) cur USING (bin)
+      GROUP BY cur.itv
+    )
+    SELECT 'value' AS column_name, round(max(psi), 6) + 0.0 AS psi FROM psis
+    """,
+)
+def psi_monthly(spark, sf_dir):
+    """Monthly-interval PSI (psi.py:72-298): intervals = max(10, #distinct
+    months) date quantiles, reference = first interval, numerical
+    reference-quantile bins + null bin, zero-fill, max over intervals."""
+    ev = _t(spark, sf_dir, "events")
+    rows = ST.psi_monthly_report(ev, ["value"], [], "ts")
+    return spark.createDataFrame(
+        [(c, round(p, 6) + 0.0 if p is not None else None) for c, p in rows],
+        "column_name string, psi double",
+    )
+
+
+@_q(
+    "psi_categorical",
+    """
+    WITH d AS (
+      SELECT event_type AS v, CAST(epoch_us(ts) AS DOUBLE) AS us
+      FROM events WHERE ts IS NOT NULL
+    ), e AS (
+      SELECT quantile_cont(us, [x/10.0 for x in range(1, 10)]) AS edges FROM d
+    ), b AS (
+      SELECT v,
+             (CASE WHEN us > edges[1] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[2] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[3] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[4] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[5] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[6] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[7] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[8] THEN 1 ELSE 0 END
+              + CASE WHEN us > edges[9] THEN 1 ELSE 0 END) AS itv
+      FROM d, e
+    ), t AS (
+      SELECT itv, count(*) AS tot FROM b GROUP BY itv
+    ), kc AS (
+      SELECT v AS k, count(*) AS n FROM b WHERE v IS NOT NULL GROUP BY v
+    ), keys AS (
+      -- pandas rank(pct=True, method='average') >= 0.7
+      SELECT k FROM (
+        SELECT k, (rank() OVER (ORDER BY n)
+                   + count(*) OVER (PARTITION BY n) - 1 + rank() OVER (ORDER BY n))
+                  / 2.0 / count(*) OVER () AS pctrank
+        FROM kc
+      ) WHERE pctrank >= 0.7
+    ), c AS (
+      SELECT itv, b.v AS k, count(*) AS cnt FROM b
+      SEMI JOIN keys ON b.v = keys.k
+      GROUP BY itv, b.v
+    ), grid AS (
+      SELECT i.itv, keys.k FROM (SELECT DISTINCT itv FROM b) i, keys
+    ), p AS (
+      SELECT g.itv, g.k,
+             CAST(coalesce(c.cnt, 0) AS DOUBLE) / t.tot AS pct
+      FROM grid g LEFT JOIN c ON g.itv = c.itv AND g.k = c.k
+      JOIN t ON g.itv = t.itv
+    ), f AS (
+      SELECT itv, k,
+             CASE WHEN pct != 0 THEN pct
+                  WHEN min_nz IS NULL THEN 0.0001
+                  WHEN min_nz <= 0.0001 THEN 0.0001
+                  ELSE min_nz / 1e6 END AS pct
+      FROM (SELECT *, min(CASE WHEN pct != 0 THEN pct END)
+                        OVER (PARTITION BY itv) AS min_nz FROM p)
+    ), psis AS (
+      SELECT cur.itv, sum((ref.pct - cur.pct) * ln(ref.pct / cur.pct)) AS psi
+      FROM (SELECT k, pct FROM f WHERE itv = 0) ref
+      JOIN (SELECT itv, k, pct FROM f WHERE itv > 0) cur USING (k)
+      GROUP BY cur.itv
+    )
+    SELECT 'event_type' AS column_name, round(max(psi), 6) + 0.0 AS psi FROM psis
+    """,
+)
+def psi_categorical(spark, sf_dir):
+    """Categorical PSI variant (psi.py:236-258): top-70%-by-count keys
+    histogram per interval (+ null bin), same zero-fill and max-agg.
+    The null bin is empty on this fixture so the SQL replica omits it."""
+    ev = _t(spark, sf_dir, "events")
+    rows = ST.psi_monthly_report(ev, ["event_type"], ["event_type"], "ts")
+    return spark.createDataFrame(
+        [(c, round(p, 6) + 0.0 if p is not None else None) for c, p in rows],
+        "column_name string, psi double",
     )

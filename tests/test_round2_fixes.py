@@ -177,3 +177,41 @@ def test_clean_duplicates_before_fit_raises(spark):
     enr = SparkFeaturesEnricher(feature_source=df)
     with pytest.raises(RuntimeError, match="before fit"):
         enr.clean_duplicates(df, "x", "x")
+
+
+# -- DatePercentile month-offset scaling (reference test_percentile.py) ------
+
+def test_date_percentile_reference_golden(spark):
+    """Replays tests/autofe/test_percentile.py:test_date_percentile
+    verbatim: zero_month=2, zero_year=2024, step=30, 100 bounds."""
+    from upgini_spark.operators.date import date_percentile
+
+    zero_bounds = (
+        [0.0]
+        + [2.6 + 0.6 * i for i in range(50)]      # 2.6 .. 32.0
+        + [32.04 + 0.04 * i for i in range(49)]   # 32.04 .. 33.96
+    )
+    assert len(zero_bounds) == 100
+    rows = [
+        ("2024-03-03", 2.0, None),
+        ("2024-02-03", 2.0, 1),
+        ("2024-02-04", 34.0, 100),
+        ("2024-02-05", 32.0, 51),
+        ("2023-03-03", 60.0, 100),
+        ("2023-03-02", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, d, f) for i, (d, f, _) in enumerate(rows)], "ord int, date string, f double"
+    )
+    out = (
+        df.select(
+            "ord",
+            date_percentile(
+                F.col("f"), zero_bounds, date=F.col("date"),
+                zero_year=2024, zero_month=2, step=30,
+            ).alias("p"),
+        )
+        .orderBy("ord")
+        .collect()
+    )
+    assert [r["p"] for r in out] == [exp for _, _, exp in rows]

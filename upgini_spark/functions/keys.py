@@ -306,7 +306,10 @@ def _country_full_map() -> dict[str, str]:
 def _country_stripped_map() -> dict[str, str]:
     import re as _re
 
-    out = {"UK": "GB"}
+    # aliases the reference map lacks in plain form (it has the long
+    # "UNITED KINGDOM OF GREAT BRITAIN..." entry; UK→GB is the converter's
+    # special case, country_utils.py:12-19)
+    out = {"UK": "GB", "UNITEDKINGDOM": "GB"}
     for name, code in _country_full_map().items():
         out[_re.sub("[^A-Z]", "", name)] = code
     return out

@@ -87,3 +87,220 @@ def ts_truncate_trailing(
         .filter(F.col("__keep__"))
         .drop("__keep__")
     )
+
+
+# --- time-series sampling fidelity (sample_utils.py:155-332, ts_utils.py) ---
+
+# reference utils/config.py:7-11
+TS_MIN_DIFFERENT_IDS_RATIO = 0.2
+TS_HIGH_FREQ_TRUNC = [(30, 0), (24, 7)]     # (months, days): 2y6m, 2y+7d
+TS_LOW_FREQ_TRUNC = [(84, 0), (60, 0)]      # 7y, 5y
+TS_TIME_UNIT_THRESHOLD_S = 4 * 7 * 86400    # Timedelta(weeks=4)
+
+
+def modal_time_unit_seconds(
+    df: DataFrame, id_cols: list[str], date_col: str
+) -> int | None:
+    """get_most_frequent_time_unit parity (ts_utils.py:6-24): consecutive
+    diffs over each id's sorted UNIQUE dates, each normalized to its exact
+    offset (largest whole unit dividing it — pandas to_offset semantics is
+    injective on seconds), then the most frequent diff; smallest wins ties.
+    Returns the modal gap in seconds, or None with <2 dates everywhere.
+
+    One dedup + one lag window + one small aggregation — no driver loops.
+    """
+    ids = id_cols or []
+    dd = df.select(*ids, F.col(date_col).cast("timestamp").alias("__d__")).distinct()
+    w = Window.partitionBy(*ids).orderBy("__d__")
+    diffs = (
+        dd.withColumn("__prev__", F.lag("__d__").over(w))
+        .filter(F.col("__prev__").isNotNull())
+        .select(
+            ((F.unix_micros("__d__") - F.unix_micros("__prev__")) / 1_000_000)
+            .cast("long")
+            .alias("gap_s")
+        )
+    )
+    top = (
+        diffs.groupBy("gap_s")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("gap_s").asc())
+        .limit(1)
+        .collect()
+    )
+    return int(top[0]["gap_s"]) if top else None
+
+
+def trunc_datetime_offset(
+    df: DataFrame, id_cols: list[str], date_col: str, months: int, days: int
+) -> DataFrame:
+    """trunc_datetime parity (ts_utils.py:27-41): keep rows with
+    date > per-id max(date) − (months, days) DateOffset."""
+    if id_cols:
+        mx = F.max(F.col(date_col).cast("timestamp")).over(Window.partitionBy(*id_cols))
+        cutoff = F.add_months(mx, -months) - F.expr(f"INTERVAL {days} DAYS")
+        return (
+            df.withColumn("__cutoff__", cutoff)
+            .filter(F.col(date_col).cast("timestamp") > F.col("__cutoff__"))
+            .drop("__cutoff__")
+        )
+    # no ids: broadcast the one-row global max instead of an
+    # all-rows-to-one-partition empty window
+    gmax = df.agg(F.max(F.col(date_col).cast("timestamp")).alias("__mx__"))
+    cutoff = F.add_months(F.col("__mx__"), -months) - F.expr(f"INTERVAL {days} DAYS")
+    return (
+        df.crossJoin(F.broadcast(gmax))
+        .filter(F.col(date_col).cast("timestamp") > cutoff)
+        .drop("__mx__")
+    )
+
+
+def _id_hash(id_cols: list[str]) -> F.Column:
+    return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols]))
+
+
+def sample_time_series(
+    df: DataFrame,
+    id_cols: list[str],
+    date_col: str,
+    sample_size: int,
+    min_different_ids_ratio: float = TS_MIN_DIFFERENT_IDS_RATIO,
+    prefer_recent_dates: bool = True,
+) -> DataFrame:
+    """Whole-id priority sampling (sample_utils.py:276-332): rank ids by
+    (max date, row count, tie-break) descending, keep whole ids while the
+    cumulative row count fits the budget. If that keeps fewer than
+    ``ratio × distinct-ids`` ids, fall back to the densest ids and the most
+    recent dates. The reference breaks ties with a seeded RNG; a
+    distributed engine needs order-free determinism, so the tie-break is
+    the md5 of the id tuple (same (max, count) priority keys).
+
+    The ranking cumsum runs on the per-id AGGREGATE (map-side combined),
+    not the raw rows — the single-partition sort touches one row per id.
+    """
+    ids = id_cols or [date_col]
+    d = F.col(date_col).cast("timestamp")
+    stats = df.groupBy(*ids).agg(
+        F.max(d).alias("__max__"), F.count(F.lit(1)).alias("__cnt__")
+    )
+    order = (
+        [F.col("__max__").desc(), F.col("__cnt__").desc(), _id_hash(ids).desc()]
+        if prefer_recent_dates
+        else [F.col("__cnt__").desc(), _id_hash(ids).desc()]
+    )
+    cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = stats.withColumn("__cum__", F.sum("__cnt__").over(cum))
+    kept_ids = ranked.filter(F.col("__cum__") <= sample_size).select(*ids)
+
+    n_ids = stats.count()
+    n_kept = kept_ids.count()
+    min_different_ids = max(int(n_ids * min_different_ids_ratio), 1)
+
+    if n_kept < min_different_ids:
+        # fallback: densest ids by distinct-date count, then a trailing
+        # most-recent-dates window that fits the budget
+        date_counts = df.groupBy(*ids).agg(F.countDistinct(d).alias("__nd__"))
+        ids_to_sample = (
+            date_counts.orderBy(F.col("__nd__").desc(), _id_hash(ids).asc())
+            .limit(min_different_ids if n_kept > 0 else n_ids)
+            .select(*ids)
+        )
+        sub = df.join(F.broadcast(ids_to_sample), on=ids, how="leftsemi")
+        per_date = sub.groupBy(d.alias("__d__")).count()
+        dcum = Window.orderBy(F.col("__d__").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        kept_dates = (
+            per_date.withColumn("__cum__", F.sum("count").over(dcum))
+            .filter(F.col("__cum__") <= sample_size)
+            .select(F.col("__d__"))
+        )
+        return sub.join(
+            F.broadcast(kept_dates), on=d == F.col("__d__"), how="leftsemi"
+        )
+    return df.join(F.broadcast(kept_ids), on=ids, how="leftsemi")
+
+
+def sample_time_series_trunc(
+    df: DataFrame,
+    id_cols: list[str] | None,
+    date_col: str,
+    sample_size: int,
+) -> DataFrame:
+    """sample_time_series_trunc parity (sample_utils.py:222-275): detect
+    the modal time unit; unknown → unchanged; try the high-/low-frequency
+    trailing-offset ladder; if still over budget, whole-id sampling."""
+    ids = id_cols or []
+    unit_s = modal_time_unit_seconds(df, ids, date_col)
+    if unit_s is None:
+        return df
+    ladder = TS_HIGH_FREQ_TRUNC if unit_s < TS_TIME_UNIT_THRESHOLD_S else TS_LOW_FREQ_TRUNC
+    sampled = df
+    for months, days in ladder:
+        sampled = trunc_datetime_offset(df, ids, date_col, months, days)
+        if sampled.count() <= sample_size:
+            break
+    if sampled.count() > sample_size:
+        sampled = sample_time_series(sampled, ids, date_col, sample_size)
+    return sampled
+
+
+def sample_time_series_train_eval(
+    df: DataFrame,
+    id_cols: list[str],
+    date_col: str,
+    sample_size: int,
+    trim_threshold: int,
+    max_rows: int,
+    eval_set_index_col: str = "eval_set_index",
+) -> DataFrame:
+    """sample_time_series_train_eval parity (sample_utils.py:155-220):
+    truncate train, drop eval rows whose ids vanished from train, truncate
+    eval into the remaining budget."""
+    if eval_set_index_col in df.columns:
+        train = df.filter(F.col(eval_set_index_col) == 0)
+        evals = df.filter(F.col(eval_set_index_col) > 0)
+    else:
+        train, evals = df, None
+
+    train = sample_time_series_trunc(train, id_cols, date_col, sample_size)
+    if evals is None:
+        if train.count() > max_rows:
+            return sample_time_series_trunc(train, id_cols, date_col, max_rows)
+        return train
+
+    if id_cols:
+        evals = evals.join(
+            F.broadcast(train.select(*id_cols).distinct()), on=id_cols, how="leftsemi"
+        )
+    n_train = train.count()
+    if evals.count() > trim_threshold - n_train:
+        evals = sample_time_series_trunc(evals, id_cols, date_col, max_rows - n_train)
+    return train.unionByName(evals)
+
+
+def forced_downsample_binary(
+    df: DataFrame,
+    target_col: str,
+    id_cols: list[str],
+    sample_size: int = FORCE_SAMPLE_SIZE,
+) -> DataFrame:
+    """balance_undersample_forced, BINARY path (sample_utils.py:335-410):
+    cap at ``sample_size`` with a 50/50 split — the minority class keeps
+    everything if it is under half the budget, otherwise exactly half;
+    the majority class fills its half. The reference's seeded
+    ``DataFrame.sample`` becomes deterministic hash-rank sampling (same
+    rows on any cluster size)."""
+    if df.count() <= sample_size:
+        return df
+    counts = df.groupBy(target_col).count().collect()
+    by_cnt = sorted(counts, key=lambda r: r["count"])
+    min_class = by_cnt[0][target_col]
+    half = sample_size // 2
+
+    minority = df.filter(F.col(target_col) == min_class)
+    majority = df.filter(F.col(target_col) != min_class)
+    if by_cnt[0]["count"] > half:
+        minority = hash_sample_exact(minority, half, id_cols)
+    majority = hash_sample_exact(majority, half, id_cols)
+    return minority.unionByName(majority)

@@ -220,3 +220,162 @@ def psi_sparsity(df: DataFrame, value_col: str, split_col) -> DataFrame:
             F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
         ).alias("psi")
     )
+
+
+# --- monthly-interval PSI (reference utils/psi.py:72-298) --------------------
+
+PSI_N_BINS = 10
+PSI_MIN_INTERVALS = 10
+PSI_CAT_TOP_PCT = 0.7
+_PSI_EPS = 0.0001
+
+
+def date_interval_index(
+    df: DataFrame, date_col: str, n_intervals: int, out_col: str = "__itv__"
+) -> DataFrame:
+    """qcut-style interval assignment on the date column
+    (psi.py:153-170): edges are date quantiles (linear interpolation,
+    duplicates dropped), bins right-inclusive, index 0 = the
+    chronologically first interval (the reference uses the first interval
+    in ROW order — under a distributed engine the chronological first is
+    the deterministic equivalent)."""
+    d = df.filter(F.col(date_col).isNotNull())
+    us = F.unix_micros(F.col(date_col).cast("timestamp")).cast("double")
+    qs = [i / n_intervals for i in range(1, n_intervals)]
+    edges_row = d.agg(
+        F.percentile(us, F.array(*[F.lit(q) for q in qs])).alias("e")
+    ).collect()[0]["e"]
+    interior = sorted(set(float(e) for e in (edges_row or [])))
+    expr = F.lit(0)
+    for e in interior:
+        expr = expr + F.when(us > F.lit(e), 1).otherwise(0)
+    return d.withColumn(out_col, expr.cast("int"))
+
+
+def _fill_zeroes(percents: list[float]) -> list[float]:
+    """psi.py:283-293: all-zero → eps; else zeros → min(nonzero)/1e6
+    (or eps when that min is itself <= eps)."""
+    nz = [p for p in percents if p != 0]
+    if not nz:
+        return [_PSI_EPS] * len(percents)
+    m = min(nz)
+    fill = _PSI_EPS if m <= _PSI_EPS else m / 10**6
+    return [p if p != 0 else fill for p in percents]
+
+
+def _psi_value(ref: list[float], cur: list[float]) -> float:
+    import math
+
+    return sum((r - c) * math.log(r / c) for r, c in zip(ref, cur))
+
+
+def n_months_in(df: DataFrame, date_col: str) -> int:
+    """psi.py:89: distinct calendar month NUMBER (1-12), not year-month."""
+    return df.select(
+        F.month(F.col(date_col).cast("timestamp")).alias("m")
+    ).distinct().count()
+
+
+def psi_monthly_report(
+    df: DataFrame,
+    feature_cols: list[str],
+    cat_features: list[str],
+    date_col: str,
+    n_bins: int = PSI_N_BINS,
+    min_intervals: int = PSI_MIN_INTERVALS,
+    max_intervals: int | None = None,
+    cat_top_pct: float = PSI_CAT_TOP_PCT,
+    agg: str = "max",
+) -> list[tuple[str, float]]:
+    """calculate_features_psi parity (psi.py:72-151): intervals =
+    max(min_intervals, #distinct months) date quantiles; per feature the
+    PSI of every interval vs interval 0, aggregated with ``agg``.
+
+    Numerical features (>20 distinct in the reference interval): bins are
+    the reference interval's quantile edges (±inf outer) plus a null bin;
+    otherwise categorical: keys with total-count percentile rank ≥
+    ``cat_top_pct`` plus a null bin. Percents divide by each interval's
+    FULL row count (reference convention), zeros filled per
+    psi.py:283-293.
+
+    All heavy work is aggregations; only per-(interval, bin) count tables
+    (≤ intervals × (bins+1) rows per feature) reach the driver.
+    """
+    n_intervals = max(min_intervals, n_months_in(df, date_col))
+    if max_intervals is not None:
+        n_intervals = min(n_intervals, max_intervals)
+    d = date_interval_index(df, date_col, n_intervals)
+    d = d.persist()
+    itv_totals = {
+        r["__itv__"]: r["count"] for r in d.groupBy("__itv__").count().collect()
+    }
+    itvs = sorted(itv_totals)
+    agg_fn = max if agg == "max" else (min if agg == "min" else None)
+    if agg_fn is None:
+        raise ValueError(f"unsupported agg {agg!r}")
+
+    out: list[tuple[str, float]] = []
+    for feat in feature_cols:
+        v = F.col(feat)
+        ref = d.filter(F.col("__itv__") == itvs[0])
+        is_numerical = feat not in cat_features and dict(df.dtypes)[feat] not in (
+            "string", "boolean", "binary"
+        )
+        n_vals = ref.select(feat).filter(v.isNotNull()).distinct().count()
+        if is_numerical and n_vals > 20:
+            qs = [i / n_bins for i in range(0, n_bins + 1)]
+            edges = ref.agg(
+                F.percentile(v.cast("double"), F.array(*[F.lit(q) for q in qs]))
+                .alias("e")
+            ).collect()[0]["e"]
+            interior = [float(e) for e in edges[1:-1]]  # outer edges → ±inf
+            bin_expr = F.lit(0)
+            for e in interior:
+                # np.histogram: right-open bins except the last; with -inf/
+                # +inf outer edges, index = #interior edges <= x
+                bin_expr = bin_expr + F.when(v.cast("double") >= F.lit(e), 1).otherwise(0)
+            binned = d.withColumn(
+                "__bin__",
+                F.when(v.isNull(), F.lit(n_bins)).otherwise(bin_expr).cast("int"),
+            )
+            counts = {
+                (r["__itv__"], r["__bin__"]): r["count"]
+                for r in binned.groupBy("__itv__", "__bin__").count().collect()
+            }
+            bins = list(range(n_bins + 1))
+        else:
+            totals_by_key = (
+                d.filter(v.isNotNull())
+                .groupBy(v.cast("string").alias("k"))
+                .count()
+                .collect()
+            )
+            # pandas rank(pct=True, method='average') ≥ cat_top_pct
+            import pandas as _pd
+
+            s = _pd.Series({r["k"]: r["count"] for r in totals_by_key})
+            keys = list(s.index[s.rank(pct=True) >= cat_top_pct]) if len(s) else []
+            key_set = set(keys)
+            kdf = d.withColumn(
+                "__bin__",
+                F.when(v.isNull(), F.lit("__null__")).otherwise(v.cast("string")),
+            ).filter(
+                F.col("__bin__").isin(list(key_set) + ["__null__"])
+            )
+            counts = {
+                (r["__itv__"], r["__bin__"]): r["count"]
+                for r in kdf.groupBy("__itv__", "__bin__").count().collect()
+            }
+            bins = keys + ["__null__"]
+        ref_pct = _fill_zeroes(
+            [counts.get((itvs[0], b), 0) / itv_totals[itvs[0]] for b in bins]
+        )
+        psis = []
+        for itv in itvs[1:]:
+            cur_pct = _fill_zeroes(
+                [counts.get((itv, b), 0) / itv_totals[itv] for b in bins]
+            )
+            psis.append(_psi_value(ref_pct, cur_pct))
+        out.append((feat, float(agg_fn(psis)) if psis else None))
+    d.unpersist()
+    return out

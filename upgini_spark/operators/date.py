@@ -101,16 +101,34 @@ def date_list_diff_bounded(
     return out
 
 
-def date_percentile(c: Column, bounds: list[float]) -> Column:
-    """Percentile bucket index of the value against learned bounds
-    (date.py:245-323) — a when-ladder like unary.bin_."""
+def date_percentile(
+    c: Column,
+    bounds: list[float],
+    date: Column | None = None,
+    zero_year: int | None = None,
+    zero_month: int | None = None,
+    step: int = 30,
+) -> Column:
+    """DatePercentile (date.py:289-323): bucket = #(shifted bounds <= x),
+    where each row's bounds are the fit-time ``zero_bounds`` shifted by
+    ``month_diff * step`` with month_diff = 12·(year − zero_year) +
+    (month − zero_month) of the row's date. No bound hit → null (the
+    reference's _perc returns NaN, NOT bucket 0 — test_percentile.py:
+    f=2 in month_diff=1 → None; f=32 vs [...31.4, 32.0...] → 51,
+    i.e. >= semantics, boundary counts)."""
     x = c.cast("double")
-    expr = F.lit(0)
-    for b in bounds:
-        # golden semantics: bucket = #bounds <= x (test_percentile.py: 32
-        # against [... 31.4, 32.0 ...] -> 51, i.e. 32.0 counts)
-        expr = expr + F.when(x >= F.lit(float(b)), 1).otherwise(0)
-    return F.when(x.isNull(), None).otherwise(expr)
+    if date is not None:
+        d = F.to_date(date)
+        diff = (
+            (F.year(d) - F.lit(zero_year or 0)) * 12
+            + (F.month(d) - F.lit(zero_month or 0))
+        ).cast("double")
+        shift = diff * F.lit(float(step))
+    else:
+        shift = F.lit(0.0)
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    cnt = F.size(F.filter(arr, lambda b: x >= b + shift))
+    return F.when(x.isNull() | (cnt <= 0), F.lit(None).cast("int")).otherwise(cnt)
 
 
 def cyclical_features(ts: Column, intraday: bool = False) -> dict[str, Column]:
