@@ -391,11 +391,53 @@ def trend_per_user(spark, sf_dir):
     return out.groupBy("user_id").agg(F.round(F.first("tc"), 6).alias("trend_coef"))
 
 
-@_q("ewma_volatility_span10")  # recursive EWM: no clean ANSI-SQL oracle → rows-only
+@_q(
+    "ewma_volatility_span10",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d, round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), ret AS (
+      SELECT a.user_id, a.d,
+             coalesce(a.v / nullif(b.v, 0) - 1, 0.0) AS r
+      FROM daily a
+      LEFT JOIN daily b
+        ON a.user_id = b.user_id AND b.d = a.d - INTERVAL 1 DAY
+    ), pre AS (
+      SELECT user_id, d,
+             list(r) OVER (PARTITION BY user_id ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS arr
+      FROM ret
+    ), calc AS (
+      SELECT user_id, d, len(arr) AS m, arr,
+             list_transform(range(1, len(arr) + 1),
+                            j -> pow(1.0 - 2.0 / 11.0, len(arr) - j)) AS w
+      FROM pre
+    ), agg AS (
+      SELECT user_id, d, m, arr, w,
+             list_sum(w) AS sw,
+             list_sum(list_transform(range(1, m + 1), j -> w[j] * w[j])) AS sw2,
+             list_sum(list_transform(range(1, m + 1), j -> w[j] * arr[j])) AS swx
+      FROM calc
+    )
+    SELECT user_id, d,
+           round(CASE WHEN m >= 2 THEN
+             sqrt(list_sum(list_transform(range(1, m + 1),
+                    j -> w[j] * pow(arr[j] - swx / sw, 2)))
+                  / (sw - sw2 / sw))
+           END, 6) + 0.0 AS ewma_vol
+    FROM agg
+    """,
+)
 def ewma_volatility_span10(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    out = ewma_volatility(ev, "ts", ["user_id"], "value", span=10, out_col="ewma_vol")
-    return out.select("event_id", "user_id", F.round("ewma_vol", 6).alias("ewma_vol"))
+    """EWM std (adjust=True, unbiased) of exact-1d returns per user over
+    the daily series (volatility.py:62-72). The Arrow kernel IS pandas
+    ewm(span).std(); the oracle recomputes the weighted unbiased variance
+    var = Σw(x−μ_w)² / (Σw − Σw²/Σw) with w_j = (1−α)^(i−j) in SQL."""
+    daily = _daily_series(spark, sf_dir)
+    out = ewma_volatility(daily, "d", ["user_id"], "v", span=10, out_col="ewma_vol")
+    return out.select("user_id", "d", F.round("ewma_vol", 6).alias("ewma_vol"))
 
 
 # ===========================================================================
@@ -583,7 +625,16 @@ def string_similarity(spark, sf_dir):
     )
 
 
-@_q("string_similarity_jw")  # Jaro-Winkler: not in DuckDB → rows-only check
+@_q(
+    "string_similarity_jw",
+    """
+    SELECT p_partkey,
+           round(jaro_winkler_similarity(p_brand, p_type), 6) AS sim_jw1,
+           round(jaro_winkler_similarity(reverse(p_brand), reverse(p_type)), 6)
+             AS sim_jw2
+    FROM part
+    """,
+)
 def string_similarity_jw(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     return p.select(
@@ -644,7 +695,7 @@ def vector_rowwise(spark, sf_dir):
     WITH n AS (SELECT sqrt(sum(o_totalprice * o_totalprice)) AS l2 FROM orders)
     SELECT o_orderkey,
            round(o_totalprice / (SELECT l2 FROM n), 9) AS normed,
-           CAST(CASE WHEN o_totalprice IS NULL THEN -1
+           CAST(CASE WHEN o_totalprice IS NULL OR o_totalprice < 50000 THEN -1
                 ELSE (CASE WHEN o_totalprice >= 50000 THEN 1 ELSE 0 END)
                    + (CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END)
                    + (CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END)
@@ -1038,8 +1089,40 @@ def minhash_signatures(spark, sf_dir):
     return out.select("doc_id", "mh0", "mh1", "mh2", "mh3")
 
 
-@_q("minhash_lsh_pairs")  # band-join candidate pairs; verified rows-only
+@_q(
+    "minhash_lsh_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) - 2 >= 1
+                  THEN list_transform(range(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                  ELSE [array_to_string(words, ' ')] END AS shingles
+      FROM t
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               j -> list_min(list_transform(shingles,
+                    s -> md5(CAST(j AS VARCHAR) || '|' || s)))) AS mh
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, b.range AS band_no,
+             md5(mh[CAST(b.range * 2 + 1 AS INT)] || '|'
+                 || mh[CAST(b.range * 2 + 2 AS INT)]) AS band_key
+      FROM sig, range(0, 4) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+)
 def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH band candidate pairs (k=8 signatures, 4 bands of 2) —
+    md5-permutation minhash is engine-portable, so the full
+    shingle→signature→band→self-join pipeline replays in SQL."""
     docs = _t(spark, sf_dir, "documents")
     return DD.minhash_band_pairs(docs, "doc_id", "text", k=8, bands=4)
 
@@ -1080,7 +1163,28 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-@_q("simhash_32")  # hex→int conv() has no DuckDB twin; rows-only
+@_q(
+    "simhash_32",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::UBIGINT AS th
+      FROM w
+    ), bits AS (
+      SELECT doc_id, b.range AS b,
+             sum(CASE WHEN (th >> CAST(b.range AS INT)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h, range(0, 32) b
+      GROUP BY doc_id, b.range
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
 def simhash_32(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", DD.simhash64("text", bits=32).alias("simhash"))
@@ -1153,15 +1257,56 @@ def knn_cosine_top3(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@_q("knn_cosine_lsh")  # approximate variant; rows-only (bucket recall < 1)
+@_q(
+    "knn_cosine_lsh",
+    """
+    WITH planes AS (
+      SELECT p.range AS p, d.range AS d,
+             CASE WHEN substr(md5(CAST(p.range AS VARCHAR) || '_'
+                              || CAST(d.range AS VARCHAR)), 1, 1) >= '8'
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range(0, 6) p, range(0, 64) d
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), dots AS (
+      SELECT e.vec_id, pl.p, sum(e.v[CAST(pl.d AS INT) + 1] * pl.s) AS dot
+      FROM e, planes pl GROUP BY e.vec_id, pl.p
+    ), buckets AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+      FROM dots GROUP BY vec_id
+    ), scored AS (
+      SELECT qb.vec_id AS q_id, cb.vec_id AS n_id,
+             list_cosine_similarity(qe.v, ce.v) AS cos_raw
+      FROM buckets qb
+      JOIN buckets cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+      JOIN e qe ON qe.vec_id = qb.vec_id
+      JOIN e ce ON ce.vec_id = cb.vec_id
+      WHERE qb.vec_id < 5
+    ), ranked AS (
+      SELECT q_id, n_id, round(cos_raw, 6) AS cos,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_raw DESC, n_id ASC) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
 def knn_cosine_lsh(spark, sf_dir):
+    """Approximate kNN through hyperplane-LSH buckets — the oracle
+    replays the identical md5-derived planes, sign buckets, and
+    within-bucket exact ranking, so the (deterministic) approximation is
+    hash-checkable, not just rows-only."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 5)
-    return SIM.cosine_topk_lsh(
+    out = SIM.cosine_topk_lsh(
         q, emb, "vec_id", "vec_id", "embedding", "embedding", k=3, n_planes=6, dims=64
     )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 # ===========================================================================
@@ -1624,8 +1769,19 @@ def cv_blocked_folds(spark, sf_dir):
     )
 
 
-@_q("cv_hash_kfold")  # hex→int conv() has no DuckDB twin; rows-only
+@_q(
+    "cv_hash_kfold",
+    """
+    SELECT event_id,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+                % 5 AS INT) AS fold_id
+    FROM events
+    """,
+)
 def cv_hash_kfold(spark, sf_dir):
+    """Deterministic hash KFold: fold = first-32-md5-bits mod k — the
+    shuffle-equivalent of the reference's seeded KFold (metrics.py CV
+    factory), reproducible on any cluster size."""
     ev = _t(spark, sf_dir, "events")
     return CV.kfold_column(ev, ["event_id"], 5).select("event_id", "fold_id")
 
@@ -1828,8 +1984,27 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-@_q("multimodal_features")  # fake-decode vectors: rows-only
+@_q(
+    "multimodal_features",
+    """
+    WITH t AS (SELECT range AS i FROM range(0, 500)),
+    p AS (
+      SELECT printf('m%09d', i) AS media_id,
+             repeat(md5(CAST(i AS VARCHAR)), CAST(i % 8 + 1 AS INT)) AS payload
+      FROM t
+    ), s AS (SELECT media_id, sha256(payload) AS h FROM p)
+    SELECT media_id,
+           list_transform(generate_series(0, 15),
+             x -> CAST(('0x' || substr(h, 4 * x + 1, 4))::UINTEGER
+                       / 65535.0 AS FLOAT)) AS features
+    FROM s
+    """,
+)
 def multimodal_features(spark, sf_dir):
+    """Arrow mapInPandas media plumbing with the deterministic fake decode
+    (sha256-derived 16-dim embedding) — the oracle recomputes the same
+    bytes → digest → float pipeline in SQL, proving batch shape, schema,
+    and kernel determinism end-to-end."""
     from upgini_spark.functions.multimodal import synthetic_media, extract_media_features
 
     return extract_media_features(synthetic_media(spark, 500)).select(
@@ -1915,8 +2090,39 @@ def volatility_ratio_7_to_14(spark, sf_dir):
     return out.select("user_id", "d", F.round("vol_ratio", 6).alias("vol_ratio"))
 
 
-@_q("rolling_volatility2_7d")  # two-stage vol-of-vol: rows-only
+@_q(
+    "rolling_volatility2_7d",
+    f"""
+    WITH daily AS ({_DAILY_SQL}),
+    reta AS (
+      SELECT a.user_id, a.d,
+             abs(coalesce(a.v / nullif(b.v, 0) - 1, 0.0)) AS r
+      FROM daily a
+      LEFT JOIN daily b
+        ON a.user_id = b.user_id AND b.d = a.d - INTERVAL 1 DAY
+    ), vol1 AS (
+      SELECT user_id, d,
+             stddev_samp(r) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(d)
+               RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW) AS v1
+      FROM reta
+    ), ret2 AS (
+      SELECT a.user_id, a.d,
+             coalesce(a.v1 / nullif(b.v1, 0) - 1, 0.0) AS r2
+      FROM vol1 a
+      LEFT JOIN vol1 b
+        ON a.user_id = b.user_id AND b.d = a.d - INTERVAL 1 DAY
+    )
+    SELECT user_id, d,
+           round(stddev_samp(r2) OVER (
+             PARTITION BY user_id ORDER BY epoch_ms(d)
+             RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW), 6) AS vol2_7d
+    FROM ret2
+    """,
+)
 def rolling_volatility2_7d(spark, sf_dir):
+    """Vol-of-vol (volatility.py:149-193): stage 1 = 7d rolling std of
+    |exact-1d returns|, stage 2 = 7d rolling std of stage 1's returns."""
     daily = _daily_series(spark, sf_dir)
     out = rolling_volatility2(daily, "d", ["user_id"], "v", 7, "D", out_col="vol2_7d")
     return out.select("user_id", "d", F.round("vol2_7d", 6).alias("vol2_7d"))
@@ -2193,24 +2399,41 @@ def psi_sparsity_halves(spark, sf_dir):
                   OVER (PARTITION BY o_orderpriority))) * 1e10) / 1e10 END, 6)
              AS f_log_gbmean,
            CASE WHEN o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
-                THEN concat_ws('_', o_orderstatus, o_orderpriority) END AS f_combine
+                THEN concat_ws('_', o_orderstatus, o_orderpriority) END AS f_combine,
+           CAST(CASE WHEN o_totalprice IS NULL OR o_totalprice < 50000 THEN -1
+                ELSE (CASE WHEN o_totalprice >= 50000 THEN 1 ELSE 0 END)
+                   + (CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END)
+                   + (CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END)
+                END AS INT) AS f_bin_replayed
     FROM orders
     """,
 )
 def formula_compiled_features(spark, sf_dir):
     """Formula strings through the §2.12 DAG compiler: parse -> one fused
-    select (feature.py:308-371 grammar)."""
-    from upgini_spark.plans.feature_dag import compile_features
+    select (feature.py:308-371 grammar). f_bin_replayed exercises the full
+    FitState replay: serialized (formula, params) → parse_formula +
+    set_op_params → compile (feature.py:97-127 round-trip)."""
+    from upgini_spark.plans.feature_dag import (
+        compile_features, get_op_params, parse_formula, set_op_params,
+    )
 
     o = _t(spark, sf_dir, "orders").withColumn(
         "price_k", F.col("o_totalprice") / 1000.0
     ).withColumn("cust_d", F.col("o_custkey").cast("double"))
+
+    fit_node = parse_formula("bin(o_totalprice)")
+    fit_node.params["bin_bounds"] = [50000.0, 150000.0, 300000.0]
+    frozen = (fit_node.formula(), get_op_params(fit_node))  # serialize
+    replayed = parse_formula(frozen[0])
+    set_op_params(replayed, frozen[1])                       # deserialize
+
     out = compile_features(
         o,
         {
             "f_arith": "(price_k+cust_d)",
             "f_log_gbmean": "log(GroupByThenMean(o_totalprice,o_orderpriority))",
             "f_combine": "Combine(o_orderstatus,o_orderpriority)",
+            "f_bin_replayed": replayed,
         },
     )
     return out.select(
@@ -2218,6 +2441,7 @@ def formula_compiled_features(spark, sf_dir):
         F.round("f_arith", 6).alias("f_arith"),
         F.round("f_log_gbmean", 6).alias("f_log_gbmean"),
         "f_combine",
+        F.col("f_bin_replayed").cast("int").alias("f_bin_replayed"),
     )
 
 

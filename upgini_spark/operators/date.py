@@ -97,7 +97,10 @@ def date_list_diff_bounded(
     filtered = F.filter(diffs, cond)
     out = _agg_diffs(filtered, agg, empty_zero=True)
     if normalize:
-        out = F.when(F.size(dates) > 0, out / F.size(dates))
+        # reference divides only when the ORIGINAL list is non-empty
+        # (date.py:231-235: `if self.normalize and orig_len > 0`), so an
+        # empty list keeps the raw agg (0 for count-ish, NaN otherwise)
+        out = F.when(F.size(dates) > 0, out / F.size(dates)).otherwise(out)
     return out
 
 

@@ -81,12 +81,13 @@ def norm_(c: Column, norm_value: float) -> Column:
 
 def bin_(c: Column, bounds: list[float]) -> Column:
     """Bucket index by learned ascending bounds (unary.py:158-190):
-    result = #bounds <= x (so x < bounds[0] → 0); null → -1; empty bounds
-    → -1 for every row (reference tests/autofe/test_bin.py goldens)."""
+    result = #bounds <= x; null, empty bounds, AND below-all-bounds all
+    → -1 (the reference's _bin returns NaN on no hit and fillna(-1)s —
+    tests/autofe/test_bin.py:test_bin_out_of_bounds: -10 vs [0, 50] → -1)."""
     x = c.cast("double")
     if not bounds:
         return F.lit(-1)
     expr = F.lit(0)
     for b in bounds:
         expr = expr + F.when(x >= F.lit(float(b)), 1).otherwise(0)
-    return F.when(x.isNull(), F.lit(-1)).otherwise(expr)
+    return F.when(x.isNull() | (expr == 0), F.lit(-1)).otherwise(expr)

@@ -199,6 +199,44 @@ _GROUPBY = {
 _VECTOR = {"mean": V.mean, "sum": V.sum_, "vectorize": V.vectorize}
 
 
+def _param_f(node: "Op", key: str) -> float | None:
+    v = node.params.get(key)
+    return float(v) if v is not None else None
+
+
+def _param_i(node: "Op", key: str) -> int | None:
+    v = node.params.get(key)
+    return int(v) if v is not None else None
+
+
+_DLD_AGGS = ("min", "max", "mean", "nunique", "count")
+_DLD_BOUNDED = re.compile(r"^date_diff_([^_]+)_(minusinf|\d+)_(plusinf|\d+)_(\w+?)(_norm)?$")
+
+
+def _parse_date_list_diff(name: str):
+    """DateListDiff formula names (date.py:136-144, 192-224):
+    ``date_diff_<agg>`` and ``date_diff_<unit>_<lo>_<hi>_<agg>[_norm]``.
+    Returns (agg, lo, hi, normalize) or None."""
+    if name.startswith("date_diff_type"):
+        return None
+    m = _DLD_BOUNDED.match(name)
+    if m:
+        unit, lo, hi, agg, norm = m.groups()
+        if unit != "D" or agg not in _DLD_AGGS:
+            return None
+        return (
+            agg,
+            None if lo == "minusinf" else float(lo),
+            None if hi == "plusinf" else float(hi),
+            bool(norm),
+        )
+    if name.startswith("date_diff_"):
+        agg = name[len("date_diff_"):]
+        if agg in _DLD_AGGS:
+            return (agg, None, None, False)
+    return None
+
+
 def _needs_total(node: Node) -> bool:
     """freq-family ops divide by the fit-time row count."""
     if isinstance(node, Op):
@@ -217,9 +255,35 @@ def lower_to_column(node: Node, total: float | None = None) -> Column:
     assert isinstance(node, Op)
     kids = [lower_to_column(c, total) for c in node.children]
     if node.op == "freq" and len(kids) == 1:
-        return U.freq_(kids[0], total)
+        return U.freq_(kids[0], total if total is not None else _param_f(node, "total"))
     if node.op == "CombineThenFreq" and len(kids) == 2:
-        return B.combine_then_freq(kids[0], kids[1], total)
+        return B.combine_then_freq(
+            kids[0], kids[1], total if total is not None else _param_f(node, "total")
+        )
+    # fit-parametrized ops, replayable from serialized formulas + params
+    # (set_op_params below; reference unary.py:119-190, date.py:112-323)
+    if node.op == "norm" and len(kids) == 1:
+        return U.norm_(kids[0], _param_f(node, "norm"))
+    if node.op == "bin" and len(kids) == 1:
+        bounds = [float(b) for b in node.params.get("bin_bounds", [])]
+        return U.bin_(kids[0], bounds)
+    if node.op == "date_per" and len(kids) == 2:
+        return DT.date_percentile(
+            kids[1],
+            [float(b) for b in node.params.get("zero_bounds", [])],
+            date=kids[0],
+            zero_year=_param_i(node, "zero_year"),
+            zero_month=_param_i(node, "zero_month"),
+            step=_param_i(node, "step") or 30,
+        )
+    dld = _parse_date_list_diff(node.op)
+    if dld is not None and len(kids) == 2:
+        agg, lo, hi, normalize = dld
+        if lo is None and hi is None and not normalize:
+            return DT.date_list_diff(kids[0], kids[1], agg)
+        return DT.date_list_diff_bounded(
+            kids[0], kids[1], agg, lo=lo, hi=hi, normalize=normalize
+        )
     if node.op in _UNARY and len(kids) == 1:
         return _UNARY[node.op](kids[0])
     if node.op in _BINARY and len(kids) == 2:
@@ -249,7 +313,13 @@ def compile_features(
     ``(date, group..., value)`` like the reference's vector form."""
     scalar_cols: list[Column] = []
     staged: list[tuple[str, Op]] = []
-    nodes = {out_name: parse_formula(formula) for out_name, formula in formulas.items()}
+    # values may be formula strings OR already-parsed (and possibly
+    # param-carrying) Nodes — the FitState replay path builds nodes with
+    # set_op_params and compiles them directly
+    nodes = {
+        out_name: formula if isinstance(formula, Node) else parse_formula(formula)
+        for out_name, formula in formulas.items()
+    }
     # fit-time row count, computed once, only if a freq-family op appears
     total = float(df.count()) if any(_needs_total(n) for n in nodes.values()) else None
     for out_name, node in nodes.items():
@@ -301,3 +371,141 @@ def is_server_side(op_name: str) -> bool:
     return op_name in SERVER_SIDE_OPS or any(
         op_name.startswith(p + "_") for p in SERVER_SIDE_OPS
     )
+
+
+# --------------------------------------------------------------------------
+# Feature protocol: display names, stable hash, fit-param round-trip
+# (reference src/upgini/autofe/feature.py:81-218, operator.py:70-116)
+# --------------------------------------------------------------------------
+
+# formula-name → display alias (reference per-op `alias` attrs)
+OP_ALIASES = {
+    "+": "add", "-": "sub", "*": "mul", "/": "div",
+    "date_diff": "date_diff_type1", "date_per": "date_per_method1",
+}
+
+_UNARY_OPS = {
+    "abs", "log", "sqrt", "square", "sigmoid", "floor", "residual",
+    "freq", "norm", "bin", "emb", "cluster", "outlier_dist",
+}
+
+
+def op_display_name(op: str, use_alias: bool = True) -> str:
+    return (OP_ALIASES.get(op, op) if use_alias else op).lower()
+
+
+def get_columns(node: Node) -> list[str]:
+    """Dedup'd source columns in appearance order (feature.py:166-174)."""
+    if isinstance(node, Col):
+        return [node.name]
+    out: list[str] = []
+    seen: set[str] = set()
+    for c in node.children:
+        for name in get_columns(c):
+            if name not in seen:
+                seen.add(name)
+                out.append(name)
+    return out
+
+
+def display_name(
+    node: Node,
+    index: str | int | None = None,
+    shorten: bool = False,
+    use_op_alias: bool = True,
+    alias: str | None = None,
+) -> str:
+    """get_display_name parity (feature.py:183-218):
+    ``f_<col>_f_<col>_autofe_<op>[_<idx>]``; unary/TS ops over a non-column
+    child STACK onto the child's display name; ``shorten`` collapses the
+    column list for non-unary ops; an explicit alias wins."""
+    if isinstance(node, Col):
+        return node.name
+    is_unary_like = node.op in _UNARY_OPS or parse_ts_op(node.op) is not None
+    should_stack = is_unary_like and isinstance(node.children[-1], Op)
+    if alias:
+        components = ["f_autofe", alias]
+    elif should_stack:
+        components = [
+            display_name(node.children[-1], shorten=shorten, use_op_alias=use_op_alias),
+            op_display_name(node.op, use_op_alias),
+        ]
+    elif shorten and node.op not in _UNARY_OPS:
+        components = ["f_autofe", op_display_name(node.op, use_op_alias)]
+    else:
+        components = ["f_" + "_f_".join(get_columns(node)), "autofe",
+                      op_display_name(node.op, use_op_alias)]
+    if index is not None:
+        components.append(str(index))
+    return "_".join(components)
+
+
+def feature_hash(node: Op) -> str:
+    """get_hash parity (feature.py:129-137): sha256 of the op formula name,
+    Op-children formula names, and all children display names — first 10
+    hex chars. Stable across sessions (pure function of the DAG)."""
+    import hashlib
+
+    parts = (
+        [node.op]
+        + [c.op for c in node.children if isinstance(c, Op)]
+        + [display_name(c) for c in node.children]
+    )
+    return hashlib.sha256("_".join(parts).encode("utf-8")).hexdigest()[:10]
+
+
+# fit-learned parameter keys per op (operator get_params overrides)
+_PARAM_KEYS = {
+    "norm": ["norm"],
+    "bin": ["bin_bounds"],
+    "date_per": ["zero_month", "zero_year", "zero_bounds", "step"],
+    "freq": ["total"],          # engine param: fit-time row count
+    "CombineThenFreq": ["total"],
+}
+
+
+def get_op_params(node: Op) -> dict[str, str]:
+    """Flatten the DAG's fit params into one dict, child entries prefixed
+    with the child's display name (feature.py:115-127). Values stringified;
+    None dropped. json-encodes list params (zero_bounds, bin_bounds)."""
+    import json
+
+    own: dict[str, str] = {}
+    alias = OP_ALIASES.get(node.op)
+    if alias is not None:
+        own["alias"] = alias
+    for k in _PARAM_KEYS.get(node.op, []):
+        v = node.params.get(k)
+        if v is not None:
+            own[k] = json.dumps(v) if isinstance(v, (list, tuple)) else str(v)
+    flat = {}
+    for child in node.children:
+        if isinstance(child, Op):
+            prefix = display_name(child)
+            for k, v in get_op_params(child).items():
+                flat[f"{prefix}_{k}"] = v
+    flat.update(own)
+    return flat
+
+
+def set_op_params(node: Op, params: dict[str, str]) -> Op:
+    """Inverse of get_op_params (feature.py:97-113): apply own keys, then
+    route prefixed entries to each child by display name; a child with no
+    prefixed entries receives the full dict (reference fallback)."""
+    import json
+
+    for k in _PARAM_KEYS.get(node.op, []):
+        if k in params:
+            v = params[k]
+            if isinstance(v, str) and v[:1] in "[{":
+                v = json.loads(v)
+            node.params[k] = v
+    for child in node.children:
+        if not isinstance(child, Op):
+            continue
+        prefix = display_name(child) + "_"
+        child_params = {
+            k[len(prefix):]: v for k, v in params.items() if k.startswith(prefix)
+        }
+        set_op_params(child, child_params or params)
+    return node
