@@ -463,17 +463,28 @@ def ewma_volatility_span10(spark, sf_dir):
     """,
 )
 def groupby_then_ops(spark, sf_dir):
+    """Scalar aggregates through the single-exchange batched form (one
+    tiny groupBy + broadcast join-back — the big table is not shuffled
+    for them); rank/freq keep the window (they are per-row / per-value
+    by nature and share one exchange on the key)."""
     o = _t(spark, sf_dir, "orders")
     key = F.col("o_orderpriority")
     val = F.col("o_totalprice")
-    return o.select(
+    agged = G.group_by_then_features(
+        o, ["o_orderpriority"],
+        [("mean", "o_totalprice", "__mean__"), ("min", "o_totalprice", "__min__"),
+         ("max", "o_totalprice", "__max__"), ("sum", "o_totalprice", "__sum__"),
+         ("std", "o_totalprice", "__std__"),
+         ("nunique", "o_orderstatus", "__nunique__")],
+    )
+    return agged.select(
         "o_orderkey",
-        F.round(G.group_by_then("mean", key, val), 6).alias("gb_mean"),
-        G.group_by_then("min", key, val).alias("gb_min"),
-        G.group_by_then("max", key, val).alias("gb_max"),
-        F.round(G.group_by_then("sum", key, val), 4).alias("gb_sum"),
-        F.round(G.group_by_then("std", key, val), 6).alias("gb_std"),
-        G.group_by_then_nunique(key, F.col("o_orderstatus")).cast("long").alias("gb_nunique"),
+        F.round("__mean__", 6).alias("gb_mean"),
+        F.col("__min__").alias("gb_min"),
+        F.col("__max__").alias("gb_max"),
+        F.round("__sum__", 4).alias("gb_sum"),
+        F.round("__std__", 6).alias("gb_std"),
+        F.col("__nunique__").cast("long").alias("gb_nunique"),
         F.round(G.group_by_then_freq(key, F.col("o_orderstatus")), 6).alias("gb_freq"),
         F.round(G.group_by_then_rank(key, val), 6).alias("gb_rank"),
     )

@@ -65,3 +65,32 @@ def group_by_then_freq(key: Column, value: Column) -> Column:
     cnt = F.count(F.when(value.isNotNull(), 1)).over(Window.partitionBy(key, value))
     total = F.count(F.when(value.isNotNull(), 1)).over(_grp(key))
     return _gated(key, F.when(value.isNotNull(), F.try_divide(cnt.cast("double"), total)))
+
+
+def group_by_then_features(
+    df,
+    key_cols: list[str],
+    aggs: list[tuple[str, str, str]],
+    use_broadcast: bool = True,
+):
+    """Batched GroupByThen* as ONE aggregation + join-back — the scale
+    path for per-group SCALAR aggregates (groupby.py:8-39).
+
+    ``aggs``: (agg, value_col, out_name) triples. The window form
+    shuffles the FULL table on the key; this form map-side-combines to a
+    per-key aggregate (rows = distinct keys), broadcasts it, and joins —
+    the big table never moves. Null keys get null features (join misses),
+    matching the reference's NaN-key exclusion.
+
+    Use the Column-form ``group_by_then`` only when composing with ops
+    that genuinely need a window (rank, per-(key,value) freq).
+    """
+    _AGGS = {
+        "min": F.min, "max": F.max, "mean": F.avg, "sum": F.sum,
+        "std": F.stddev_samp, "median": F.median, "nunique": F.countDistinct,
+    }
+    exprs = [_AGGS[a](F.col(v)).alias(out) for a, v, out in aggs]
+    small = df.groupBy(*[F.col(k) for k in key_cols]).agg(*exprs)
+    if use_broadcast:
+        small = F.broadcast(small)
+    return df.join(small, on=key_cols, how="left")
