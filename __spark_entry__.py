@@ -2876,3 +2876,135 @@ def psi_categorical(spark, sf_dir):
         [(c, round(p, 6) + 0.0 if p is not None else None) for c, p in rows],
         "column_name string, psi double",
     )
+
+
+# ===========================================================================
+# Round-2 decision rules (SURVEY.md §2.5 is_time_series; §2.9 fintech gates)
+# — reference datetime_utils.py:303-389, deduplicate_utils.py:21-135.
+# ===========================================================================
+
+@_q(
+    "ts_decisions",
+    """
+    WITH a AS (
+      SELECT (DATE '2020-01-01' + CAST(r.range AS INT)) AS d FROM range(0, 400) r
+    ), vc AS (
+      SELECT d, count(*) AS c FROM a GROUP BY d
+    ), gaps AS (
+      SELECT d - lag(d) OVER (ORDER BY d) AS g FROM vc
+    ), blk AS (
+      SELECT (DATE '2020-01-01' + CAST(r.range AS INT)) AS d,
+             CAST((r.range * 37 + b.range) % 1000 AS BIGINT) AS f1,
+             CAST((r.range * 11 + 29 * b.range) % 1000 AS BIGINT) AS f2,
+             CAST(r.range AS BIGINT) AS f3,
+             CAST((r.range * 7 + 13 * b.range) % 1000 AS BIGINT) AS f3x
+      FROM range(0, 400) r, range(0, 2) b
+    ), pd AS (
+      SELECT d, count(*) AS n,
+             count(DISTINCT f1) AS n1, count(DISTINCT f2) AS n2,
+             count(DISTINCT f3) AS n3, count(DISTINCT f3x) AS n3x
+      FROM blk GROUP BY d
+    ), agg AS (
+      SELECT count(*) AS nd,
+             CAST(max(d) - min(d) AS INT) + 1 AS span,
+             avg(CASE WHEN n > 1 THEN 1.0 ELSE 0.0 END) AS multi,
+             max(CASE WHEN n1 > 1 THEN 1 ELSE 0 END)
+               + max(CASE WHEN n2 > 1 THEN 1 ELSE 0 END)
+               + max(CASE WHEN n3 > 1 THEN 1 ELSE 0 END) AS chg3,
+             max(CASE WHEN n1 > 1 THEN 1 ELSE 0 END)
+               + max(CASE WHEN n2 > 1 THEN 1 ELSE 0 END)
+               + max(CASE WHEN n3x > 1 THEN 1 ELSE 0 END) AS chg3x
+      FROM pd
+    )
+    SELECT
+      ((SELECT count(DISTINCT c) FROM vc) = 1
+       AND (SELECT count(DISTINCT g) FROM gaps WHERE g IS NOT NULL) = 1)
+        AS is_ts_daily,
+      FALSE AS is_blocked_univariate,
+      (SELECT nd >= 270 AND CAST(nd AS DOUBLE) / span >= 0.3
+              AND multi >= 0.99 AND chg3 <= 2 FROM agg) AS is_blocked_2chg,
+      (SELECT nd >= 270 AND CAST(nd AS DOUBLE) / span >= 0.3
+              AND multi >= 0.99 AND chg3x <= 2 FROM agg) AS is_blocked_3chg
+    """,
+)
+def ts_decisions(spark, sf_dir):
+    """is_time_series / is_blocked_time_series decisions
+    (datetime_utils.py:303-389): gap-free constant-count series; >=270
+    multi-row dates with >=30% coverage and <=2 changing columns."""
+    n = 400
+    base = spark.range(n).select(
+        F.expr("date_add(to_date('2020-01-01'), cast(id as int))").alias("date"),
+        F.col("id"),
+    )
+    uni = base.select("date")
+    blocks = spark.range(2).select(F.col("id").alias("b"))
+    blk = base.crossJoin(blocks).select(
+        "date",
+        ((F.col("id") * 37 + F.col("b")) % 1000).alias("f1"),
+        ((F.col("id") * 11 + 29 * F.col("b")) % 1000).alias("f2"),
+        F.col("id").alias("f3"),
+        ((F.col("id") * 7 + 13 * F.col("b")) % 1000).alias("f3x"),
+    )
+    r = (
+        ST.is_time_series(uni, "date"),
+        ST.is_blocked_time_series(uni, "date", ["date"]),
+        ST.is_blocked_time_series(blk.drop("f3x"), "date", ["date"]),
+        ST.is_blocked_time_series(blk.drop("f3"), "date", ["date"]),
+    )
+    return spark.createDataFrame(
+        [r],
+        "is_ts_daily boolean, is_blocked_univariate boolean, "
+        "is_blocked_2chg boolean, is_blocked_3chg boolean",
+    )
+
+
+@_q(
+    "fintech_dedup_gated",
+    """
+    WITH t AS (
+      SELECT event_id, user_id,
+             CASE WHEN user_id % 4 = 0 THEN CAST(event_id % 2 AS INT)
+                  ELSE 0 END AS target,
+             (DATE '2023-01-01' + CAST(user_id % 28 AS INT)
+              + CAST(CASE WHEN user_id % 4 = 0 THEN (event_id % 2) * 4
+                     ELSE 0 END AS INT)) AS d
+      FROM events
+    ), grp AS (
+      SELECT user_id, count(*) AS n, count(DISTINCT d) AS ndates,
+             count(DISTINCT target) AS ntgt
+      FROM t GROUP BY user_id
+    ), gates AS (
+      SELECT sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) > 0
+             AND CAST(sum(CASE WHEN ndates > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) < 0.6
+             AND sum(CASE WHEN n > 1 AND ntgt > 1 THEN 1 ELSE 0 END) > 0 AS ok
+      FROM grp
+    ), w AS (
+      SELECT *, lag(target) OVER (PARTITION BY user_id ORDER BY d) AS pt,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS pd
+      FROM t
+    ), flagged AS (
+      SELECT DISTINCT user_id FROM w
+      WHERE pt IS NOT NULL AND pt <> target AND d - pd < 60
+    )
+    SELECT t.event_id, t.user_id, t.target FROM t
+    WHERE (NOT (SELECT ok FROM gates))
+       OR t.user_id NOT IN (SELECT user_id FROM flagged)
+    """,
+)
+def fintech_dedup_gated(spark, sf_dir):
+    """Gated fintech dedup (deduplicate_utils.py:21-135): BINARY-task and
+    <60%-multi-date-share applicability gates, then whole-key removal of
+    groups whose target flips within 60 days."""
+    ev = _t(spark, sf_dir, "events")
+    fixture = ev.select(
+        "event_id", "user_id",
+        F.when(F.col("user_id") % 4 == 0, (F.col("event_id") % 2).cast("int"))
+        .otherwise(F.lit(0)).alias("target"),
+        F.expr(
+            "date_add(date_add(to_date('2023-01-01'), cast(user_id % 28 as int)), "
+            "cast(CASE WHEN user_id % 4 = 0 THEN (event_id % 2) * 4 ELSE 0 END as int))"
+        ).cast("timestamp").alias("d"),
+    )
+    out = DD.remove_fintech_duplicates(fixture, ["user_id"], "target", "d")
+    return out.select("event_id", "user_id", "target")

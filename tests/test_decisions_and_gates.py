@@ -1,0 +1,144 @@
+"""is_time_series / is_blocked_time_series decisions and the fintech-dedup
+applicability gates — replays reference tests/test_datetime_utils.py and
+the deduplicate_utils.py:21-135 gate semantics."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from upgini_spark.functions.dedup import remove_fintech_duplicates
+from upgini_spark.functions.stats import is_blocked_time_series, is_time_series
+
+
+def _dates_df(spark, dates):
+    return spark.createDataFrame(pd.DataFrame({"date": pd.to_datetime(pd.Series(dates))}))
+
+
+# reference test_datetime_utils.py:~95-130
+def test_is_time_series(spark):
+    assert is_time_series(
+        _dates_df(spark, ["2020-01-0%d" % d for d in range(1, 6)]), "date")
+    assert not is_time_series(
+        _dates_df(spark, ["2020-01-01", None, "2020-01-03", "2020-01-04", "2020-01-05"]),
+        "date")
+    assert is_time_series(
+        _dates_df(spark, [f"2020-01-01 0{h}:00:00" for h in range(5)]), "date")
+    assert is_time_series(
+        _dates_df(spark, [f"2020-01-01 00:00:0{s}" for s in (0, 2, 4, 6, 8)]), "date")
+    # monthly series: calendar-aware step (relativedelta), not fixed days
+    assert is_time_series(
+        _dates_df(spark, ["2020-01-01", "2020-02-01", "2020-03-01", "2020-04-01"]),
+        "date")
+    # gap → not a series
+    assert not is_time_series(
+        _dates_df(spark, ["2020-01-01", "2020-01-02", "2020-01-05"]), "date")
+    # multivariate: constant per-date count, gap-free unique dates
+    dup = ["2020-01-01", "2020-01-01", "2020-01-02", "2020-01-02",
+           "2020-01-03", "2020-01-03"]
+    assert is_time_series(_dates_df(spark, dup), "date")
+
+
+# reference test_datetime_utils.py:test_multivariate_time_series
+def test_is_blocked_time_series(spark):
+    short = _dates_df(spark, [f"2020-01-01 00:00:0{s}" for s in (0, 2, 4, 6, 8)])
+    assert not is_blocked_time_series(short, "date", ["date"])
+
+    month = _dates_df(spark, [str(d.date()) for d in pd.date_range("2020-01-01", "2020-02-01")])
+    assert not is_blocked_time_series(month, "date", ["date"])  # <270 dates
+
+    year_single = _dates_df(spark, [str(d.date()) for d in pd.date_range("2020-01-01", "2021-01-01")])
+    assert not is_blocked_time_series(year_single, "date", ["date"])  # single-row dates
+
+    dates = [str(d.date()) for d in pd.date_range("2020-01-01", "2021-01-01")]
+    n = len(dates)
+
+    def blocked(f3a, f3b):
+        pdf = pd.DataFrame({
+            "date": pd.to_datetime(dates * 2),
+            "feature1": [(i * 37) % 1000 for i in range(n)] + [(i * 53) % 1000 for i in range(n)],
+            "feature2": [(i * 11) % 1000 for i in range(n)] + [(i * 29) % 1000 for i in range(n)],
+            "feature3": f3a + f3b,
+        })
+        return spark.createDataFrame(pdf)
+
+    # feature3 identical across the two blocks → only f1, f2 change per date
+    same3 = blocked(list(range(n)), list(range(n)))
+    assert is_blocked_time_series(same3, "date", ["date"])
+
+    # all three features change per date → >2 changing columns
+    diff3 = blocked(list(range(n)), [(i * 7 + 1) % 1000 for i in range(n)])
+    assert not is_blocked_time_series(diff3, "date", ["date"])
+    # dropping feature3 as a search key leaves ≤3 columns → True
+    assert is_blocked_time_series(diff3, "date", ["date", "feature3"])
+
+
+def _fintech_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["phone", "target", "date", "eval_set_index"])
+    ).select(
+        "phone", "target", F.to_timestamp("date").alias("date"), "eval_set_index"
+    )
+
+
+def test_fintech_gates_binary_only(spark):
+    # 3 distinct targets → MULTICLASS → unchanged even with conflicts
+    rows = [("p1", t, "2023-01-0%d" % (t + 1), 0) for t in (0, 1, 2)]
+    df = _fintech_df(spark, rows)
+    assert remove_fintech_duplicates(df, ["phone"], "target", "date").count() == 3
+
+
+def test_fintech_gates_multi_date_share(spark):
+    # every duplicated group spans multiple dates (share 100% ≥ 60%) →
+    # looks like a time series → unchanged
+    rows = []
+    for p in ("p1", "p2", "p3"):
+        rows += [(p, 0, "2023-01-01", 0), (p, 1, "2023-01-05", 0)]
+    df = _fintech_df(spark, rows)
+    assert remove_fintech_duplicates(df, ["phone"], "target", "date").count() == 6
+
+
+def test_fintech_removes_close_conflicts(spark):
+    rows = [
+        # p1: conflicting targets 4 days apart (same-date share 2/3 < 60%)
+        ("p1", 0, "2023-01-01", 0), ("p1", 1, "2023-01-05", 0),
+        # p2: duplicated same-day, consistent target → kept
+        ("p2", 1, "2023-02-01", 0), ("p2", 1, "2023-02-01", 0),
+        # p3: duplicated same-day consistent → kept
+        ("p3", 0, "2023-03-01", 0), ("p3", 0, "2023-03-01", 0),
+        # p4: conflicting but 90 days apart → kept
+        ("p4", 0, "2023-01-01", 0), ("p4", 1, "2023-04-10", 0),
+    ]
+    df = _fintech_df(spark, rows)
+    out = remove_fintech_duplicates(df, ["phone"], "target", "date").toPandas()
+    assert "p1" not in set(out["phone"])
+    assert sorted(set(out["phone"])) == ["p2", "p3", "p4"]
+    assert len(out) == 6
+
+
+def test_fintech_per_segment(spark):
+    # conflict in train removed; eval segment with ts-like share untouched
+    rows = [
+        ("p1", 0, "2023-01-01", 0), ("p1", 1, "2023-01-05", 0),
+        ("p2", 0, "2023-01-01", 0), ("p2", 0, "2023-01-01", 0),
+        ("q1", 0, "2023-01-01", 1), ("q1", 1, "2023-01-05", 1),
+        ("q2", 0, "2023-02-01", 1), ("q2", 1, "2023-02-05", 1),
+    ]
+    df = _fintech_df(spark, rows)
+    out = remove_fintech_duplicates(
+        df, ["phone"], "target", "date", eval_set_index_col="eval_set_index"
+    ).toPandas()
+    assert "p1" not in set(out[out["eval_set_index"] == 0]["phone"])
+    # eval segment: both groups multi-date → share 100% ≥ 60% → unchanged
+    assert len(out[out["eval_set_index"] == 1]) == 4
+
+
+def test_dump_input_digest_dedup(spark, tmp_path):
+    from upgini_spark.sources.io import dump_input
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    p1 = dump_input(df, str(tmp_path), "x")
+    assert p1 is not None
+    p2 = dump_input(df.repartition(5), str(tmp_path), "x")  # same content
+    assert p2 == p1  # digest dedup, partition-invariant
+    assert dump_input(df, str(tmp_path), "y", max_bytes=10) is None  # size cap
+    back = spark.read.parquet(p1)
+    assert back.count() == 100

@@ -227,3 +227,69 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def remove_fintech_duplicates(
+    df: DataFrame,
+    personal_cols: list[str],
+    target_col: str,
+    date_col: str,
+    eval_set_index_col: str = "eval_set_index",
+    window_seconds: int = 60 * 86400,
+) -> DataFrame:
+    """Full remove_fintech_duplicates pipeline with the reference's
+    applicability gates (deduplicate_utils.py:21-135), per eval segment:
+
+    1. BINARY task only (exactly 2 distinct targets) and personal keys
+       present — otherwise unchanged;
+    2. skip the segment when >=60% of duplicated personal-key groups span
+       multiple dates (looks like a legitimate time series, not fintech
+       repeat applications);
+    3. remove ALL rows of personal-key groups whose target CHANGES between
+       date-adjacent rows less than 60 days apart.
+
+    Every gate is a small aggregate over the per-key groupBy (map-side
+    combined); the raw table is only shuffled once per segment for the
+    adjacency window.
+    """
+    if not personal_cols:
+        return df
+    n_targets = df.select(target_col).distinct().limit(3).count()
+    if n_targets != 2:
+        return df
+
+    has_eval = eval_set_index_col in df.columns
+    segments = (
+        [r[0] for r in df.select(eval_set_index_col).distinct().collect()]
+        if has_eval
+        else [None]
+    )
+
+    def process(seg: DataFrame) -> DataFrame:
+        groups = seg.groupBy(*personal_cols).agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.countDistinct(F.col(date_col)).alias("__nd__"),
+            F.countDistinct(F.col(target_col)).alias("__nt__"),
+        )
+        stats = groups.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("__n__") > 1).cast("int")).alias("dups"),
+            F.sum((F.col("__nd__") > 1).cast("int")).alias("diff_dates"),
+            F.sum(((F.col("__n__") > 1) & (F.col("__nt__") > 1)).cast("int"))
+            .alias("conflicts"),
+        ).collect()[0]
+        if not stats["dups"] or not stats["total"]:
+            return seg
+        if stats["diff_dates"] / stats["total"] >= 0.6:
+            return seg
+        if not stats["conflicts"]:
+            return seg
+        return fintech_dedup(seg, personal_cols, target_col, date_col, window_seconds)
+
+    if not has_eval:
+        return process(df)
+    out = None
+    for s in sorted(segments):
+        part = process(df.filter(F.col(eval_set_index_col) == s))
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -379,3 +379,86 @@ def psi_monthly_report(
         out.append((feat, float(agg_fn(psis)) if psis else None))
     d.unpersist()
     return out
+
+
+def is_time_series(df: DataFrame, date_col: str) -> bool:
+    """is_time_series decision parity (datetime_utils.py:303-332): no null
+    dates; per-date row count constant; consecutive UNIQUE dates separated
+    by one constant calendar step (relativedelta equality — calendar-aware,
+    so a monthly series passes even across 28/31-day months).
+
+    The relativedelta pass runs on the collected DISTINCT dates only — for
+    a true time series that is one value per period, a tiny list."""
+    from dateutil.relativedelta import relativedelta
+
+    d = F.col(date_col).cast("timestamp")
+    if df.filter(d.isNull()).limit(1).count() > 0:
+        return False
+    vc = df.groupBy(d.alias("__d__")).count()
+    if vc.select(F.countDistinct("count")).collect()[0][0] != 1:
+        return False
+    dates = [r["__d__"] for r in vc.select("__d__").orderBy("__d__").collect()]
+    if len(dates) < 2:
+        return False
+    rels = {
+        (lambda r: (r.years, r.months, r.days, r.hours, r.minutes, r.seconds))(
+            relativedelta(b, a)
+        )
+        for a, b in zip(dates, dates[1:])
+    }
+    return len(rels) == 1
+
+
+def is_blocked_time_series(
+    df: DataFrame, date_col: str, search_keys: list[str]
+) -> bool:
+    """is_blocked_time_series decision parity (datetime_utils.py:336-389):
+    date-typed (no mixed intraday times), >=270 unique dates, >=30% of the
+    span covered, >=99% of dates multi-row, and — when more than 3 columns
+    remain after dropping the other search keys — at most 2 columns whose
+    values change within any single date.
+
+    All rules are aggregations; the changing-column rule is ONE
+    groupBy(date) with per-column (distinct count + null flag) aggregates,
+    not a per-group Python pass."""
+    drop = [c for c in search_keys if c != date_col and c in df.columns]
+    d = df.drop(*drop)
+    ts = F.col(date_col).cast("timestamp")
+    secs = F.unix_micros(ts) - F.unix_micros(F.date_trunc("DAY", ts))
+    head = d.agg(
+        F.max((secs != 0).cast("int")).alias("any_nz"),
+        F.countDistinct(secs).alias("n_secs"),
+        F.countDistinct(F.to_date(ts)).alias("nd"),
+        F.min(F.to_date(ts)).alias("mn"),
+        F.max(F.to_date(ts)).alias("mx"),
+    ).collect()[0]
+    if head["any_nz"] and head["n_secs"] > 1:
+        return False
+    nd = head["nd"]
+    if nd is None or nd < 270:
+        return False
+    span = (head["mx"] - head["mn"]).days + 1
+    if nd / span < 0.3:
+        return False
+
+    other_cols = [c for c in d.columns if c != date_col]
+    per_date = d.groupBy(F.to_date(ts).alias("__d__")).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        *[F.countDistinct(F.col(c)).alias(f"__nd_{i}__") for i, c in enumerate(other_cols)],
+        *[F.max(F.col(c).isNull().cast("int")).alias(f"__hn_{i}__") for i, c in enumerate(other_cols)],
+    )
+    # nunique(dropna=False) = distinct non-null + (1 if any null)
+    summary = per_date.agg(
+        F.avg((F.col("__n__") > 1).cast("double")).alias("multi_share"),
+        *[
+            F.max(((F.col(f"__nd_{i}__") + F.col(f"__hn_{i}__")) > 1).cast("int"))
+            .alias(f"__chg_{i}__")
+            for i in range(len(other_cols))
+        ],
+    ).collect()[0]
+    if summary["multi_share"] < 0.99:
+        return False
+    if len(d.columns) <= 3:
+        return True
+    changing = sum(summary[f"__chg_{i}__"] or 0 for i in range(len(other_cols)))
+    return changing <= 2

@@ -72,3 +72,44 @@ def write_iceberg_or_parquet(
         return "iceberg"
     df.write.mode("append" if mode == "append" else "overwrite").parquet(table_or_path)
     return "parquet"
+
+
+def dump_input(
+    df: DataFrame,
+    dump_dir: str,
+    name: str = "x",
+    max_bytes: int = 512 * 1024 * 1024,
+) -> str | None:
+    """Debug input dump (features_enricher.py:5333-5430 dump_input): write
+    the frame as zstd parquet under ``dump_dir/<name>-<digest>``, skipping
+    when an identical digest was already dumped (the reference's
+    is_file_uploaded dedup) or when the dump exceeds the 512 MB cap
+    (MAX_UPLOADING_FILE_SIZE, dataset.py:63). Returns the dump path, or
+    None when skipped for size.
+
+    The digest is the engine's deterministic content digest
+    (pipeline/lineage.py) — partition-layout-invariant, so re-dumps of the
+    same data dedup on any cluster size.
+    """
+    import os
+
+    from upgini_spark.pipeline.lineage import content_digest
+
+    digest = content_digest(df)
+    target = os.path.join(dump_dir, f"{name}-{digest}")
+    if os.path.isdir(target):  # already dumped (digest dedup)
+        return target
+    tmp = target + ".tmp"
+    df.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(tmp)
+        for f in files
+    )
+    if size > max_bytes:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return None
+    os.rename(tmp, target)
+    return target
