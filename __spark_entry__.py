@@ -529,6 +529,11 @@ _R01_STABLE_GREEN = [
     "knn_cosine_top3", "text_stats", "lang_id_heuristic", "doc_fingerprints",
     "psi_halves", "class_balance", "ts_truncate_trailing_7d",
     "cross_series_ratio", "ip_converters",
+    # r01-green queries whose plans were improved in round 2 (re-verified by
+    # the strict local oracle) — demoted so never-driver-checked queries fit
+    # the driver's 50-query window
+    "freq_operators", "feature_validator_stats", "hash_sample_exact_1000",
+    "undersample_imbalanced", "system_record_ids", "date_anniversary",
 ]
 
 
