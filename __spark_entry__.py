@@ -1092,10 +1092,14 @@ def fintech_dedup_1h(spark, sf_dir):
       FROM t
     )
     SELECT doc_id,
-           list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
-           list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
-           list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
-           list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3
+           list_min(list_transform(shingles,
+             s -> xor(('0x' || substr(md5(s), 1, 15))::BIGINT, 736515776646961681))) AS mh0,
+           list_min(list_transform(shingles,
+             s -> xor(('0x' || substr(md5(s), 1, 15))::BIGINT, 593602141490970062))) AS mh1,
+           list_min(list_transform(shingles,
+             s -> xor(('0x' || substr(md5(s), 1, 15))::BIGINT, 744211396722294368))) AS mh2,
+           list_min(list_transform(shingles,
+             s -> xor(('0x' || substr(md5(s), 1, 15))::BIGINT, 131124390282673233))) AS mh3
     FROM sh
     """,
 )
@@ -1119,14 +1123,15 @@ def minhash_signatures(spark, sf_dir):
       FROM t
     ), sig AS (
       SELECT doc_id,
-             list_transform(range(0, 8),
+             list_transform(range(1, 9),
                j -> list_min(list_transform(shingles,
-                    s -> md5(CAST(j AS VARCHAR) || '|' || s)))) AS mh
+                    s -> xor(('0x' || substr(md5(s), 1, 15))::BIGINT,
+                             [736515776646961681, 593602141490970062, 744211396722294368, 131124390282673233, 22963293732483802, 1127661227628911210, 714620866899011659, 1023044330036144015][CAST(j AS INT)])))) AS mh
       FROM sh
     ), banded AS (
       SELECT doc_id, b.range AS band_no,
-             md5(mh[CAST(b.range * 2 + 1 AS INT)] || '|'
-                 || mh[CAST(b.range * 2 + 2 AS INT)]) AS band_key
+             md5(CAST(mh[CAST(b.range * 2 + 1 AS INT)] AS VARCHAR) || '|'
+                 || CAST(mh[CAST(b.range * 2 + 2 AS INT)] AS VARCHAR)) AS band_key
       FROM sig, range(0, 4) b
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
