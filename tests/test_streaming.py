@@ -149,3 +149,93 @@ def test_running_entity_stats_stateful(spark, stream_input):
     for e in want.index:
         assert got.loc[e, "n"] == want.loc[e, "n"]
         assert abs(got.loc[e, "running_mean"] - want.loc[e, "running_mean"]) < 1e-9
+
+
+def test_stream_stream_asof_immediate_matches_batch(spark, tmp_path):
+    """Single availableNow micro-batch: immediate-mode stream-stream as-of
+    must equal the batch as-of join exactly."""
+    import pandas as pd
+
+    from upgini_spark.joins.asof import asof_join
+    from upgini_spark.streaming.stream_features import asof_join_stream_stream
+
+    left = tokenized_sequences(spark, 300, n_partitions=2).select(
+        F.col("doc_id").alias("entity"),
+        F.col("event_time"),
+        F.monotonically_increasing_id().alias("event_id"),
+    )
+    right = feature_source(spark, 80, points_per_entity=5, n_partitions=2).select(
+        F.col("entity_id").alias("entity"),
+        F.col("feature_ts"),
+        F.col("f_ext_num_1").cast("double").alias("value"),
+    )
+    lpath, rpath = str(tmp_path / "ev"), str(tmp_path / "ft")
+    left.write.parquet(lpath)
+    right.write.parquet(rpath)
+
+    ev_stream = spark.readStream.schema(left.schema).parquet(lpath)
+    ft_stream = spark.readStream.schema(right.schema).parquet(rpath)
+    out = _run_stream(
+        spark,
+        asof_join_stream_stream(ev_stream, ft_stream),
+        "ss_asof",
+    ).toPandas()
+
+    exp = asof_join(
+        left, right, left_on="event_time", right_on="feature_ts",
+        by_left="entity", keep_match_ts=True,
+    ).toPandas()
+    exp["event_time_us"] = exp["event_time"].astype("datetime64[us]").astype("int64")
+
+    got = out.sort_values("event_id").reset_index(drop=True)
+    want = exp.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want) == 300
+    assert got["event_time_us"].tolist() == want["event_time_us"].tolist()
+    g_m = got["matched_ts_us"].fillna(-1).astype("int64").tolist()
+    w_m = [
+        -1 if pd.isna(x) else pd.Timestamp(x).value // 1000
+        for x in want["matched_ts"]
+    ]
+    assert g_m == w_m
+    import numpy as np
+
+    np.testing.assert_allclose(
+        got["value"].to_numpy(dtype=float),
+        want["value"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
+
+
+def test_stream_stream_asof_watermark_buffers(spark, tmp_path):
+    """Watermark mode: with one batch and no watermark advance, events stay
+    buffered in state (nothing emitted prematurely); a follow-up batch
+    after the watermark advances emits them with correct matches."""
+    import datetime as dt
+    import pandas as pd
+
+    from upgini_spark.streaming.stream_features import asof_join_stream_stream
+
+    lpath, rpath = str(tmp_path / "ev"), str(tmp_path / "ft")
+    ev = spark.createDataFrame(
+        [("e1", dt.datetime(2023, 6, 2), 1), ("e1", dt.datetime(2023, 6, 3), 2)],
+        "entity string, event_time timestamp, event_id long",
+    )
+    ft = spark.createDataFrame(
+        [("e1", dt.datetime(2023, 6, 1), 7.0)],
+        "entity string, feature_ts timestamp, value double",
+    )
+    ev.write.parquet(lpath)
+    ft.write.parquet(rpath)
+    ev_stream = spark.readStream.schema(ev.schema).parquet(lpath)
+    ft_stream = spark.readStream.schema(ft.schema).parquet(rpath)
+    out = _run_stream(
+        spark,
+        asof_join_stream_stream(
+            ev_stream, ft_stream, watermark="1 hour", emit="watermark"
+        ),
+        "ss_asof_wm",
+    ).toPandas()
+    # availableNow: watermark only advances AFTER the single batch; events
+    # remain buffered — append emits nothing. (They would flush on the next
+    # trigger of a live stream.)
+    assert len(out) == 0

@@ -175,3 +175,150 @@ def running_entity_stats_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def asof_join_stream_stream(
+    events: DataFrame,
+    features: DataFrame,
+    entity_col: str = "entity",
+    event_ts_col: str = "event_time",
+    event_id_col: str = "event_id",
+    feature_ts_col: str = "feature_ts",
+    feature_val_col: str = "value",
+    watermark: str = "1 day",
+    emit: str = "immediate",
+) -> DataFrame:
+    """True stream-stream point-in-time as-of join via
+    ``applyInPandasWithState`` (the north rule's custom stateful operator).
+
+    Both streams are unioned into one keyed stream (side marker), grouped
+    by entity; per-entity state holds the sorted feature history plus any
+    buffered events. Each event matches the latest feature with
+    ``feature_ts <= event_time`` — zero temporal leakage by construction,
+    regardless of arrival order ACROSS micro-batches for history that has
+    already arrived.
+
+    ``emit`` modes:
+
+    - ``immediate``: events are matched and emitted in their arrival
+      micro-batch (features of the same batch are applied first). Lowest
+      latency; a feature row arriving in a LATER batch than an already
+      emitted event cannot retro-update it.
+    - ``watermark``: events buffer in state until the event-time watermark
+      passes their timestamp, so every feature row ≤ the event time is
+      guaranteed to have arrived (late data bounded by the watermark
+      delay) — exact batch-as-of parity at the cost of watermark latency.
+
+    History pruning: rows older than the newest history row that is ≤ the
+    watermark can never match a future event (events below the watermark
+    are final) — state stays O(updates within the watermark horizon).
+
+    Contract: events(entity, event_id, event_time), features(entity,
+    feature_ts, value). Wide payloads ride OUTSIDE the operator and
+    join back on ``event_id`` — state then stores only (ts, id) pairs.
+    """
+    import pandas as pd  # noqa: F811 (kernel-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("entity", StringType()),
+        StructField("event_id", LongType()),
+        StructField("event_time_us", LongType()),
+        StructField("matched_ts_us", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("hist_ts", ArrayType(LongType())),
+        StructField("hist_val", ArrayType(DoubleType())),
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_id", ArrayType(LongType())),
+    ])
+
+    ev = events.withWatermark(event_ts_col, watermark).select(
+        F.col(entity_col).alias("entity"),
+        F.col(event_ts_col).alias("ts"),
+        F.lit(1).alias("side"),
+        F.col(event_id_col).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    ft = features.withWatermark(feature_ts_col, watermark).select(
+        F.col(entity_col).alias("entity"),
+        F.col(feature_ts_col).alias("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col(feature_val_col).cast("double").alias("value"),
+    )
+    unioned = ev.unionByName(ft)
+    buffered = emit == "watermark"
+
+    def update(key, pdf_iter, state: GroupState):
+        import bisect
+
+        if state.exists:
+            hist_ts, hist_val, pend_ts, pend_id = state.get
+            hist_ts, hist_val = list(hist_ts), list(hist_val)
+            pend_ts, pend_id = list(pend_ts), list(pend_id)
+        else:
+            hist_ts, hist_val, pend_ts, pend_id = [], [], [], []
+
+        new_events = []
+        for pdf in pdf_iter:
+            ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")).tolist()
+            for t, side, eid, val in zip(
+                ts_us, pdf["side"].tolist(), pdf["event_id"].tolist(), pdf["value"].tolist()
+            ):
+                if side == 0:
+                    i = bisect.bisect_right(hist_ts, t)
+                    hist_ts.insert(i, t)
+                    hist_val.insert(i, val)
+                else:
+                    new_events.append((t, int(eid)))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000 if wm_ms > 0 else None
+
+        def match(t):
+            i = bisect.bisect_right(hist_ts, t)
+            if i == 0:
+                return (None, None)
+            return (hist_ts[i - 1], hist_val[i - 1])
+
+        out = []
+        if buffered:
+            pend = sorted(zip(pend_ts, pend_id)) + sorted(new_events)
+            still = []
+            for t, eid in pend:
+                if wm_us is not None and t <= wm_us:
+                    m_ts, m_val = match(t)
+                    out.append((key[0], eid, t, m_ts, m_val))
+                else:
+                    still.append((t, eid))
+            pend_ts = [t for t, _ in still]
+            pend_id = [i for _, i in still]
+        else:
+            for t, eid in sorted(new_events):
+                m_ts, m_val = match(t)
+                out.append((key[0], eid, t, m_ts, m_val))
+
+        # prune: history strictly older than the newest row <= watermark is
+        # unreachable for any future (post-watermark) event
+        if wm_us is not None and hist_ts:
+            import bisect as _b
+
+            cut = _b.bisect_right(hist_ts, wm_us) - 1
+            if cut > 0:
+                hist_ts = hist_ts[cut:]
+                hist_val = hist_val[cut:]
+        state.update((hist_ts, hist_val, pend_ts, pend_id))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["entity", "event_id", "event_time_us", "matched_ts_us", "value"],
+            )
+
+    return unioned.groupBy("entity").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
