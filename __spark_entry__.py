@@ -2345,7 +2345,9 @@ def ip_range_join(spark, sf_dir):
         ((F.col("id") + 1) * 16777216 - 1).alias("ip_hi"),
         F.concat(F.lit("block_"), F.col("id").cast("string")).alias("block_name"),
     )
-    out = range_join(ips, ranges, "ip_int", "ip_lo", "ip_hi")
+    # bucketed equi-join plan: ranges explode into 16M-wide buckets,
+    # values hash-join on their bucket (no BroadcastNestedLoopJoin)
+    out = range_join(ips, ranges, "ip_int", "ip_lo", "ip_hi", bucket_width=16777216)
     return out.select("c_custkey", "ip_int", "block_name")
 
 

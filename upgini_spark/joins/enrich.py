@@ -58,12 +58,41 @@ def range_join(
     hi_col: str,
     how: str = "left",
     broadcast_ranges: bool = True,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Interval/range enrichment (SearchKey.IP_RANGE_*, reference
     metadata.py:75-92 — server-side there, modeled here): attach the range
-    row whose [lo, hi] contains the value. Small range tables broadcast
-    (the IP-geo case); large ones rely on AQE. Assumes non-overlapping
-    ranges (IP allocations)."""
+    row whose [lo, hi] contains the value. Assumes non-overlapping ranges
+    (IP allocations).
+
+    ``bucket_width`` turns the non-equi join (planned as
+    BroadcastNestedLoopJoin — every row scans every range) into a bucketed
+    EQUI-join: each range explodes into the fixed-width buckets it spans,
+    values join on their bucket, a residual filter keeps the containing
+    range. With width ≈ median range size each row probes O(1) candidates;
+    this is the 100 TB plan (hash join, AQE-eligible). Without it, small
+    range tables broadcast-NLJ (fine up to ~10^4 ranges)."""
+    if bucket_width:
+        w = int(bucket_width)
+        buckets = ranges.withColumn(
+            "__rb__",
+            F.explode(
+                F.sequence(
+                    (F.col(lo_col) / w).cast("long"), (F.col(hi_col) / w).cast("long")
+                )
+            ),
+        )
+        b = F.broadcast(buckets) if broadcast_ranges else buckets
+        joined = left.join(
+            b,
+            on=(
+                ((left[value_col] / w).cast("long") == b["__rb__"])
+                & (left[value_col] >= b[lo_col])
+                & (left[value_col] <= b[hi_col])
+            ),
+            how=how,
+        )
+        return joined.drop("__rb__")
     r = F.broadcast(ranges) if broadcast_ranges else ranges
     cond = (left[value_col] >= r[lo_col]) & (left[value_col] <= r[hi_col])
     return left.join(r, on=cond, how=how)

@@ -42,6 +42,16 @@ def group_kfold_column(
     return df.withColumn(out_col, F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_splits)).cast("int"))
 
 
+def _chronological_index(df: DataFrame, ts_col: str, tie_cols: list[str]):
+    """Distributed dense 0-based chronological index (range partition +
+    per-partition counts — NOT a global single-partition window)."""
+    from upgini_spark.pipeline.record_ids import zip_with_index
+
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tie_cols]
+    indexed = zip_with_index(df, order, "__cv_rn__")
+    return indexed.withColumn("__cv_rn__", F.col("__cv_rn__") - 1)
+
+
 def time_series_split_column(
     df: DataFrame, ts_col: str, tie_cols: list[str], n_splits: int = 5,
     out_col: str = "fold_id",
@@ -49,10 +59,12 @@ def time_series_split_column(
     """sklearn TimeSeriesSplit fold of the TEST block each row falls in:
     rows in chronological (n_splits+1)-quantile block b>=1 are test of fold
     b-1; block 0 is never test (fold null)."""
-    w = Window.orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tie_cols])
     n = df.count()
-    block = F.floor((F.row_number().over(w) - 1) * (n_splits + 1) / F.lit(n)).cast("int")
-    return df.withColumn(out_col, F.when(block >= 1, block - 1).cast("int"))
+    indexed = _chronological_index(df, ts_col, tie_cols)
+    block = F.floor(F.col("__cv_rn__") * (n_splits + 1) / F.lit(n)).cast("int")
+    return indexed.withColumn(
+        out_col, F.when(block >= 1, block - 1).cast("int")
+    ).drop("__cv_rn__")
 
 
 def blocked_time_series_column(
@@ -62,15 +74,15 @@ def blocked_time_series_column(
     """BlockedTimeSeriesSplit (blocked_time_series.py:11-99): k equal
     chronological blocks; within each block the leading (1−test_size)
     share is train, the trailing share is test."""
-    w = Window.orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tie_cols])
     n = df.count()
-    rn = F.row_number().over(w) - 1
+    indexed = _chronological_index(df, ts_col, tie_cols)
+    rn = F.col("__cv_rn__")
     block = F.floor(rn * n_splits / F.lit(n)).cast("int")
     pos_in_block = rn - F.floor(block * F.lit(n) / n_splits)
     block_size = (
         F.floor((block + 1) * F.lit(n) / n_splits) - F.floor(block * F.lit(n) / n_splits)
     )
     is_test = pos_in_block >= (block_size * (1.0 - test_size))
-    return df.withColumn(out_col, block).withColumn(
+    return indexed.withColumn(out_col, block).withColumn(
         role_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
-    )
+    ).drop("__cv_rn__")

@@ -45,6 +45,66 @@ def row_hash(cols: list[str], sep: str = "\x1f") -> F.Column:
     return F.md5(F.concat_ws(sep, *parts))
 
 
+def zip_with_index(
+    df: DataFrame,
+    order,
+    out_col: str,
+    seg_col: str | None = None,
+    num_partitions: int | None = None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distributed dense 1-based row index along a total order — the
+    zipWithIndex pattern described in the module docstring. ``order`` is a
+    list of Column sort expressions; when ``seg_col`` is given, numbering
+    restarts per segment (the segment column must lead the order).
+
+    The sorted+indexed intermediate is persisted (memory-and-disk) so the
+    offsets job and the final pass see one consistent partition layout.
+    """
+    spark = df.sparkSession
+    out_cols = keep_cols or list(df.columns)
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    work = (
+        df.repartitionByRange(n, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__sri_mid__", F.monotonically_increasing_id())
+        .persist()
+    )
+
+    pid = F.shiftright(F.col("__sri_mid__"), _MID_BITS).alias("__sri_pid__")
+    seg_expr = F.col(seg_col) if seg_col else F.lit(0)
+    stats = (
+        work.groupBy(pid, seg_expr.alias("__sri_seg__"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("__sri_mid__").alias("min_mid"))
+        .collect()
+    )
+    if not stats:
+        return df.select(*out_cols).withColumn(out_col, F.lit(None).cast("long"))
+
+    by_seg: dict = defaultdict(list)
+    for r in stats:
+        by_seg[r["__sri_seg__"]].append(r)
+    offsets = []
+    for s, rows in by_seg.items():
+        rows.sort(key=lambda r: r["__sri_pid__"])
+        acc = 0
+        for r in rows:
+            offsets.append((int(r["__sri_pid__"]), s, acc, int(r["min_mid"])))
+            acc += int(r["cnt"])
+    map_df = spark.createDataFrame(
+        offsets, "__sri_pid__ long, __sri_seg__ int, __sri_off__ long, __sri_minmid__ long"
+    )
+
+    keyed = work.withColumn(
+        "__sri_pid__", F.shiftright(F.col("__sri_mid__"), _MID_BITS)
+    ).withColumn("__sri_seg__", seg_expr.cast("int"))
+    out = keyed.join(F.broadcast(map_df), ["__sri_pid__", "__sri_seg__"])
+    rid = (
+        F.col("__sri_off__") + (F.col("__sri_mid__") - F.col("__sri_minmid__")) + 1
+    ).cast("long")
+    return out.select(*out_cols, rid.alias(out_col))
+
+
 def add_system_record_id(
     df: DataFrame,
     sort_date_col: str | None,
@@ -61,11 +121,7 @@ def add_system_record_id(
     makes ids partition-invariant even for rows duplicated on
     (date, hash_cols): fully identical rows are interchangeable, so any
     assignment among them yields the same output multiset.
-
-    The sorted+indexed intermediate is persisted (memory-and-disk) so the
-    offsets job and the final pass see one consistent partition layout.
     """
-    spark = df.sparkSession
     orig_cols = list(df.columns)
     seg = EVAL_SET_INDEX if (per_eval_segment and EVAL_SET_INDEX in df.columns) else None
 
@@ -77,43 +133,7 @@ def add_system_record_id(
         + ([F.col(sort_date_col).asc_nulls_last()] if sort_date_col else [])
         + [F.col("__sri_h__").asc(), F.col("__sri_tie__").asc()]
     )
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    work = (
-        work.repartitionByRange(n, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("__sri_mid__", F.monotonically_increasing_id())
-        .persist()
+    return zip_with_index(
+        work, order, out_col, seg_col=seg,
+        num_partitions=num_partitions, keep_cols=orig_cols,
     )
-
-    pid = F.shiftright(F.col("__sri_mid__"), _MID_BITS).alias("__sri_pid__")
-    seg_expr = F.col(seg) if seg else F.lit(0)
-    stats = (
-        work.groupBy(pid, seg_expr.alias("__sri_seg__"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("__sri_mid__").alias("min_mid"))
-        .collect()
-    )
-    if not stats:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-
-    by_seg: dict = defaultdict(list)
-    for r in stats:
-        by_seg[r["__sri_seg__"]].append(r)
-    offsets = []
-    for s, rows in by_seg.items():
-        rows.sort(key=lambda r: r["__sri_pid__"])
-        acc = 0
-        for r in rows:
-            offsets.append((int(r["__sri_pid__"]), s, acc, int(r["min_mid"])))
-            acc += int(r["cnt"])
-    map_df = spark.createDataFrame(
-        offsets, "__sri_pid__ long, __sri_seg__ int, __sri_off__ long, __sri_minmid__ long"
-    )
-
-    keyed = work.withColumn("__sri_pid__", F.shiftright(F.col("__sri_mid__"), _MID_BITS)).withColumn(
-        "__sri_seg__", seg_expr.cast("int")
-    )
-    out = keyed.join(F.broadcast(map_df), ["__sri_pid__", "__sri_seg__"])
-    rid = (
-        F.col("__sri_off__") + (F.col("__sri_mid__") - F.col("__sri_minmid__")) + 1
-    ).cast("long")
-    return out.select(*orig_cols, rid.alias(out_col))
