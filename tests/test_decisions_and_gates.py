@@ -142,3 +142,47 @@ def test_dump_input_digest_dedup(spark, tmp_path):
     assert dump_input(df, str(tmp_path), "y", max_bytes=10) is None  # size cap
     back = spark.read.parquet(p1)
     assert back.count() == 100
+
+
+def test_calculate_features_psi_target_gate(spark):
+    from upgini_spark.functions.stats import calculate_features_psi
+
+    df = spark.range(400).select(
+        F.expr("timestampadd(HOUR, cast(id % 720 as int), timestamp'2023-01-01')")
+        .alias("ts"),
+        (F.col("id") % 2).cast("int").alias("target"),
+        (F.col("id") % 13).cast("double").alias("f1"),
+    )
+    # stable target → features get real PSI values
+    out = calculate_features_psi(df, ["f1"], [], "ts", target_col="target")
+    assert "f1" in out and out["f1"] is not None
+    # impossible threshold → gate trips → empty_res zeros
+    gated = calculate_features_psi(
+        df, ["f1"], [], "ts", target_col="target", target_threshold=-1.0
+    )
+    assert gated == {"f1": 0.0}
+
+
+def test_calculate_sparsity_psi(spark):
+    from upgini_spark.functions.stats import calculate_sparsity_psi
+
+    df = spark.range(400).select(
+        F.expr("timestampadd(HOUR, cast(id % 720 as int), timestamp'2023-01-01')")
+        .alias("ts"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("sparse_col"),
+        F.col("id").alias("dense_col"),
+    )
+    out = calculate_sparsity_psi(df, ["sparse_col", "dense_col"], "ts")
+    assert "sparse_col" in out and "dense_col" not in out
+
+
+def test_autodetect_full_country_names(spark):
+    from upgini_spark.pipeline.autodetect import detect_search_keys
+
+    df = spark.createDataFrame(
+        [("Bosnia and Herzegovina", 1), ("Ukraine", 2), ("COTE D'IVOIRE", 3),
+         ("north macedonia", 4), ("Sweden", 5)] * 20,
+        "ctry string, x int",
+    )
+    keys = detect_search_keys(df)
+    assert keys.get("ctry") == "COUNTRY"

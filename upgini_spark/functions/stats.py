@@ -462,3 +462,59 @@ def is_blocked_time_series(
         return True
     changing = sum(summary[f"__chg_{i}__"] or 0 for i in range(len(other_cols)))
     return changing <= 2
+
+
+def calculate_features_psi(
+    df: DataFrame,
+    feature_cols: list[str],
+    cat_features: list[str],
+    date_col: str,
+    target_col: str | None = None,
+    target_is_numerical: bool = False,
+    target_threshold: float = 999.0,
+    **kwargs,
+) -> dict[str, float]:
+    """calculate_features_psi parity incl. the TARGET gate
+    (psi.py:72-151): when a target column is given, its PSI is computed
+    first (5 bins, reference DEFAULT_TARGET_PARAMS); if it cannot be
+    determined or exceeds the threshold, every feature reports 0.0
+    (the reference's empty_res) and the feature pass is skipped."""
+    d = df.filter(F.col(date_col).isNotNull())
+    if target_col is not None:
+        t_rows = psi_monthly_report(
+            d.select(target_col, date_col),
+            [target_col],
+            [] if target_is_numerical else [target_col],
+            date_col,
+            n_bins=5,
+        )
+        t_psi = t_rows[0][1]
+        if t_psi is None or t_psi != t_psi or t_psi > target_threshold:
+            return {c: 0.0 for c in feature_cols}
+    rows = psi_monthly_report(d, feature_cols, cat_features, date_col, **kwargs)
+    return {c: p for c, p in rows}
+
+
+def calculate_sparsity_psi(
+    df: DataFrame,
+    feature_cols: list[str],
+    date_col: str,
+    **kwargs,
+) -> dict[str, float]:
+    """calculate_sparsity_psi parity (psi.py:44-69): PSI of the NOT-NULL
+    mask for every feature that has at least one null — null-pattern
+    stability over the monthly intervals. Features with no nulls are
+    omitted (the reference only checks sparse columns)."""
+    null_counts = df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in feature_cols]
+    ).collect()[0]
+    sparse = [c for c in feature_cols if (null_counts[c] or 0) > 0]
+    if not sparse:
+        return {}
+    masked = df.select(
+        F.col(date_col),
+        *[F.col(c).isNotNull().cast("int").alias(c) for c in sparse],
+    )
+    # the mask is categorical 0/1 (reference passes the boolean frame on)
+    rows = psi_monthly_report(masked, sparse, sparse, date_col, **kwargs)
+    return {c: p for c, p in rows}

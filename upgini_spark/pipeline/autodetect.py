@@ -32,11 +32,17 @@ _DATE_RES = [
     re.compile(r"^\d{8}$"),
 ]
 
-COUNTRY_TOKENS = {
-    "US", "USA", "GB", "UK", "DE", "FR", "ES", "IT", "CA", "AU", "BR", "IN",
-    "CN", "JP", "RU", "MX", "NL", "PL", "SE", "NO", "FI", "DK", "IE", "CH",
-    "UNITEDSTATES", "UNITEDKINGDOM", "GERMANY", "FRANCE", "SPAIN", "ITALY",
-}
+def _country_tokens() -> set[str]:
+    """Reference COUNTRY_CODES (country_utils.py:253): all full-name keys
+    plus all alpha-2 codes — here with non-letters stripped to match the
+    probe normalization."""
+    from upgini_spark.functions.keys_tables import COUNTRY_NAMES_TO_ISO
+
+    names = {re.sub("[^A-Z]", "", k) for k in COUNTRY_NAMES_TO_ISO}
+    return names | set(COUNTRY_NAMES_TO_ISO.values()) | {"UK"}
+
+
+COUNTRY_TOKENS = _country_tokens()
 
 
 def _share(vals: list, pred) -> float:
