@@ -533,7 +533,7 @@ _R01_STABLE_GREEN = [
     # the strict local oracle) — demoted so never-driver-checked queries fit
     # the driver's 50-query window
     "freq_operators", "feature_validator_stats", "hash_sample_exact_1000",
-    "undersample_imbalanced", "system_record_ids", "date_anniversary",
+    "system_record_ids", "date_anniversary",
 ]
 
 
@@ -1556,23 +1556,98 @@ def hash_sample_exact_1000(spark, sf_dir):
 @_q(
     "undersample_imbalanced",
     """
-    WITH counts AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
-    q AS (
-      SELECT CAST(2 * (min(n) + (25000.0 - count(*) * min(n)) / (count(*) - 1)) AS BIGINT)
-        AS quota FROM counts
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 15 = 0 THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ), c AS (SELECT y, count(*) AS n FROM t GROUP BY y),
+    mm AS (SELECT min(n) AS mn, max(n) AS mx FROM c),
+    minc AS (SELECT y FROM c ORDER BY n ASC, CAST(y AS VARCHAR) DESC LIMIT 1),
+    sz AS (SELECT least(mx, 5 * (mn + greatest(5000 - 2 * mn, 0))) AS s FROM mm),
+    ranked AS (
+      SELECT l_orderkey, l_linenumber, y,
+             row_number() OVER (
+               PARTITION BY y
+               ORDER BY md5(CAST(l_orderkey AS VARCHAR) || chr(31)
+                            || CAST(l_linenumber AS VARCHAR)),
+                        l_orderkey, l_linenumber) AS rk
+      FROM t
     )
-    SELECT event_id FROM (
-      SELECT event_id, row_number() OVER (
-        PARTITION BY event_type
-        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
-      FROM events
-    ) WHERE rk <= (SELECT quota FROM q)
+    SELECT l_orderkey, l_linenumber, y FROM ranked
+    WHERE y = (SELECT y FROM minc) OR rk <= (SELECT s FROM sz)
     """,
 )
 def undersample_imbalanced(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    out = SMP.undersample_imbalanced(ev, "event_type", ["event_id"])
-    return out.select("event_id")
+    """balance_undersample BINARY path (target_utils.py:255-276): minority
+    kept whole; majority md5-rank-sampled to
+    min(max_count, 5·(min + max(5000 − 2·min, 0)))."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_orderkey") % 15 == 0).cast("int").alias("y"),
+    )
+    out = SMP.undersample_imbalanced(li, "y", ["l_orderkey", "l_linenumber"])
+    return out.select("l_orderkey", "l_linenumber", "y")
+
+
+@_q(
+    "undersample_multiclass",
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 30000 = 0 THEN 9
+                  WHEN l_orderkey % 10 < 7 THEN 0
+                  WHEN l_orderkey % 10 < 9 THEN 1 ELSE 2 END AS cls
+      FROM lineitem
+    ), c AS (SELECT cls, count(*) AS n FROM t GROUP BY cls),
+    tot AS (SELECT sum(n) AS s FROM c),
+    top2 AS (SELECT cls FROM c ORDER BY n DESC, CAST(cls AS VARCHAR) ASC LIMIT 2),
+    rare AS (
+      SELECT c.cls FROM c, tot
+      WHERE CAST(c.n AS DOUBLE) / tot.s < 0.0001
+        AND c.cls NOT IN (SELECT cls FROM top2)
+    ), kept AS (
+      SELECT cls, n FROM c WHERE cls NOT IN (SELECT cls FROM rare)
+    ), st AS (
+      SELECT count(*) AS k, min(n) AS mn, max(n) AS mx, sum(n) AS tot2 FROM kept
+    ), minc AS (
+      SELECT cls FROM kept ORDER BY n ASC, CAST(cls AS VARCHAR) DESC LIMIT 1
+    ), quota AS (
+      SELECT CASE WHEN tot2 > 25000 AND mx > 2 * mn
+                  THEN CAST(floor(2 * (mn + greatest(
+                       (25000.0 - k * mn) / (k - 1), 0))) AS BIGINT)
+                  ELSE NULL END AS q
+      FROM st
+    ), ranked AS (
+      SELECT l_orderkey, l_linenumber, cls,
+             row_number() OVER (
+               PARTITION BY cls
+               ORDER BY md5(CAST(l_orderkey AS VARCHAR) || chr(31)
+                            || CAST(l_linenumber AS VARCHAR)),
+                        l_orderkey, l_linenumber) AS rk
+      FROM t WHERE cls NOT IN (SELECT cls FROM rare)
+    )
+    SELECT l_orderkey, l_linenumber, cls FROM ranked
+    WHERE cls = (SELECT cls FROM minc)
+       OR (SELECT q FROM quota) IS NULL
+       OR rk <= (SELECT q FROM quota)
+    """,
+)
+def undersample_multiclass(spark, sf_dir):
+    """balance_undersample MULTICLASS path (target_utils.py:200-254):
+    <0.01% rare classes drop (top-2 protected), then per non-minority
+    class quota 2·(min + max((25000 − k·min)/(k−1), 0)) when the
+    gates (rows > 25 000, max > 2·min) trip."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_orderkey") % 30000 == 0, 9)
+        .when(F.col("l_orderkey") % 10 < 7, 0)
+        .when(F.col("l_orderkey") % 10 < 9, 1)
+        .otherwise(2).alias("cls"),
+    )
+    out = SMP.undersample_imbalanced(
+        li, "cls", ["l_orderkey", "l_linenumber"], task_type="MULTICLASS"
+    )
+    return out.select("l_orderkey", "l_linenumber", "cls")
 
 
 @_q(

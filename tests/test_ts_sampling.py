@@ -161,3 +161,37 @@ def test_forced_downsample_binary(spark):
     assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in out2.collect())
     small = spark.range(100).select(F.col("id"), F.lit(0).alias("y"))
     assert forced_downsample_binary(small, "y", ["id"]).count() == 100
+
+
+def test_undersample_binary_reference_formula(spark):
+    from upgini_spark.functions.sampling import undersample_imbalanced
+
+    df = spark.range(8000).select(
+        F.col("id"), (F.col("id") % 8 == 0).cast("int").alias("y")  # minority 1000
+    )
+    out = undersample_imbalanced(df, "y", ["id"])
+    counts = {r["y"]: r["count"] for r in out.groupBy("y").count().collect()}
+    # size = min(7000, 5*(1000 + max(5000-2000, 0))) = min(7000, 20000) = 7000
+    assert counts[1] == 1000 and counts[0] == 7000
+    small = spark.range(4000).select(F.col("id"), (F.col("id") % 8 == 0).cast("int").alias("y"))
+    assert undersample_imbalanced(small, "y", ["id"]).count() == 4000  # <=5000 gate
+
+
+def test_undersample_multiclass_rare_drop_and_quota(spark):
+    from upgini_spark.functions.sampling import undersample_imbalanced
+
+    df = spark.range(60000).select(
+        F.col("id"),
+        F.when(F.col("id") < 3, 9)            # rare: 3/60000 < 0.01%
+        .when(F.col("id") % 10 < 7, 0)        # ~42k
+        .when(F.col("id") % 10 < 9, 1)        # ~12k
+        .otherwise(2).alias("cls"),           # ~6k (minority)
+    )
+    out = undersample_imbalanced(df, "cls", ["id"], task_type="MULTICLASS")
+    counts = {r["cls"]: r["count"] for r in out.groupBy("cls").count().collect()}
+    assert 9 not in counts                       # rare class dropped
+    mn = counts[2]
+    k = 3
+    quota = int(2 * (mn + max((25000 - k * mn) / (k - 1), 0)))
+    assert counts[0] == quota
+    assert counts[1] <= quota and 2 in counts

@@ -42,33 +42,95 @@ def threshold_downsample(
     return hash_sample_exact(df, threshold, id_cols)
 
 
-def imbalance_quotas(df: DataFrame, target_col: str) -> dict:
-    """Per-class keep-quotas (target_utils.py:164-276): BINARY keeps
-    minority + 5·(minority + max(5000 − 2·minority, 0)) of majority;
-    MULTICLASS quota = 2·(min + (25000 − k·min)/(k−1)) per class."""
+BINARY_MIN_SAMPLE_THRESHOLD = 5_000       # reference utils/config.py:13
+MULTICLASS_MIN_SAMPLE_THRESHOLD = 25_000  # :14
+BINARY_BOOTSTRAP_LOOPS = 5                # :15
+MULTICLASS_BOOTSTRAP_LOOPS = 2            # :16
+RARE_CLASS_SHARE = 0.0001                 # target_utils.py:204
+
+
+def imbalance_quotas(
+    df: DataFrame, target_col: str, task_type: str | None = None
+) -> tuple[dict, list]:
+    """balance_undersample parity (target_utils.py:164-276). Returns
+    (per-class keep-quota, classes-to-drop); a class absent from the quota
+    map keeps everything.
+
+    MULTICLASS: classes with <0.01% of rows drop (top-2 always kept); if
+    rows > 25 000 and max_count > 2·min_count, every non-minority class
+    caps at min(count, 2·(min + max((25000 − k·min)/(k−1), 0))).
+    BINARY: if rows > 5 000, the majority side caps at
+    min(max_count, 5·(min + max(5000 − 2·min, 0))); minority kept whole.
+    Ties on class counts break by class value (deterministic)."""
     counts = {r[0]: r[1] for r in df.groupBy(target_col).count().collect()}
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    total = sum(counts.values())
     k = len(counts)
-    m = min(counts.values())
-    if k == 2:
-        quota = m + 5 * (m + max(5000 - 2 * m, 0))
-    else:
-        quota = int(2 * (m + (25000 - k * m) / max(k - 1, 1)))
-    return {cls: min(c, quota) for cls, c in counts.items()}
+    if task_type is None:
+        task_type = "BINARY" if k == 2 else "MULTICLASS"
+
+    if task_type == "MULTICLASS":
+        top_two = {cls for cls, _ in ordered[:2]}
+        drop = [
+            cls for cls, c in ordered
+            if c / total < RARE_CLASS_SHARE and cls not in top_two
+        ]
+        kept = [(cls, c) for cls, c in ordered if cls not in set(drop)]
+        total_k = sum(c for _, c in kept)
+        k = len(kept)
+        min_cls, min_cnt = kept[-1]
+        max_cnt = kept[0][1]
+        if total_k > MULTICLASS_MIN_SAMPLE_THRESHOLD and max_cnt > (
+            min_cnt * MULTICLASS_BOOTSTRAP_LOOPS
+        ):
+            quota = int(
+                MULTICLASS_BOOTSTRAP_LOOPS
+                * (
+                    min_cnt
+                    + max(
+                        (MULTICLASS_MIN_SAMPLE_THRESHOLD - k * min_cnt) / (k - 1), 0
+                    )
+                )
+            )
+            return (
+                {cls: min(c, quota) for cls, c in kept if cls != min_cls},
+                drop,
+            )
+        return {}, drop
+
+    # BINARY
+    min_cls, min_cnt = ordered[-1]
+    max_cnt = ordered[0][1]
+    if total > BINARY_MIN_SAMPLE_THRESHOLD:
+        size = min(
+            max_cnt,
+            BINARY_BOOTSTRAP_LOOPS
+            * (min_cnt + max(BINARY_MIN_SAMPLE_THRESHOLD - 2 * min_cnt, 0)),
+        )
+        return {cls: size for cls, _ in ordered if cls != min_cls}, []
+    return {}, []
 
 
 def undersample_imbalanced(
-    df: DataFrame, target_col: str, id_cols: list[str]
+    df: DataFrame, target_col: str, id_cols: list[str], task_type: str | None = None
 ) -> DataFrame:
-    """Deterministic per-class undersample to the reference quotas."""
-    quotas = imbalance_quotas(df, target_col)
+    """Deterministic undersample to the reference quotas — per-class
+    md5-rank sampling replaces the seeded RandomUnderSampler (same rows on
+    any partitioning)."""
+    quotas, drop = imbalance_quotas(df, target_col, task_type)
+    out = df
+    if drop:
+        out = out.filter(~F.col(target_col).isin(drop))
+    if not quotas:
+        return out
     h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols]))
     w = Window.partitionBy(target_col).orderBy(h.asc(), *[F.col(c).asc() for c in id_cols])
-    ranked = df.withColumn("__rk__", F.row_number().over(w))
+    ranked = out.withColumn("__rk__", F.row_number().over(w))
     quota_map = F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv])
-    return (
-        ranked.filter(F.col("__rk__") <= quota_map[F.col(target_col)])
-        .drop("__rk__")
+    keep = F.col("__rk__") <= F.coalesce(
+        quota_map[F.col(target_col)], F.lit(2**62)
     )
+    return ranked.filter(keep).drop("__rk__")
 
 
 def ts_truncate_trailing(
