@@ -147,3 +147,21 @@ def test_compile_features_with_param_nodes(spark):
     set_op_params(replayed, frozen[1])
     out = compile_features(df, {"f_norm": replayed}).orderBy("id").collect()
     assert [r["f_norm"] for r in out] == [1.0, 7.0]
+
+
+def test_rename_columns_and_params():
+    from upgini_spark.plans.feature_dag import (
+        get_all_operand_names, rename_columns, rename_op_params,
+    )
+
+    node = parse_formula("GroupByThenMean(norm(price),region)")
+    assert get_all_operand_names(node) == {"GroupByThenMean", "norm"}
+
+    rename_columns(node, {"price": "p2", "region": "r2"})
+    assert node.formula() == "GroupByThenMean(norm(p2),r2)"
+    assert display_name(node) == "f_p2_f_r2_autofe_groupbythenmean"
+
+    inner = node.children[0]
+    inner.params = {"norm_price": "3.0", "alias": "x"}
+    rename_op_params(node, {"price": "p2"})
+    assert inner.params == {"norm_p2": "3.0", "alias": "x"}

@@ -509,3 +509,44 @@ def set_op_params(node: Op, params: dict[str, str]) -> Op:
         }
         set_op_params(child, child_params or params)
     return node
+
+
+def get_all_operand_names(node: Node) -> set[str]:
+    """All operator formula names in the DAG (feature.py:141-145)."""
+    if isinstance(node, Col):
+        return set()
+    out = {node.op}
+    for c in node.children:
+        out |= get_all_operand_names(c)
+    return out
+
+
+def rename_columns(node: Node, mapping: dict[str, str]) -> Node:
+    """Rename source columns throughout the DAG (feature.py:147-152)."""
+    if isinstance(node, Col):
+        node.name = mapping.get(node.name, node.name)
+        return node
+    for c in node.children:
+        rename_columns(c, mapping)
+    return node
+
+
+def rename_op_params(node: Node, mapping: dict[str, str]) -> Node:
+    """Operator.rename_params parity (operator.py:92-116): rewrite column
+    names inside param KEYS, longest-old-name-first to avoid partial
+    overlaps; recurses through the DAG (feature.py:154-159)."""
+    if isinstance(node, Col):
+        return node
+    if node.params and mapping:
+        replacements = sorted(mapping.items(), key=lambda kv: -len(kv[0]))
+        renamed: dict = {}
+        for key, value in node.params.items():
+            new_key = key
+            for old, new in replacements:
+                if old and old in new_key:
+                    new_key = new_key.replace(old, new)
+            renamed[new_key] = value
+        node.params = renamed
+    for c in node.children:
+        rename_op_params(c, mapping)
+    return node
