@@ -3095,3 +3095,57 @@ def fintech_dedup_gated(spark, sf_dir):
     )
     out = DD.remove_fintech_duplicates(fixture, ["user_id"], "target", "d")
     return out.select("event_id", "user_id", "target")
+
+
+@_q(
+    "knn_cosine_ivf",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+             v AS cv
+      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ), sims AS (
+      SELECT e.vec_id, cent.ci,
+             list_cosine_similarity(e.v, cent.cv) AS s
+      FROM e, cent
+    ), ranked_cells AS (
+      SELECT vec_id, ci,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci ASC) AS rn
+      FROM sims
+    ), cells AS (
+      SELECT vec_id, ci AS cell FROM ranked_cells WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id, ci AS cell FROM ranked_cells WHERE rn <= 2 AND vec_id < 5
+    ), scored AS (
+      SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS n_id,
+             list_cosine_similarity(qe.v, ce.v) AS cos_raw
+      FROM probes p
+      JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+      JOIN e qe ON qe.vec_id = p.vec_id
+      JOIN e ce ON ce.vec_id = c.vec_id
+    ), ranked AS (
+      SELECT q_id, n_id, round(cos_raw, 6) AS cos,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_raw DESC, n_id ASC) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_cosine_ivf(spark, sf_dir):
+    """IVF-style approximate kNN: deterministic md5-sampled centroids
+    partition the corpus into cells; each query probes its 2 nearest
+    cells and ranks exactly within candidates — cell equi-join, no cross
+    join. The oracle replays the identical quantizer in SQL."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = SIM.cosine_topk_ivf(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=3, n_cells=8, n_probe=2,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -53,6 +53,10 @@ HEADLINE = [
     "text_stats",
     "dedup_key_conflicts",
     "psi_halves",
+    "embedding_near_dup",
+    "knn_cosine_ivf",
+    "forced_downsample_binary",
+    "ts_id_priority_sample",
 ]
 
 

@@ -158,3 +158,90 @@ def embedding_near_dup_lsh(
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .distinct()
     )
+
+
+def deterministic_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int = 8
+) -> list[tuple]:
+    """IVF coarse quantizer: the ``n_cells`` corpus vectors with the
+    smallest md5(id) — a deterministic, engine-portable "random" sample
+    (any SQL engine picks the same rows), standing in for k-means
+    centroids. Returns [(id, vector)] sorted by the hash order."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    return [(r["cid"], list(r["cvec"])) for r in rows]
+
+
+def _cell_assign(vec_col: str, centroids: list[tuple]) -> F.Column:
+    """argmax-cosine cell id as a native expression: array of
+    (sim, cell_idx) structs → array_max picks the best (ties → larger
+    idx loses because array_max compares sim first, then idx — use
+    negative idx so the SMALLEST cell index wins ties)."""
+    cells = []
+    for i, (_cid, cvec) in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cells.append(
+            F.struct(
+                cosine_similarity(F.col(vec_col), c).alias("s"),
+                F.lit(-i).alias("ni"),
+            )
+        )
+    best = F.array_max(F.array(*cells))
+    return (-best["ni"]).cast("int")
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus partitioned into cells by
+    nearest centroid; each query probes its ``n_probe`` closest cells and
+    ranks exactly within the candidates. The cell equi-join replaces the
+    cross join; cell count scales with corpus size (cells ≈ sqrt(N) on a
+    real deployment — then the per-cell candidate list is O(sqrt(N)))."""
+    centroids = deterministic_centroids(corpus, corpus_id, corpus_vec, n_cells)
+    c = corpus.select(
+        F.col(corpus_id).alias("n_id"),
+        F.col(corpus_vec).alias("n_vec"),
+        _cell_assign(corpus_vec, centroids).alias("cell"),
+    )
+    # query probes: top n_probe cells by centroid similarity
+    probe_structs = []
+    for i, (_cid, cvec) in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)) for x in cvec])
+        probe_structs.append(
+            F.struct(
+                cosine_similarity(F.col(query_vec), cv).alias("s"),
+                F.lit(-i).alias("ni"),
+            )
+        )
+    probes = F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, n_probe)
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(query_vec).alias("q_vec"),
+        F.explode(F.transform(probes, lambda p: (-p["ni"]).cast("int"))).alias("cell"),
+    )
+    scored = (
+        q.join(c, on="cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine_similarity(F.col("q_vec"), F.col("n_vec")))
+        .select("q_id", "n_id", "cos")
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rank")
+    )
