@@ -3149,3 +3149,106 @@ def knn_cosine_ivf(spark, sf_dir):
         k=3, n_cells=8, n_probe=2,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
+    "normalize_types_q",
+    """
+    WITH t AS (
+      SELECT c_custkey,
+             c_custkey % 2 = 0 AS flag,
+             CAST(c_custkey % 100 AS VARCHAR) || ',' ||
+               CAST(c_custkey % 10 AS VARCHAR) AS dec_comma,
+             repeat('x', 24580 * (c_custkey % 2) + 5) AS longstr,
+             CAST(c_acctbal AS FLOAT) AS smallfloat
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(flag AS VARCHAR) AS flag,
+           CAST(replace(dec_comma, ',', '.') AS DOUBLE) AS dec_comma,
+           CAST(length(substr(longstr, 1, 24573)) AS INT) AS longstr_len,
+           CAST(smallfloat AS DOUBLE) AS smallfloat
+    FROM t
+    """,
+)
+def normalize_types_q(spark, sf_dir):
+    """Type-floor normalization (normalize_utils.py:158-226): bool→string,
+    decimal-comma strings→double (auto-detected on a head probe), string
+    truncation at 24 573 chars, numeric floor to double."""
+    from upgini_spark.pipeline.normalizer import detect_decimal_comma, normalize_types
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 2 == 0).alias("flag"),
+        F.concat(
+            (F.col("c_custkey") % 100).cast("string"), F.lit(","),
+            (F.col("c_custkey") % 10).cast("string"),
+        ).alias("dec_comma"),
+        F.repeat(F.lit("x"), (24580 * (F.col("c_custkey") % 2) + 5).cast("int")).alias("longstr"),
+        F.col("c_acctbal").cast("float").alias("smallfloat"),
+    )
+    feats = ["flag", "dec_comma", "longstr", "smallfloat"]
+    dc = detect_decimal_comma(c, feats)
+    out = normalize_types(c, feats, decimal_comma_cols=dc)
+    return out.select(
+        "c_custkey", "flag",
+        F.col("dec_comma"),
+        F.length("longstr").cast("int").alias("longstr_len"),
+        "smallfloat",
+    )
+
+
+@_q(
+    "key_validity_filter",
+    """
+    WITH t AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'bad-email'
+                  ELSE lower(replace(c_name, '#', '.')) || '@example.com'
+             END AS email,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL
+                  ELSE CAST(date_add(DATE '1998-06-01',
+                       CAST(c_custkey % 1000 AS INT)
+                       - CAST(700 * (c_custkey % 2) AS INT)) AS TIMESTAMP)
+             END AS dt
+      FROM customer
+    ), flagged AS (
+      SELECT c_custkey, email, dt,
+             regexp_matches(email,
+               '^[A-Za-z0-9][A-Za-z0-9._%+-]*@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')
+               AS email_ok,
+             dt IS NOT NULL AND dt >= TIMESTAMP '2000-01-01' AS dt_ok
+      FROM t
+    )
+    SELECT c_custkey,
+           CASE WHEN dt_ok THEN dt END AS clean_dt
+    FROM flagged WHERE email_ok OR dt_ok
+    """,
+)
+def key_validity_filter(spark, sf_dir):
+    """Key-validity row filter + old-date cleanup (dataset.py:272-428,
+    datetime_utils.py:293-300): rows where EVERY search key is invalid
+    are dropped; surviving dates before 2000-01-01 null out."""
+    from upgini_spark.pipeline.evalset import filter_invalid_keys
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("bad-email")).otherwise(
+            F.concat(F.lower(F.regexp_replace("c_name", "#", ".")), F.lit("@example.com"))
+        ).alias("email"),
+        F.when(
+            F.col("c_custkey") % 3 != 0,
+            F.date_add(
+                F.lit("1998-06-01").cast("date"),
+                (F.col("c_custkey") % 1000).cast("int") - (700 * (F.col("c_custkey") % 2)).cast("int"),
+            ).cast("timestamp"),
+        ).alias("dt"),
+    )
+    flags = {
+        "email": K.email_valid(F.col("email")),
+        "dt": K.clean_old_dates(F.col("dt")).isNotNull(),
+    }
+    filtered, _stats = filter_invalid_keys(c, flags)
+    return filtered.select(
+        "c_custkey", K.clean_old_dates(F.col("dt")).alias("clean_dt")
+    )
