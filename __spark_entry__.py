@@ -1082,24 +1082,23 @@ def fintech_dedup_1h(spark, sf_dir):
     "minhash_signatures",
     """
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> ('0x' || substr(md5(w), 1, 12))::BIGINT) AS wh
+      FROM documents
     ), sh AS (
       SELECT doc_id,
-             CASE WHEN len(words) - 2 >= 1
-                  THEN list_transform(range(1, len(words) - 1),
-                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-                  ELSE [array_to_string(words, ' ')] END AS shingles
+             CASE WHEN len(wh) - 2 >= 1
+                  THEN list_transform(range(1, len(wh) - 1),
+                       i -> (wh[i] * 31 + wh[i+1]) * 31 + wh[i+2])
+                  ELSE [list_reduce(wh, (a, x) -> a * 31 + x)] END AS hs
       FROM t
     )
     SELECT doc_id,
-           list_min(list_transform(shingles,
-             s -> xor(('0x' || substr(md5(s), 1, 15))::BIGINT, 736515776646961681))) AS mh0,
-           list_min(list_transform(shingles,
-             s -> xor(('0x' || substr(md5(s), 1, 15))::BIGINT, 593602141490970062))) AS mh1,
-           list_min(list_transform(shingles,
-             s -> xor(('0x' || substr(md5(s), 1, 15))::BIGINT, 744211396722294368))) AS mh2,
-           list_min(list_transform(shingles,
-             s -> xor(('0x' || substr(md5(s), 1, 15))::BIGINT, 131124390282673233))) AS mh3
+           list_min(list_transform(hs, h -> xor(h, 736515776646961681))) AS mh0,
+           list_min(list_transform(hs, h -> xor(h, 593602141490970062))) AS mh1,
+           list_min(list_transform(hs, h -> xor(h, 744211396722294368))) AS mh2,
+           list_min(list_transform(hs, h -> xor(h, 131124390282673233))) AS mh3
     FROM sh
     """,
 )
@@ -1113,20 +1112,22 @@ def minhash_signatures(spark, sf_dir):
     "minhash_lsh_pairs",
     """
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> ('0x' || substr(md5(w), 1, 12))::BIGINT) AS wh
+      FROM documents
     ), sh AS (
       SELECT doc_id,
-             CASE WHEN len(words) - 2 >= 1
-                  THEN list_transform(range(1, len(words) - 1),
-                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-                  ELSE [array_to_string(words, ' ')] END AS shingles
+             CASE WHEN len(wh) - 2 >= 1
+                  THEN list_transform(range(1, len(wh) - 1),
+                       i -> (wh[i] * 31 + wh[i+1]) * 31 + wh[i+2])
+                  ELSE [list_reduce(wh, (a, x) -> a * 31 + x)] END AS hs
       FROM t
     ), sig AS (
       SELECT doc_id,
              list_transform(range(1, 9),
-               j -> list_min(list_transform(shingles,
-                    s -> xor(('0x' || substr(md5(s), 1, 15))::BIGINT,
-                             [736515776646961681, 593602141490970062, 744211396722294368, 131124390282673233, 22963293732483802, 1127661227628911210, 714620866899011659, 1023044330036144015][CAST(j AS INT)])))) AS mh
+               j -> list_min(list_transform(hs,
+                    h -> xor(h, [736515776646961681, 593602141490970062, 744211396722294368, 131124390282673233, 22963293732483802, 1127661227628911210, 714620866899011659, 1023044330036144015][CAST(j AS INT)])))) AS mh
       FROM sh
     ), banded AS (
       SELECT doc_id, b.range AS band_no,
