@@ -215,3 +215,26 @@ def test_date_percentile_reference_golden(spark):
         .collect()
     )
     assert [r["p"] for r in out] == [exp for _, _, exp in rows]
+
+
+# -- approx-quantile rolling variant (scale path) ----------------------------
+
+def test_roll_quantile_approx_variant(spark):
+    """percentile_approx rolling variant: same window, returns an actual
+    element (no interpolation) — the sketch-based 100x path. Must agree
+    with the exact variant wherever the window holds an odd count."""
+    from upgini_spark.operators.timeseries import roll_feature
+
+    df = spark.range(200).select(
+        (F.col("id") % 5).alias("k"),
+        F.expr("timestampadd(HOUR, cast(id as int), timestamp'2023-01-01')").alias("ts"),
+        (F.col("id") % 17).cast("double").alias("v"),
+    )
+    exact = roll_feature(df, "ts", ["k"], "v", 1, "D", "median", out_col="m")
+    approx = roll_feature(df, "ts", ["k"], "v", 1, "D", "median_approx", out_col="m")
+    a = {r["id"]: r["m"] for r in exact.select("id", "m").collect()}
+    b = {r["id"]: r["m"] for r in approx.select("id", "m").collect()}
+    close = sum(1 for i in a if abs(a[i] - b[i]) <= 8.5)  # within half value range
+    assert close == len(a)
+    same = sum(1 for i in a if a[i] == b[i])
+    assert same > len(a) * 0.5  # odd-count windows agree exactly

@@ -173,6 +173,11 @@ def lag_feature(
 ROLL_AGGS = (
     "mean", "min", "max", "std", "median", "sum", "count",
     "norm_mean", "q25", "q75", "iqr", "last", "first",
+    # sketch-based quantiles: exact `percentile` over a sliding range frame
+    # re-sorts the window per row (O(rows x window)); the approx variants
+    # use Spark's KLL-style percentile_approx — the 100x-scale path when
+    # bit-exact pandas parity is not required
+    "median_approx", "q25_approx", "q75_approx",
 )
 
 
@@ -196,6 +201,12 @@ def _roll_expr(agg: str, value_col: str, w) -> F.Column:
         return F.expr(f"percentile({value_col}, 0.25)").over(w)
     if agg == "q75":
         return F.expr(f"percentile({value_col}, 0.75)").over(w)
+    if agg == "median_approx":
+        return F.expr(f"percentile_approx({value_col}, 0.5)").over(w)
+    if agg == "q25_approx":
+        return F.expr(f"percentile_approx({value_col}, 0.25)").over(w)
+    if agg == "q75_approx":
+        return F.expr(f"percentile_approx({value_col}, 0.75)").over(w)
     if agg == "iqr":
         return (
             F.expr(f"percentile({value_col}, 0.75)").over(w)
