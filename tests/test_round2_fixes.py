@@ -226,6 +226,7 @@ def test_roll_quantile_approx_variant(spark):
     from upgini_spark.operators.timeseries import roll_feature
 
     df = spark.range(200).select(
+        "id",
         (F.col("id") % 5).alias("k"),
         F.expr("timestampadd(HOUR, cast(id as int), timestamp'2023-01-01')").alias("ts"),
         (F.col("id") % 17).cast("double").alias("v"),
