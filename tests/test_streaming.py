@@ -239,3 +239,56 @@ def test_stream_stream_asof_watermark_buffers(spark, tmp_path):
     # remain buffered — append emits nothing. (They would flush on the next
     # trigger of a live stream.)
     assert len(out) == 0
+
+
+def test_stream_stream_asof_watermark_flushes_on_next_batch(spark, tmp_path):
+    """Watermark mode with maxFilesPerTrigger=1: batch 1's events buffer;
+    after the watermark advances past them (driven by batch 2's newer
+    events), they flush with matches from the history that had arrived."""
+    import datetime as dt
+
+    from upgini_spark.streaming.stream_features import asof_join_stream_stream
+
+    import time as _time
+
+    lpath, rpath = str(tmp_path / "ev"), str(tmp_path / "ft")
+    schema = "entity string, event_time timestamp, event_id long"
+    batches = [
+        [("e1", dt.datetime(2023, 6, 2), 1)],    # buffered in batch 1
+        [("e1", dt.datetime(2023, 6, 15), 2)],   # advances watermark past #1
+        [("e1", dt.datetime(2023, 6, 30), 3)],   # batch 3 flushes #1 (and #2)
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(lpath)
+        _time.sleep(1.2)  # file mod-time order drives the per-batch intake
+    # the GLOBAL watermark is the min across both streams — the feature
+    # stream needs a recent row too, or it pins the watermark at June 1
+    ft = spark.createDataFrame(
+        [("e1", dt.datetime(2023, 6, 1), 7.0),
+         ("e9", dt.datetime(2023, 6, 29), 9.0)],
+        "entity string, feature_ts timestamp, value double",
+    )
+    ft.coalesce(1).write.parquet(rpath)
+
+    ev_stream = (
+        spark.readStream.schema(spark.read.parquet(lpath).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lpath)
+    )
+    ft_stream = spark.readStream.schema(ft.schema).parquet(rpath)
+    out = _run_stream(
+        spark,
+        asof_join_stream_stream(
+            ev_stream, ft_stream, watermark="1 hour", emit="watermark"
+        ),
+        "ss_asof_wm2",
+    ).toPandas()
+    # event 1 (June 2) flushes once the watermark passes it (after the
+    # June 15 batch), matched to the June 1 feature; the LAST event can
+    # never flush — no batch runs after the watermark passes it
+    flushed = out[out["event_id"] == 1]
+    assert len(flushed) == 1
+    assert flushed.iloc[0]["value"] == 7.0
+    assert 3 not in set(out["event_id"])

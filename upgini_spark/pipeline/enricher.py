@@ -194,7 +194,11 @@ class SparkFeaturesEnricher:
         if st is None:
             raise RuntimeError("clean_duplicates called before fit")
         keys = [st.entity_col]
-        out = DD.fintech_dedup(df, keys, target_col, st.ts_col, fintech_window_seconds)
+        # full gated pipeline (deduplicate_utils.py:21-135): BINARY-task and
+        # multi-date-share applicability gates, per eval segment
+        out = DD.remove_fintech_duplicates(
+            df, keys, target_col, st.ts_col, window_seconds=fintech_window_seconds
+        )
         out = DD.drop_full_duplicates(
             out, subset=[c for c in out.columns if c != order_col], order_col=order_col
         )
