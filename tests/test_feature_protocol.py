@@ -165,3 +165,65 @@ def test_rename_columns_and_params():
     inner.params = {"norm_price": "3.0", "alias": "x"}
     rename_op_params(node, {"price": "p2"})
     assert inner.params == {"norm_p2": "3.0", "alias": "x"}
+
+
+def test_registry_parity_sweep(spark):
+    """Every operator name in the reference registry (autofe/*.py `name`
+    attrs) either lowers from its formula form or is an explicit
+    server-side stub — nothing silently missing."""
+    from upgini_spark.plans.feature_dag import is_server_side, parse_ts_op
+
+    scalar_formulas = [
+        "abs(x)", "log(x)", "sqrt(x)", "square(x)", "sigmoid(x)",
+        "floor(x)", "residual(x)",
+        "(a+b)", "(a-b)", "(a*b)", "(a/b)", "min(a,b)", "max(a,b)",
+        "Combine(s1,s2)", "dist(va,vb)", "sim(va,vb)",
+        "sim_jw1(s1,s2)", "sim_jw2(s1,s2)", "sim_lv(s1,s2)",
+        "date_diff(d1,d2)", "date_diff_type2(d1,d2)",
+        "date_diff_min(d1,dl)", "date_diff_max(d1,dl)",
+        "date_diff_mean(d1,dl)", "date_diff_nunique(d1,dl)",
+        "date_diff_count(d1,dl)", "date_diff_D_0_plusinf_count_norm(d1,dl)",
+        "GroupByThenMin(x,k)", "GroupByThenMax(x,k)", "GroupByThenMean(x,k)",
+        "GroupByThenMedian(x,k)", "GroupByThenStd(x,k)", "GroupByThenSum(x,k)",
+        "GroupByThenRank(x,k)", "GroupByThenNUnique(x,k)",
+        "GroupByThenFreq(s1,k)",
+        "mean(a,b,x)", "sum(a,b,x)", "vectorize(a,b,x)",
+    ]
+    param_formulas = {
+        "norm(x)": {"norm": "2.0"},
+        "bin(x)": {"bin_bounds": "[0, 10]"},
+        "date_per(d1,x)": {"zero_year": "2020", "zero_month": "1",
+                           "step": "30", "zero_bounds": "[0.0, 5.0]"},
+        "freq(s1)": {"total": "100"},
+        "CombineThenFreq(s1,s2)": {"total": "100"},
+        "outlier_dist(va)": {"centroid": "[0.1, 0.2, 0.3]"},
+        "outlier_dist_1(va)": {"centroid": "[0.1, 0.2, 0.3]"},
+    }
+    ts_names = [
+        "lag_3D", "roll_7D_mean", "roll_7D_q75", "delta_1D", "delta2_1D",
+        "roll_vol_7D", "vol_ratio_7_to_14D", "ewma_vol_10", "trend_coef",
+    ]
+    server_side = ["emb", "cluster", "onnx_score", "catboost_score"]
+
+    failures = []
+    for f in scalar_formulas:
+        try:
+            node = parse_formula(f)
+            col = lower_to_column(node)
+            assert col is not None
+        except Exception as e:  # noqa: BLE001
+            failures.append((f, str(e)[:100]))
+    for f, params in param_formulas.items():
+        try:
+            node = parse_formula(f)
+            set_op_params(node, params)
+            assert lower_to_column(node) is not None
+        except Exception as e:  # noqa: BLE001
+            failures.append((f, str(e)[:100]))
+    for name in ts_names:
+        if parse_ts_op(name) is None:
+            failures.append((name, "ts name did not parse"))
+    for name in server_side:
+        if not is_server_side(name):
+            failures.append((name, "not recognized as server-side"))
+    assert not failures, failures

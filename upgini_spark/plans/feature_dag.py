@@ -276,6 +276,23 @@ def lower_to_column(node: Node, total: float | None = None) -> Column:
             zero_month=_param_i(node, "zero_month"),
             step=_param_i(node, "step") or 30,
         )
+    if (node.op == "outlier_dist" or node.op.startswith("outlier_dist_")) and len(kids) == 1:
+        # fit-parametrized (reference unary.py:200-219): the fitted class
+        # centroid replays via params; class_value rides in the formula name
+        import json as _json
+
+        cent = node.params.get("centroid")
+        if cent is None:
+            raise ValueError(
+                "outlier_dist needs the fit-time 'centroid' param "
+                "(operators/vector.class_centroids computes it)"
+            )
+        if isinstance(cent, str):
+            cent = _json.loads(cent)
+        from upgini_spark.operators.binary import cosine_similarity
+
+        c_arr = F.array(*[F.lit(float(x)) for x in cent])
+        return F.lit(1.0) - cosine_similarity(kids[0], c_arr)
     dld = _parse_date_list_diff(node.op)
     if dld is not None and len(kids) == 2:
         agg, lo, hi, normalize = dld
@@ -464,6 +481,12 @@ _PARAM_KEYS = {
 }
 
 
+def _param_keys(op: str) -> list[str]:
+    if op == "outlier_dist" or op.startswith("outlier_dist_"):
+        return ["centroid"]
+    return _PARAM_KEYS.get(op, [])
+
+
 def get_op_params(node: Op) -> dict[str, str]:
     """Flatten the DAG's fit params into one dict, child entries prefixed
     with the child's display name (feature.py:115-127). Values stringified;
@@ -474,7 +497,7 @@ def get_op_params(node: Op) -> dict[str, str]:
     alias = OP_ALIASES.get(node.op)
     if alias is not None:
         own["alias"] = alias
-    for k in _PARAM_KEYS.get(node.op, []):
+    for k in _param_keys(node.op):
         v = node.params.get(k)
         if v is not None:
             own[k] = json.dumps(v) if isinstance(v, (list, tuple)) else str(v)
@@ -494,7 +517,7 @@ def set_op_params(node: Op, params: dict[str, str]) -> Op:
     prefixed entries receives the full dict (reference fallback)."""
     import json
 
-    for k in _PARAM_KEYS.get(node.op, []):
+    for k in _param_keys(node.op):
         if k in params:
             v = params[k]
             if isinstance(v, str) and v[:1] in "[{":
