@@ -239,3 +239,23 @@ def test_roll_quantile_approx_variant(spark):
     assert close == len(a)
     same = sum(1 for i in a if a[i] == b[i])
     assert same > len(a) * 0.5  # odd-count windows agree exactly
+
+
+# -- distributed running sum (cumsum twin of zip_with_index) -----------------
+
+def test_global_running_sum_distributed(spark):
+    from upgini_spark.pipeline.record_ids import global_running_sum
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("v")
+    ).repartition(8)
+    out = global_running_sum(df, [F.col("id").asc()], "v", "cum")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    pdf = out.toPandas().sort_values("id").reset_index(drop=True)
+    expect = pdf["v"].cumsum()
+    assert (pdf["cum"].values == expect.values).all()
+    # partition invariance
+    out2 = global_running_sum(df.repartition(3), [F.col("id").asc()], "v", "cum")
+    pdf2 = out2.toPandas().sort_values("id").reset_index(drop=True)
+    assert (pdf2["cum"].values == pdf["cum"].values).all()

@@ -250,8 +250,11 @@ def sample_time_series(
         if prefer_recent_dates
         else [F.col("__cnt__").desc(), _id_hash(ids).desc()]
     )
-    cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    ranked = stats.withColumn("__cum__", F.sum("__cnt__").over(cum))
+    # distributed running sum over the per-id aggregate — even a huge id
+    # table (10^9 ids at 10^12 rows) never funnels through one partition
+    from upgini_spark.pipeline.record_ids import global_running_sum
+
+    ranked = global_running_sum(stats, order, "__cnt__", "__cum__")
     kept_ids = ranked.filter(F.col("__cum__") <= sample_size).select(*ids)
 
     n_ids = stats.count()

@@ -137,3 +137,54 @@ def add_system_record_id(
         work, order, out_col, seg_col=seg,
         num_partitions=num_partitions, keep_cols=orig_cols,
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order,
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive running sum of ``value_col`` along a total
+    order — the cumsum twin of :func:`zip_with_index`: range-partition +
+    local sort, per-partition totals collected (one row per partition),
+    prefix offsets broadcast back, local window cumsum per partition.
+    No ``Exchange SinglePartition`` regardless of row count.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    out_cols = list(df.columns)
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    work = (
+        df.repartitionByRange(n, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__grs_mid__", F.monotonically_increasing_id())
+        .persist()
+    )
+    pid = F.shiftright(F.col("__grs_mid__"), _MID_BITS)
+    totals = (
+        work.groupBy(pid.alias("__grs_pid__"))
+        .agg(F.sum(F.col(value_col)).alias("t"))
+        .collect()
+    )
+    if not totals:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    totals.sort(key=lambda r: r["__grs_pid__"])
+    offsets, acc = [], 0.0
+    for r in totals:
+        offsets.append((int(r["__grs_pid__"]), float(acc)))
+        acc += r["t"] or 0
+    map_df = spark.createDataFrame(offsets, "__grs_pid__ long, __grs_off__ double")
+
+    w = (
+        Window.partitionBy("__grs_pid__")
+        .orderBy("__grs_mid__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    keyed = work.withColumn("__grs_pid__", pid)
+    out = keyed.join(F.broadcast(map_df), "__grs_pid__")
+    return out.withColumn(
+        out_col, F.col("__grs_off__") + F.sum(F.col(value_col)).over(w)
+    ).select(*out_cols, out_col)
