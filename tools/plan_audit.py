@@ -53,11 +53,6 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "is_time_series_stats": [
         ("SinglePartition", "global agg of per-partition partials (1 row each)"),
     ],
-    # ranking cumsum runs over the per-id AGGREGATE (rows = distinct ids,
-    # map-side combined), documented in sampling.sample_time_series
-    "ts_id_priority_sample": [
-        ("SinglePartition", "cumsum over per-id aggregate, not raw rows"),
-    ],
     # brute-force kNN is the documented correctness baseline; the scale
     # path is knn_cosine_lsh (equi-join on LSH buckets)
     "knn_cosine_top3": [

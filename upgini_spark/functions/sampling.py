@@ -237,8 +237,9 @@ def sample_time_series(
     distributed engine needs order-free determinism, so the tie-break is
     the md5 of the id tuple (same (max, count) priority keys).
 
-    The ranking cumsum runs on the per-id AGGREGATE (map-side combined),
-    not the raw rows — the single-partition sort touches one row per id.
+    The ranking cumsum runs on the per-id AGGREGATE (map-side combined)
+    through the distributed global_running_sum — no single-partition
+    stage at any id cardinality.
     """
     ids = id_cols or [date_col]
     d = F.col(date_col).cast("timestamp")
