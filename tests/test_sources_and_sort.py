@@ -52,3 +52,31 @@ def test_deterministic_fit_sort_stable(spark):
     gb = {r["id"]: r["system_record_id"] for r in b.collect()}
     assert ga == gb  # identical ids regardless of partitioning
     assert sorted(ga.values()) == list(range(1, 301))
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join
+    WITHOUT any exchange — the co-located-join layout from the brief."""
+    from upgini_spark.sources.io import write_bucketed
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(1000).select(
+            (F.col("id") % 50).alias("entity"), F.col("id").alias("x")
+        )
+        right = spark.range(50).select(
+            F.col("id").alias("entity"), (F.col("id") * 2.0).alias("f")
+        )
+        write_bucketed(left, "bkt_events", ["entity"], 8)
+        write_bucketed(right, "bkt_feats", ["entity"], 8)
+        a = spark.table("bkt_events")
+        b = spark.table("bkt_feats")
+        joined = a.join(b, "entity")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_events")
+        spark.sql("DROP TABLE IF EXISTS bkt_feats")

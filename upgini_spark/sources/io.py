@@ -113,3 +113,23 @@ def dump_input(
         return None
     os.rename(tmp, target)
     return target
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (co-located join layout): both sides of a
+    recurring equi-join written with the SAME bucket count on the join
+    key scan shuffle-free — the exchange moves from every query to the
+    one-time write. The 100 TB lever for repeated enrichment joins against
+    a slowly-changing feature store; ``sort_cols`` additionally pre-sorts
+    within buckets so as-of window stages start from sorted runs."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
