@@ -186,3 +186,26 @@ def test_autodetect_full_country_names(spark):
     )
     keys = detect_search_keys(df)
     assert keys.get("ctry") == "COUNTRY"
+
+
+def test_autodetect_reference_name_rules(spark):
+    """Replays reference test_phone_utils/test_email_utils name-detection
+    cases: the listed names alone suffice, regardless of values."""
+    from upgini_spark.pipeline.autodetect import detect_search_keys
+
+    for name in ("cellphone", "msisdn", "phone", "phonenumber", "phone_number"):
+        df = spark.createDataFrame([("123",), ("321",), ("345",)], [name])
+        assert detect_search_keys(df).get(name) == "PHONE", name
+    df = spark.createDataFrame([("123",), ("321",), ("345",)], ["phne"])
+    assert "phne" not in detect_search_keys(df)
+
+    for name in ("email", "e_mail",):
+        df = spark.createDataFrame([("123",), ("321",)], [name])
+        assert detect_search_keys(df).get(name) == "EMAIL", name
+    # value-based email: 2 of 10 valid > 10%
+    df = spark.createDataFrame(
+        [("asdf@asdf.sad",), ("woei@skdjfh.fnj",)] + [("12@3",)] * 8, ["eml"]
+    )
+    assert detect_search_keys(df).get("eml") == "EMAIL"
+    df = spark.createDataFrame([("asdf@asdf.sad",)] + [("12@",)] * 9, ["eml"])
+    assert "eml" not in detect_search_keys(df)

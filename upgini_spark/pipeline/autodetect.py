@@ -52,15 +52,31 @@ def _share(vals: list, pred) -> float:
     return sum(1 for v in vals if pred(str(v))) / len(vals)
 
 
+# reference per-type name rules (phone_utils.py:11-16, email_utils.py:17-18,
+# country_utils.py:23-25, postal_code_utils.py:15-16)
+PHONE_NAMES = {"cellphone", "msisdn", "phone", "phonenumber", "phone_number"}
+EMAIL_NAMES = {"email", "e_mail", "e-mail"}
+
+
 def detect_search_keys(df: DataFrame, head_rows: int = 100) -> dict[str, str]:
     """column → SearchKey type ('DATE', 'EMAIL', 'PHONE', 'COUNTRY',
-    'POSTAL_CODE'); undetected columns are omitted."""
+    'POSTAL_CODE'); undetected columns are omitted.
+
+    Name rules match the reference detectors exactly: PHONE and EMAIL
+    names alone suffice; COUNTRY needs >10% resolvable values; POSTAL
+    needs the zip/postal name plus value shape."""
     head = df.limit(head_rows).toPandas()
     out: dict[str, str] = {}
     for c in df.columns:
         lc = c.lower()
         vals = head[c].tolist() if c in head else []
         dtype = dict(df.dtypes).get(c, "")
+        if lc in PHONE_NAMES:
+            out[c] = "PHONE"
+            continue
+        if lc in EMAIL_NAMES:
+            out[c] = "EMAIL"
+            continue
         if dtype.startswith(("timestamp", "date")):
             out[c] = "DATE"
             continue
