@@ -106,3 +106,19 @@ def test_ip_parsing_matches_ipaddress(spark, ip):
     else:
         assert r.prefix == ".".join(parsed.exploded.split(".")[:2])
         assert r.binhex == parsed.packed.hex()
+
+
+def test_email_hem_reference_golden(spark):
+    """Replays reference tests/test_email_utils.py:test_convertion_to_hem:
+    exact sha256 HEM + one-domain values, invalid shapes → null."""
+    emails = ["test@google.com", "", "@", None, "0.0", "asdf@oiouo@asdf"]
+    df = spark.createDataFrame([(e,) for e in emails], "email string")
+    out = df.select(
+        K.email_to_hem(F.col("email")).alias("hem"),
+        K.email_one_domain(F.col("email")).alias("od"),
+    ).collect()
+    exp_hem = ["8b0080a904da73e6e500ada3d09a88037289b5c08e03d3a09546ffacc5b5fd57",
+               None, None, None, None, None]
+    exp_od = ["tgoogle.com", None, None, None, None, None]
+    assert [r["hem"] for r in out] == exp_hem
+    assert [r["od"] for r in out] == exp_od
