@@ -209,3 +209,22 @@ def test_autodetect_reference_name_rules(spark):
     assert detect_search_keys(df).get("eml") == "EMAIL"
     df = spark.createDataFrame([("asdf@asdf.sad",)] + [("12@",)] * 9, ["eml"])
     assert "eml" not in detect_search_keys(df)
+
+
+def test_autodetect_country_postal_name_rules(spark):
+    """country_utils.py:23-25 / postal_code_utils.py:15-16: the name alone
+    detects COUNTRY and POSTAL_CODE; country values need >10% resolvable."""
+    from upgini_spark.pipeline.autodetect import detect_search_keys
+
+    df = spark.createDataFrame([("not country",)] * 10, ["country"])
+    assert detect_search_keys(df).get("country") == "COUNTRY"
+    for name in ("zip", "zipcode", "zip_code", "postal_code", "postalcode"):
+        df = spark.createDataFrame([("123",)] * 3, [name])
+        assert detect_search_keys(df).get(name) == "POSTAL_CODE", name
+    df = spark.createDataFrame([("123",)] * 3, ["pstlcd"])
+    assert "pstlcd" not in detect_search_keys(df)
+    # value rule: 2/10 known countries > 10% detected; 1/10 not
+    df = spark.createDataFrame([("not country",)] * 8 + [("ES",), ("IT",)], ["cntr"])
+    assert detect_search_keys(df).get("cntr") == "COUNTRY"
+    df = spark.createDataFrame([("not country",)] * 9 + [("IT",)], ["cntr"])
+    assert "cntr" not in detect_search_keys(df)

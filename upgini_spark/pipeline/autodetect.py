@@ -80,6 +80,13 @@ def detect_search_keys(df: DataFrame, head_rows: int = 100) -> dict[str, str]:
         if dtype.startswith(("timestamp", "date")):
             out[c] = "DATE"
             continue
+        # name-alone rules (country_utils.py:23-25, postal_code_utils.py:15-16)
+        if "country" in lc:
+            out[c] = "COUNTRY"
+            continue
+        if "zip" in lc or "postal" in lc:
+            out[c] = "POSTAL_CODE"
+            continue
         date_share = _share(vals, lambda s: any(r.match(s) for r in _DATE_RES))
         if any(h in lc for h in DATE_NAME_HINTS) and date_share >= 0.5:
             out[c] = "DATE"
