@@ -2090,22 +2090,32 @@ def multimodal_meta(spark, sf_dir):
              repeat(md5(CAST(i AS VARCHAR)), CAST(i % 8 + 1 AS INT)) AS payload
       FROM t
     ), s AS (SELECT media_id, sha256(payload) AS h FROM p)
-    SELECT media_id,
-           list_transform(generate_series(0, 15),
-             x -> CAST(('0x' || substr(h, 4 * x + 1, 4))::UINTEGER
-                       / 65535.0 AS FLOAT)) AS features
-    FROM s
+    SELECT media_id, CAST(x AS INT) AS dim,
+           CAST(CAST(('0x' || substr(h, 4 * x + 1, 4))::UINTEGER
+                     / 65535.0 AS FLOAT) AS DOUBLE) AS feat_value
+    FROM s, generate_series(0, 15) AS g(x)
     """,
 )
 def multimodal_features(spark, sf_dir):
     """Arrow mapInPandas media plumbing with the deterministic fake decode
     (sha256-derived 16-dim embedding) — the oracle recomputes the same
     bytes → digest → float pipeline in SQL, proving batch shape, schema,
-    and kernel determinism end-to-end."""
+    and kernel determinism end-to-end.
+
+    The 16-dim vector is exploded to (media_id, dim, feat_value) rows:
+    the driver canonicalizes results with a pandas lexsort, and raw
+    array<float> cells are unhashable there (CORRECTNESS_r02 crash).
+    feat_value is the float32 widened to double — exact on both engines,
+    no rounding needed."""
     from upgini_spark.functions.multimodal import synthetic_media, extract_media_features
 
-    return extract_media_features(synthetic_media(spark, 500)).select(
-        "media_id", "features"
+    feats = extract_media_features(synthetic_media(spark, 500))
+    return feats.select(
+        "media_id", F.posexplode("features").alias("dim", "fv")
+    ).select(
+        "media_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("fv").cast("double").alias("feat_value"),
     )
 
 

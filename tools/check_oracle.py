@@ -47,8 +47,35 @@ def _col_mismatch(a: pd.Series, b: pd.Series):
     return a.astype(str) != b.astype(str)
 
 
+def _unsortable_cols(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells would crash the driver's pandas lexsort
+    canonicalizer (unhashable list/array/dict cells — CORRECTNESS_r02
+    multimodal_features failed on exactly this). The driver does NOT
+    str-cast before sorting, so neither may we tolerate these."""
+    import numpy as np
+
+    bad = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            nonnull = s.dropna()
+            if len(nonnull) and isinstance(
+                nonnull.iloc[0], (list, tuple, dict, np.ndarray)
+            ):
+                bad.append(c)
+    return bad
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
+    unsortable = _unsortable_cols(spark_df) + _unsortable_cols(duck_df)
+    if unsortable:
+        problems.append(
+            f"driver-unsortable columns {sorted(set(unsortable))}: "
+            "array/list cells crash the driver canonicalizer — explode or "
+            "stringify them on both sides"
+        )
+        return problems
     if len(spark_df) != len(duck_df):
         problems.append(f"row count {len(spark_df)} vs {len(duck_df)}")
     sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
