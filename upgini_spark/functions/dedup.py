@@ -113,13 +113,20 @@ def minhash_signature(
     df: DataFrame, text_col: str, k: int = 8, shingle_n: int = 3,
     out_prefix: str = "mh",
 ) -> DataFrame:
-    """k minhashes over word shingles: each shingle is hashed ONCE
-    (first 60 md5 bits → bigint), then permutation j = XOR with a fixed
-    md5-derived mask — the standard XOR-family trick, so the md5 cost is
-    1/k of hashing per permutation (measured ~4× on the sf0.1 bench).
-    Engine-portable: DuckDB replays it as
-    ``xor(('0x' || substr(md5(s),1,15))::BIGINT, mask_j)``.
-    Scales: per-row arrays only, no shuffle.
+    """k minhashes over word shingles. Each WORD is md5-hashed once
+    (first 48 bits → bigint); a shingle's hash is the Rabin-Karp roll
+    ``(w1*31 + w2)*31 + w3`` of its word hashes; permutation j = XOR with
+    a fixed md5-derived 60-bit mask (the standard XOR-family trick), so
+    the md5 cost is one per word, not per shingle per permutation.
+    Engine-portable — DuckDB replays it as::
+
+        word hash:   ('0x' || substr(md5(w), 1, 12))::BIGINT
+        shingle:     (w1*31 + w2)*31 + w3
+        minhash_j:   min(xor(shingle, mask_j))   -- masks from
+                     _minhash_perm_constants: md5('perm{j}') first 15 hex
+
+    (see the minhash_signatures oracle in __spark_entry__.py for the full
+    SQL). Scales: per-row arrays only, no shuffle.
     """
     masks = _minhash_perm_constants(k)
     if shingle_n != 3:
@@ -331,7 +338,9 @@ def remove_fintech_duplicates(
     if not has_eval:
         return process(df)
     out = None
-    for s in sorted(segments):
-        part = process(df.filter(F.col(eval_set_index_col) == s))
+    # null segments sort last and select with a null-safe equality —
+    # plain `== None` matches nothing and sorted() raises on mixed None
+    for s in sorted(segments, key=lambda x: (x is None, x)):
+        part = process(df.filter(F.col(eval_set_index_col).eqNullSafe(F.lit(s))))
         out = part if out is None else out.unionByName(part)
     return out

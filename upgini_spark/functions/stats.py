@@ -88,14 +88,23 @@ def feature_validator_stats(
     counts → per-column rollup. The reference caps features at 3 500 —
     a per-column loop would be thousands of jobs; this is always two
     aggregations regardless of width.
+
+    ``F.stack`` with Column args (not interpolated SQL) so arbitrary
+    column names — quotes, backticks — are safe. ``n_distinct`` counts
+    distinct STRING casts of the values (the melt requires one common
+    type); for floats this may merge values whose casts collide, which
+    cannot happen for the int/string/bool features this validator targets.
     """
     n = df.count()
     k = len(feature_cols)
-    stack_args = ", ".join(
-        f"'{c}', cast(`{c}` as string)" for c in feature_cols
-    )
-    melted = df.selectExpr(
-        f"stack({k}, {stack_args}) as (column_name, v)"
+    pairs: list = []
+    for c in feature_cols:
+        pairs.append(F.lit(c))
+        # backtick-quote the identifier (doubling embedded backticks) so
+        # names with quotes/dots/backticks resolve literally
+        pairs.append(F.col("`" + c.replace("`", "``") + "`").cast("string"))
+    melted = df.select(
+        F.stack(F.lit(k), *pairs).alias("column_name", "v")
     )
     per_value = melted.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
     return (
@@ -334,9 +343,15 @@ def psi_monthly_report(
                 # np.histogram: right-open bins except the last; with -inf/
                 # +inf outer edges, index = #interior edges <= x
                 bin_expr = bin_expr + F.when(v.cast("double") >= F.lit(e), 1).otherwise(0)
+            # NaN joins null in the overflow bin: Spark orders NaN above
+            # every double (it would land in the top quantile bin), while
+            # the reference np.histogram excludes NaN and counts it with
+            # the nulls.
             binned = d.withColumn(
                 "__bin__",
-                F.when(v.isNull(), F.lit(n_bins)).otherwise(bin_expr).cast("int"),
+                F.when(
+                    v.isNull() | F.isnan(v.cast("double")), F.lit(n_bins)
+                ).otherwise(bin_expr).cast("int"),
             )
             counts = {
                 (r["__itv__"], r["__bin__"]): r["count"]

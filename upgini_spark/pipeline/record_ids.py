@@ -58,8 +58,14 @@ def zip_with_index(
     list of Column sort expressions; when ``seg_col`` is given, numbering
     restarts per segment (the segment column must lead the order).
 
-    The sorted+indexed intermediate is persisted (memory-and-disk) so the
-    offsets job and the final pass see one consistent partition layout.
+    The sorted+indexed intermediate is materialized with an eager
+    ``localCheckpoint`` so the offsets job and the final pass see ONE
+    consistent mid assignment (mids are nondeterministic across
+    recomputes). localCheckpoint — not ``persist()`` — because DataFrame
+    persist registers in the CacheManager and leaks for the session
+    lifetime unless explicitly unpersisted, while checkpoint blocks are
+    reclaimed by the ContextCleaner once the returned DataFrame is
+    garbage-collected; repeated pipeline calls stay bounded.
     """
     spark = df.sparkSession
     out_cols = keep_cols or list(df.columns)
@@ -68,11 +74,18 @@ def zip_with_index(
         df.repartitionByRange(n, *order)
         .sortWithinPartitions(*order)
         .withColumn("__sri_mid__", F.monotonically_increasing_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     pid = F.shiftright(F.col("__sri_mid__"), _MID_BITS).alias("__sri_pid__")
-    seg_expr = F.col(seg_col) if seg_col else F.lit(0)
+    # null-safe segment key: the offsets equi-join would silently drop
+    # null-segment rows (null never matches), so nulls map to a sentinel.
+    # INT_MIN also sorts first, consistent with asc_nulls_first ordering.
+    seg_expr = (
+        F.coalesce(F.col(seg_col).cast("int"), F.lit(-(2**31)).cast("int"))
+        if seg_col
+        else F.lit(0)
+    )
     stats = (
         work.groupBy(pid, seg_expr.alias("__sri_seg__"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.min("__sri_mid__").alias("min_mid"))
@@ -151,6 +164,10 @@ def global_running_sum(
     local sort, per-partition totals collected (one row per partition),
     prefix offsets broadcast back, local window cumsum per partition.
     No ``Exchange SinglePartition`` regardless of row count.
+
+    Eager localCheckpoint (not persist) for the same two reasons as
+    zip_with_index: consistent mids across the two jobs, and no
+    session-lifetime CacheManager leak.
     """
     from pyspark.sql.window import Window
 
@@ -161,7 +178,7 @@ def global_running_sum(
         df.repartitionByRange(n, *order)
         .sortWithinPartitions(*order)
         .withColumn("__grs_mid__", F.monotonically_increasing_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     pid = F.shiftright(F.col("__grs_mid__"), _MID_BITS)
     totals = (
