@@ -19,17 +19,47 @@ FIT_SAMPLE_THRESHOLD = 100_000  # reference utils/config.py:18-21
 FORCE_SAMPLE_SIZE = 7_000       # reference dataset.py:65
 
 
-def hash_sample_exact(df: DataFrame, n: int, id_cols: list[str]) -> DataFrame:
+HASH_SAMPLE_HEAP_CEILING = 1_000_000
+
+
+def hash_sample_exact(
+    df: DataFrame, n: int, id_cols: list[str],
+    heap_ceiling: int = HASH_SAMPLE_HEAP_CEILING,
+) -> DataFrame:
     """Deterministic exact-n sample: keep the n rows with the smallest
     md5 of the id tuple.
 
     Planned as ``TakeOrderedAndProject`` (per-partition top-n, merged) —
     NOT a global ``row_number()`` window, which would shuffle every row
     through one partition. Same rows on any cluster size.
+
+    Ceiling: each task holds an n-row heap and the driver merges the
+    per-partition top-n sets, so above ``heap_ceiling`` rows an
+    approx-quantile threshold on the hash pre-filters to ~1.25n candidate
+    rows first (superset by construction — verified, with a full-table
+    fallback if the sketch undershoots), keeping the heap small at any n.
+    Both regimes return identical rows: the final exact order/limit runs
+    either way.
     """
     h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols]))
     order = [h.asc()] + [F.col(c).asc() for c in id_cols]
-    return df.orderBy(*order).limit(n)
+    work = df
+    if n > heap_ceiling:
+        total = df.count()
+        if total <= n:
+            return df
+        # lowercase fixed-width hex sorts identically to its numeric value,
+        # so a 60-bit numeric prefix is a faithful rank proxy for the filter
+        num = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        frac = min(1.0, 1.25 * n / total)
+        cut = df.select(num.alias("__hse__")).stat.approxQuantile(
+            "__hse__", [frac], 0.001
+        )[0]
+        cand = df.filter(num <= F.lit(int(cut)))
+        if cand.count() < n:  # sketch undershot — exactness wins
+            cand = df
+        work = cand
+    return work.orderBy(*order).limit(n)
 
 
 def threshold_downsample(
@@ -273,11 +303,13 @@ def sample_time_series(
         )
         sub = df.join(F.broadcast(ids_to_sample), on=ids, how="leftsemi")
         per_date = sub.groupBy(d.alias("__d__")).count()
-        dcum = Window.orderBy(F.col("__d__").desc()).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
+        # distributed most-recent-first cumsum over the per-date counts —
+        # a partitionless window here would funnel every distinct date
+        # through one task (unbounded at second-granularity timestamps)
         kept_dates = (
-            per_date.withColumn("__cum__", F.sum("count").over(dcum))
+            global_running_sum(
+                per_date, [F.col("__d__").desc()], "count", "__cum__"
+            )
             .filter(F.col("__cum__") <= sample_size)
             .select(F.col("__d__"))
         )
