@@ -3263,3 +3263,242 @@ def key_validity_filter(spark, sf_dir):
     return filtered.select(
         "c_custkey", K.clean_old_dates(F.col("dt")).alias("clean_dt")
     )
+
+
+# ===========================================================================
+# Round 3: auto-sized ANN structures over a larger planted fixture
+# (VERDICT r02 item 4 — the documented scaling rules, now in code)
+# ===========================================================================
+
+_PLANTED_DIMS = 16
+
+
+def _planted_vectors(spark, n: int):
+    """Deterministic synthetic embedding corpus: v[d] = md5-derived uint16
+    scaled to [-1, 1] — byte-identical in any SQL engine, sf-independent."""
+    i = F.col("id")
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(_PLANTED_DIMS - 1)),
+        lambda d: F.conv(
+            F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit("_"), d.cast("string"))), 1, 4
+            ),
+            16, 10,
+        ).cast("double") / 65535.0 * 2 - 1,
+    )
+    return spark.range(n).select(i.alias("vec_id"), v.alias("v"))
+
+
+def _planted_vectors_sql(n: int) -> str:
+    return f"""
+      SELECT r AS vec_id,
+             list_transform(range(0, {_PLANTED_DIMS}), d ->
+               ('0x' || substr(md5(CAST(r AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+                               1, 4))::UINTEGER / 65535.0 * 2 - 1) AS v
+      FROM range(0, {n}) t(r)
+    """
+
+
+def _lsh_buckets_sql(src: str, n_planes: int, n_bands: int) -> str:
+    """(vec_id, band, bucket) rows replaying hyperplane_sign_bits: band b
+    uses the plane family [b*n_planes, (b+1)*n_planes)."""
+    total = n_planes * n_bands
+    return f"""
+      planes AS (
+        SELECT p.range AS p, d.range AS d,
+               CASE WHEN substr(md5(CAST(p.range AS VARCHAR) || '_'
+                                || CAST(d.range AS VARCHAR)), 1, 1) >= '8'
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM range(0, {total}) p, range(0, {_PLANTED_DIMS}) d
+      ), dots AS (
+        SELECT e.vec_id, pl.p // {n_planes} AS band, pl.p,
+               sum(e.v[CAST(pl.d AS INT) + 1] * pl.s) AS dot
+        FROM {src} e, planes pl GROUP BY e.vec_id, pl.p
+      ), buckets AS (
+        SELECT vec_id, band,
+               string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY p) AS bucket
+        FROM dots GROUP BY vec_id, band
+      )
+    """
+
+
+_LSH_AUTO_N = 20_000
+# auto_n_planes(20000, target=64) — the Spark side computes this from
+# corpus.count(); the oracle bakes the same value for the planted fixture
+_LSH_AUTO_PLANES = 9
+
+
+@_q(
+    "knn_cosine_lsh_auto",
+    f"""
+    WITH e AS ({_planted_vectors_sql(_LSH_AUTO_N)}),
+    {_lsh_buckets_sql('e', _LSH_AUTO_PLANES, 2)},
+    scored AS (
+      SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id,
+             list_cosine_similarity(qe.v, ce.v) AS cos_raw
+      FROM buckets qb
+      JOIN buckets cb ON qb.band = cb.band AND qb.bucket = cb.bucket
+                      AND qb.vec_id <> cb.vec_id
+      JOIN e qe ON qe.vec_id = qb.vec_id
+      JOIN e ce ON ce.vec_id = cb.vec_id
+      WHERE qb.vec_id < 5
+    ), ranked AS (
+      SELECT q_id, n_id, round(cos_raw, 6) AS cos,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_raw DESC, n_id ASC) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_cosine_lsh_auto(spark, sf_dir):
+    """Auto-sized hyperplane LSH kNN: n_planes=None derives
+    ceil(log2(20000/64)) = 9 planes from the corpus count
+    (similarity.auto_n_planes), so the expected bucket stays at the
+    64-row target as N grows — the round-2 verdict's scaling gap. The
+    oracle replays the same 9-plane, 2-band family in SQL."""
+    corp = _planted_vectors(spark, _LSH_AUTO_N)
+    q = corp.filter(F.col("vec_id") < 5)
+    out = SIM.cosine_topk_lsh(
+        q, corp, "vec_id", "vec_id", "v", "v",
+        k=3, n_planes=None, dims=_PLANTED_DIMS, n_bands=2,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_NEAR_DUP_AUTO_N = 20_000
+
+
+@_q(
+    "embedding_near_dup_auto",
+    f"""
+    WITH base AS ({_planted_vectors_sql(_NEAR_DUP_AUTO_N)}),
+    planted AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(v, x -> x * 1.0009765625) AS v
+      FROM base WHERE vec_id < 30
+    ),
+    e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    {_lsh_buckets_sql('e', _LSH_AUTO_PLANES, 2)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.99
+    """,
+)
+def embedding_near_dup_auto(spark, sf_dir):
+    """Near-dup pairs with the auto-sized plane family (9 planes from
+    N=20030) — planted sign-preserving clones guarantee 30 true pairs
+    survive every band, so LSH recall of the plant is exactly 1 and the
+    oracle replays the identical candidate join (an all-pairs oracle at
+    20k rows would be 4·10^8 comparisons)."""
+    base = _planted_vectors(spark, _NEAR_DUP_AUTO_N)
+    planted = base.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.0009765625)).alias("v"),
+    )
+    corp = base.unionByName(planted)
+    return SIM.embedding_near_dup_lsh(
+        corp, "vec_id", "v", threshold=0.99,
+        n_planes=None, n_bands=2, dims=_PLANTED_DIMS,
+    )
+
+
+_IVF_KM_N = 10_000
+_IVF_KM_CELLS = 100  # auto_n_cells(10000) = ceil(sqrt(N)); oracle bakes it
+
+
+def _kmeans_assign_sql(cent: str, out: str, who: str = "e") -> str:
+    """argmax-cosine assignment CTE (ties -> smallest cell), replaying
+    similarity._nearest_cell."""
+    return f"""
+      {out} AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT {who}.vec_id, {who}.v, {cent}.cell,
+                 row_number() OVER (PARTITION BY {who}.vec_id
+                   ORDER BY list_cosine_similarity({who}.v, {cent}.cv) DESC,
+                            {cent}.cell ASC) AS rn
+          FROM {who}, {cent}) WHERE rn = 1
+      )
+    """
+
+
+def _kmeans_update_sql(assign: str, out: str) -> str:
+    """Per-dim mean rounded to 9dp, rebuilt as an ordered list — replays
+    similarity.kmeans_centroids' update step (the 1e-9 quantum dwarfs
+    float-summation order noise, so both engines get identical doubles)."""
+    return f"""
+      {out} AS (
+        SELECT cell, list(m ORDER BY dim) AS cv FROM (
+          SELECT {assign}.cell, d.range AS dim,
+                 round(avg({assign}.v[CAST(d.range AS INT) + 1]), 9) AS m
+          FROM {assign}, range(0, {_PLANTED_DIMS}) d
+          GROUP BY {assign}.cell, d.range)
+        GROUP BY cell
+      )
+    """
+
+
+@_q(
+    "knn_cosine_ivf_kmeans",
+    f"""
+    WITH e AS ({_planted_vectors_sql(_IVF_KM_N)}),
+    c0 AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             v AS cv
+      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_KM_CELLS}
+    ),
+    {_kmeans_assign_sql('c0', 'a0')},
+    {_kmeans_update_sql('a0', 'c1')},
+    {_kmeans_assign_sql('c1', 'a1')},
+    {_kmeans_update_sql('a1', 'c2')},
+    {_kmeans_assign_sql('c2', 'cells')},
+    probes AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c2.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c2.cv) DESC,
+                          c2.cell ASC) AS rn
+        FROM e, c2 WHERE e.vec_id < 5) WHERE rn <= 4
+    ), scored AS (
+      SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS n_id,
+             list_cosine_similarity(qe.v, ce.v) AS cos_raw
+      FROM probes p
+      JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+      JOIN e qe ON qe.vec_id = p.vec_id
+      JOIN e ce ON ce.vec_id = c.vec_id
+    ), ranked AS (
+      SELECT q_id, n_id, round(cos_raw, 6) AS cos,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_raw DESC, n_id ASC) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_cosine_ivf_kmeans(spark, sf_dir):
+    """IVF kNN with sqrt(N) auto-sized cells (auto_n_cells(10000) = 100)
+    and TWO deterministic Lloyd refinements from the md5-sample seed —
+    the round-2 verdict's IVF scale gap. Centroids ride a broadcast
+    DataFrame (not literal expressions), so the same code path works at
+    any cell count; the oracle replays init → assign → mean(9dp-round) →
+    assign → mean → final assignment bit-for-bit in SQL."""
+    corp = _planted_vectors(spark, _IVF_KM_N)
+    q = corp.filter(F.col("vec_id") < 5)
+    out = SIM.cosine_topk_ivf_kmeans(
+        q, corp, "vec_id", "vec_id", "v", "v",
+        k=3, n_cells=None, n_probe=4, n_iter=2,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

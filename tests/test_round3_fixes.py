@@ -130,3 +130,76 @@ def test_hash_sample_exact_ceiling_regimes(spark):
     b = hash_sample_exact(df, 700, ["id"], heap_ceiling=100).toPandas()
     assert sorted(a["id"]) == sorted(b["id"])
     assert len(a) == 700
+
+
+# -- VERDICT #4: ANN auto-sizing rules + bounded buckets ---------------------
+
+def test_auto_sizing_rules():
+    from upgini_spark.functions.similarity import auto_n_planes, auto_n_cells
+
+    for n in (10, 10_000, 10**6, 10**9, 10**12):
+        planes = auto_n_planes(n, target_bucket_rows=64)
+        assert n / 2 ** planes <= 64  # expected bucket bounded at any N
+    assert auto_n_planes(20_000) == 9
+    assert auto_n_planes(10**9) == 24
+    assert auto_n_cells(10_000) == 100  # ceil(sqrt(N))
+    assert auto_n_cells(10**9) == 31_623
+    assert auto_n_cells(10**12) == 65_536  # broadcastable cap
+
+
+def _planted(spark, n, dims=16):
+    i = F.col("id")
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: F.conv(
+            F.substring(F.md5(F.concat(i.cast("string"), F.lit("_"),
+                                       d.cast("string"))), 1, 4), 16, 10,
+        ).cast("double") / 65535.0 * 2 - 1,
+    )
+    return spark.range(n).select(i.alias("vec_id"), v.alias("v"))
+
+
+def test_lsh_auto_bucket_size_bounded(spark):
+    from upgini_spark.functions.similarity import (
+        auto_n_planes, hyperplane_sign_bits,
+    )
+
+    target = 16
+    for n in (500, 4000):  # 8x growth, same bound
+        planes = auto_n_planes(n, target_bucket_rows=target)
+        df = _planted(spark, n).withColumn(
+            "b", hyperplane_sign_bits("v", planes, dims=16)
+        )
+        n_buckets = df.select("b").distinct().count()
+        assert n / n_buckets <= 2 * target  # avg occupancy stays bounded
+
+
+def test_kmeans_centroids_partition_invariant(spark):
+    from upgini_spark.functions.similarity import kmeans_centroids
+
+    corp = _planted(spark, 2000)
+    a = kmeans_centroids(corp.repartition(16), "vec_id", "v", n_cells=16,
+                         n_iter=2).toPandas()
+    b = kmeans_centroids(corp.repartition(3), "vec_id", "v", n_cells=16,
+                         n_iter=2).toPandas()
+    a = a.sort_values("cell").reset_index(drop=True)
+    b = b.sort_values("cell").reset_index(drop=True)
+    assert list(a["cell"]) == list(b["cell"])
+    for va, vb in zip(a["cvec"], b["cvec"]):
+        assert list(va) == list(vb)  # 9dp rounding kills sum-order noise
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    from upgini_spark.functions.similarity import (
+        cosine_topk_bruteforce, cosine_topk_ivf_kmeans,
+    )
+
+    corp = _planted(spark, 2000)
+    q = corp.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(q, corp, "vec_id", "vec_id", "v", "v", k=3)
+    approx = cosine_topk_ivf_kmeans(
+        q, corp, "vec_id", "vec_id", "v", "v", k=3, n_probe=8, n_iter=1
+    )
+    ex = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    assert len(ap & ex) / len(ex) >= 0.4  # random vectors: hard ANN regime

@@ -9,11 +9,32 @@ reproducible and oracle-checkable without storing plane matrices.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from upgini_spark.operators.binary import cosine_similarity
+
+
+def auto_n_planes(
+    n_rows: int, target_bucket_rows: int = 64, min_planes: int = 8
+) -> int:
+    """Size the hyperplane family so the EXPECTED bucket stays joinable:
+    ``n_planes = max(min, ceil(log2(N / target_bucket_rows)))`` — then
+    N / 2^n_planes <= target_bucket_rows at any N, so the per-bucket
+    self-join cost is bounded as the corpus grows (the round-2 gap:
+    a fixed 8 planes = 256 buckets melts down at 10^9+ rows)."""
+    if n_rows <= target_bucket_rows:
+        return min_planes
+    return max(min_planes, math.ceil(math.log2(n_rows / target_bucket_rows)))
+
+
+def auto_n_cells(n_rows: int, min_cells: int = 8, max_cells: int = 65_536) -> int:
+    """IVF cell count ≈ sqrt(N): per-cell candidate lists are O(sqrt(N))
+    and the centroid table stays broadcastable (capped)."""
+    return min(max_cells, max(min_cells, math.ceil(math.sqrt(max(n_rows, 1)))))
 
 
 def cosine_topk_bruteforce(
@@ -99,15 +120,22 @@ def cosine_topk_lsh(
     query_vec: str,
     corpus_vec: str,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dims: int = 64,
     n_bands: int = 1,
+    target_bucket_rows: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket(s), then exact cosine rank within the candidate set. The
     (band, bucket) equi-join replaces the cross join — this is the 100TB
     plan. ``n_bands`` > 1 unions independent plane families (multi-probe
-    OR) for recall; duplicates collapse before ranking."""
+    OR) for recall; duplicates collapse before ranking.
+
+    ``n_planes=None`` auto-sizes from the corpus count via
+    :func:`auto_n_planes`, keeping the expected bucket at
+    ``target_bucket_rows`` as N grows."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count(), target_bucket_rows)
     q = _banded(queries, "q_id", "q_vec", query_id, query_vec, n_planes, n_bands, dims)
     c = _banded(corpus, "n_id", "n_vec", corpus_id, corpus_vec, n_planes, n_bands, dims)
     scored = (
@@ -130,9 +158,10 @@ def embedding_near_dup_lsh(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     n_bands: int = 4,
     dims: int = 64,
+    target_bucket_rows: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs through banded hyperplane LSH —
     the scale path for dedup.embedding_near_dup_pairs (whose all-pairs
@@ -143,9 +172,13 @@ def embedding_near_dup_lsh(
     pairs collapsed. For sign-LSH the per-plane agree probability is
     1 − acos(cos)/π, so at 0.95+ thresholds a handful of bands gives
     ~certain recall (miss = (1−p^b)^L). Giant identical buckets are
-    still quadratic in bucket size — raise n_planes with N (see
-    hyperplane_sign_bits) so expected bucket size stays bounded.
+    still quadratic in bucket size — ``n_planes=None`` auto-sizes via
+    :func:`auto_n_planes` so the EXPECTED bucket stays at
+    ``target_bucket_rows`` as N grows (identical-vector clusters remain
+    quadratic by nature; cap them upstream with exact dedup first).
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count(), target_bucket_rows)
     banded = _banded(df, "id_a", "va", id_col, vec_col, n_planes, n_bands, dims)
     other = banded.select(
         F.col("id_a").alias("id_b"), F.col("va").alias("vb"), "band", "bucket"
@@ -157,6 +190,144 @@ def embedding_near_dup_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .distinct()
+    )
+
+
+def _nearest_cell(df: DataFrame, cent: DataFrame, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment via a broadcast join + struct-max
+    aggregation (map-side combinable — no per-row window shuffle):
+    argmax cosine, ties to the SMALLEST cell id. ``cent`` must have
+    columns (cell int, cvec array<double>) and be broadcast-small."""
+    scored = df.crossJoin(F.broadcast(cent)).withColumn(
+        "__s__", cosine_similarity(F.col(vec_col), F.col("cvec"))
+    )
+    keys = [c for c in df.columns]
+    best = scored.groupBy(*keys).agg(
+        F.max(F.struct(F.col("__s__").alias("s"), (-F.col("cell")).alias("nc")))
+        .alias("__b__")
+    )
+    return best.select(*keys, (-F.col("__b__.nc")).cast("int").alias("cell"))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int | None = None,
+    n_iter: int = 2,
+    sample_cap: int = 100_000,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Deterministic Lloyd-refined IVF centroids as a (cell, cvec)
+    DataFrame. Init = the md5-hash-ordered corpus sample (the round-2
+    ``deterministic_centroids`` seed), then ``n_iter`` Lloyd steps:
+    assign → per-dim mean → round to ``round_dp`` decimals.
+
+    Every step is engine-portable and SQL-replayable: the rounding
+    quantum (1e-9) dwarfs float-summation order noise (~1e-12 for 1e5-row
+    cells), so Spark and DuckDB converge to bit-identical centroids.
+    Training runs on an md5 sample capped at ``sample_cap`` rows (k-means
+    needs a representative sample, not the corpus); the full corpus is
+    only touched by the single final assignment in the caller.
+    ``n_cells=None`` auto-sizes to ~sqrt(N) via :func:`auto_n_cells`.
+    Cells that lose every point drop out (ids stay sparse, consistently
+    on both engines)."""
+    from upgini_spark.functions.sampling import hash_sample_exact
+
+    n = corpus.count()
+    if n_cells is None:
+        n_cells = auto_n_cells(n)
+    sample = corpus.select(
+        F.col(id_col).alias("__kid__"), F.col(vec_col).alias("__kv__")
+    )
+    if n > sample_cap:
+        sample = hash_sample_exact(sample, sample_cap, ["__kid__"])
+    h = F.md5(F.col("__kid__").cast("string"))
+    cent = (
+        sample.orderBy(h, F.col("__kid__"))
+        .limit(n_cells)
+        .select("__kv__")
+        .toPandas()
+    )
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cent["__kv__"])],
+        "cell int, cvec array<double>",
+    )
+    for _ in range(n_iter):
+        assigned = _nearest_cell(sample, cent_df, "__kv__")
+        per_dim = (
+            assigned.select("cell", F.posexplode("__kv__").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), round_dp).alias("m"))
+        )
+        cent_df = (
+            per_dim.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .select(F.col("cell").cast("int"), "cvec")
+        )
+        # small (n_cells rows) — materialize so each Lloyd step is one job
+        cent_df = spark.createDataFrame(
+            cent_df.toPandas(), "cell int, cvec array<double>"
+        )
+    return cent_df
+
+
+def cosine_topk_ivf_kmeans(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k with Lloyd-refined, auto-sized centroids —
+    the scale evolution of :func:`cosine_topk_ivf` (which pins a handful
+    of md5-sampled centroids as literal expressions): centroids live in a
+    broadcast DataFrame, so cells ≈ sqrt(N) works at any corpus size; the
+    corpus is scanned once for assignment, queries probe their ``n_probe``
+    nearest cells, and ranking is exact within candidates."""
+    cent = kmeans_centroids(
+        corpus, corpus_id, corpus_vec, n_cells=n_cells, n_iter=n_iter,
+    )
+    c = _nearest_cell(
+        corpus.select(
+            F.col(corpus_id).alias("n_id"), F.col(corpus_vec).alias("n_vec")
+        ),
+        cent,
+        "n_vec",
+    )
+    q0 = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec"))
+    qs = q0.crossJoin(F.broadcast(cent)).withColumn(
+        "__s__", cosine_similarity(F.col("q_vec"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("__s__").desc(), F.col("cell").asc())
+    q = (
+        qs.withColumn("__rn__", F.row_number().over(wq))
+        .filter(F.col("__rn__") <= n_probe)
+        .select("q_id", "q_vec", "cell")
+    )
+    scored = (
+        q.join(c, on="cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine_similarity(F.col("q_vec"), F.col("n_vec")))
+        .select("q_id", "n_id", "cos")
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rank")
     )
 
 
