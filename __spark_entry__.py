@@ -3433,7 +3433,7 @@ def _kmeans_assign_sql(cent: str, out: str, who: str = "e") -> str:
     """
 
 
-def _kmeans_update_sql(assign: str, out: str) -> str:
+def _kmeans_update_sql(assign: str, out: str, dims: int = _PLANTED_DIMS) -> str:
     """Per-dim mean rounded to 9dp, rebuilt as an ordered list — replays
     similarity.kmeans_centroids' update step (the 1e-9 quantum dwarfs
     float-summation order noise, so both engines get identical doubles)."""
@@ -3442,7 +3442,7 @@ def _kmeans_update_sql(assign: str, out: str) -> str:
         SELECT cell, list(m ORDER BY dim) AS cv FROM (
           SELECT {assign}.cell, d.range AS dim,
                  round(avg({assign}.v[CAST(d.range AS INT) + 1]), 9) AS m
-          FROM {assign}, range(0, {_PLANTED_DIMS}) d
+          FROM {assign}, range(0, {dims}) d
           GROUP BY {assign}.cell, d.range)
         GROUP BY cell
       )
@@ -3502,3 +3502,48 @@ def knn_cosine_ivf_kmeans(spark, sf_dir):
         k=3, n_cells=None, n_probe=4, n_iter=2,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
+    "cluster_assign",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             v AS cv
+      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+    ),
+    {_kmeans_assign_sql('c0', 'a0')},
+    {_kmeans_update_sql('a0', 'c1', dims=64)},
+    cmap AS (
+      SELECT cell, CAST(row_number() OVER (ORDER BY cell) - 1 AS INT) AS dense
+      FROM c1
+    ),
+    {_kmeans_assign_sql('c1', 'af')}
+    SELECT af.vec_id, cmap.dense AS cluster_id
+    FROM af JOIN cmap USING (cell)
+    """,
+)
+def cluster_assign(spark, sf_dir):
+    """`cluster` lowered LOCALLY (round-3): nearest fitted-centroid id
+    through the formula/params protocol, exactly like outlier_dist —
+    the reference declares `cluster` (autofe/unary.py:151-156) but
+    computes it server-side; the fit stage here is one Lloyd step from
+    the md5-sample seed (similarity.kmeans_centroids), serialized into
+    the formula params and replayed by the oracle in SQL."""
+    import json as _json
+    from upgini_spark.plans.feature_dag import (
+        parse_formula, set_op_params, lower_to_column,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent = SIM.kmeans_centroids(emb, "vec_id", "v", n_cells=4, n_iter=1)
+    cents = [
+        [float(x) for x in r["cvec"]] for r in cent.orderBy("cell").collect()
+    ]
+    node = parse_formula("cluster(v)")
+    set_op_params(node, {"centroids": _json.dumps(cents)})
+    return emb.select("vec_id", lower_to_column(node).alias("cluster_id"))

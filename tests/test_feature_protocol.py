@@ -198,12 +198,14 @@ def test_registry_parity_sweep(spark):
         "CombineThenFreq(s1,s2)": {"total": "100"},
         "outlier_dist(va)": {"centroid": "[0.1, 0.2, 0.3]"},
         "outlier_dist_1(va)": {"centroid": "[0.1, 0.2, 0.3]"},
+        "cluster(va)": {"centroids": "[[0.1, 0.2, 0.3], [0.3, 0.1, 0.2]]"},
+        "cluster_2(va)": {"centroids": "[[0.1, 0.2, 0.3], [0.3, 0.1, 0.2]]"},
     }
     ts_names = [
         "lag_3D", "roll_7D_mean", "roll_7D_q75", "delta_1D", "delta2_1D",
         "roll_vol_7D", "vol_ratio_7_to_14D", "ewma_vol_10", "trend_coef",
     ]
-    server_side = ["emb", "cluster", "onnx_score", "catboost_score"]
+    server_side = ["emb", "onnx_score", "catboost_score"]
 
     failures = []
     for f in scalar_formulas:

@@ -293,6 +293,35 @@ def lower_to_column(node: Node, total: float | None = None) -> Column:
 
         c_arr = F.array(*[F.lit(float(x)) for x in cent])
         return F.lit(1.0) - cosine_similarity(kids[0], c_arr)
+    if (node.op == "cluster" or node.op.startswith("cluster_")) and len(kids) == 1:
+        # fit-parametrized nearest-centroid id (reference autofe/unary.py:
+        # 151-156 declares `cluster` and computes it server-side as k-means;
+        # the fitted centroids replay via params exactly like outlier_dist —
+        # functions/similarity.kmeans_centroids produces them at fit time).
+        # Ties break to the SMALLEST cluster id on both engines.
+        import json as _json
+
+        cents = node.params.get("centroids")
+        if cents is None:
+            raise ValueError(
+                "cluster needs the fit-time 'centroids' param "
+                "(functions/similarity.kmeans_centroids computes them)"
+            )
+        if isinstance(cents, str):
+            cents = _json.loads(cents)
+        from upgini_spark.operators.binary import cosine_similarity
+
+        cells = []
+        for idx, cv in enumerate(cents):
+            arr = F.array(*[F.lit(float(x)) for x in cv])
+            cells.append(
+                F.struct(
+                    cosine_similarity(kids[0], arr).alias("s"),
+                    F.lit(-idx).alias("ni"),
+                )
+            )
+        best = F.array_max(F.array(*cells))
+        return (-best["ni"]).cast("int")
     dld = _parse_date_list_diff(node.op)
     if dld is not None and len(kids) == 2:
         agg, lo, hi, normalize = dld
@@ -380,8 +409,9 @@ def compile_features(
 # Server-side / external-model operators: the reference declares them for
 # formula round-trip but computes them remotely (unary.py:151-156,
 # vector.py:36-76). We preserve registry identity and fail loudly at
-# lowering time.
-SERVER_SIDE_OPS = {"emb", "cluster", "onnx", "catboost"}
+# lowering time. `cluster` lowered locally in round 3 (nearest fitted
+# centroid, params-replayable) — only genuinely-external models remain.
+SERVER_SIDE_OPS = {"emb", "onnx", "catboost"}
 
 
 def is_server_side(op_name: str) -> bool:
@@ -484,6 +514,8 @@ _PARAM_KEYS = {
 def _param_keys(op: str) -> list[str]:
     if op == "outlier_dist" or op.startswith("outlier_dist_"):
         return ["centroid"]
+    if op == "cluster" or op.startswith("cluster_"):
+        return ["centroids"]
     return _PARAM_KEYS.get(op, [])
 
 
