@@ -292,3 +292,62 @@ def test_stream_stream_asof_watermark_flushes_on_next_batch(spark, tmp_path):
     assert len(flushed) == 1
     assert flushed.iloc[0]["value"] == 7.0
     assert 3 not in set(out["event_id"])
+
+
+def test_stream_stream_asof_wide_payload_through_state(spark, tmp_path):
+    """Round-3: wide, mixed-type payload columns ride THROUGH state (no
+    join-back on event_id) and match the batch as-of join exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from upgini_spark.joins.asof import asof_join
+    from upgini_spark.streaming.stream_features import asof_join_stream_stream
+
+    left = tokenized_sequences(spark, 200, n_partitions=2).select(
+        F.col("doc_id").alias("entity"),
+        F.col("event_time"),
+        F.monotonically_increasing_id().alias("event_id"),
+    )
+    right = feature_source(spark, 60, points_per_entity=4, n_partitions=2).select(
+        F.col("entity_id").alias("entity"),
+        F.col("feature_ts"),
+        F.col("f_ext_num_1").cast("double").alias("v_num"),
+        (F.col("f_ext_num_1") * 100).cast("long").alias("v_long"),
+        F.concat(F.lit("tag_"), F.col("entity_id")).alias("v_str"),
+    )
+    lpath, rpath = str(tmp_path / "ev"), str(tmp_path / "ft")
+    left.write.parquet(lpath)
+    right.write.parquet(rpath)
+
+    out = _run_stream(
+        spark,
+        asof_join_stream_stream(
+            spark.readStream.schema(left.schema).parquet(lpath),
+            spark.readStream.schema(right.schema).parquet(rpath),
+            feature_val_cols=["v_num", "v_long", "v_str"],
+        ),
+        "ss_asof_wide",
+    )
+    # the plan has no join-back: single stateful op, zero join nodes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    got = out.toPandas().sort_values("event_id").reset_index(drop=True)
+    exp = asof_join(
+        left, right, left_on="event_time", right_on="feature_ts",
+        by_left="entity", keep_match_ts=True,
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(exp) == 200
+    g_m = got["matched_ts_us"].fillna(-1).astype("int64").tolist()
+    w_m = [
+        -1 if pd.isna(x) else pd.Timestamp(x).value // 1000
+        for x in exp["matched_ts"]
+    ]
+    assert g_m == w_m
+    np.testing.assert_allclose(
+        got["v_num"].to_numpy(dtype=float),
+        exp["v_num"].to_numpy(dtype=float), equal_nan=True,
+    )
+    assert got["v_long"].fillna(-1).astype("int64").tolist() == \
+        exp["v_long"].fillna(-1).astype("int64").tolist()
+    assert got["v_str"].fillna("").tolist() == exp["v_str"].fillna("").tolist()

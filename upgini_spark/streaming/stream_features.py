@@ -187,6 +187,7 @@ def asof_join_stream_stream(
     feature_val_col: str = "value",
     watermark: str = "1 day",
     emit: str = "immediate",
+    feature_val_cols: list[str] | None = None,
 ) -> DataFrame:
     """True stream-stream point-in-time as-of join via
     ``applyInPandasWithState`` (the north rule's custom stateful operator).
@@ -214,42 +215,55 @@ def asof_join_stream_stream(
     are final) — state stays O(updates within the watermark horizon).
 
     Contract: events(entity, event_id, event_time), features(entity,
-    feature_ts, value). Wide payloads ride OUTSIDE the operator and
-    join back on ``event_id`` — state then stores only (ts, id) pairs.
+    feature_ts, *payload). ``feature_val_cols`` carries WIDE payloads
+    through state directly (one typed array per column in the
+    dynamically-built state schema) — no join-back on event_id; the
+    default ``[feature_val_col]`` keeps the narrow round-2 contract.
+    Output columns keep each payload's source type.
     """
     import pandas as pd  # noqa: F811 (kernel-side import)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
-        ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+        ArrayType, LongType, StructField, StructType,
     )
 
-    out_schema = StructType([
-        StructField("entity", StringType()),
-        StructField("event_id", LongType()),
-        StructField("event_time_us", LongType()),
-        StructField("matched_ts_us", LongType()),
-        StructField("value", DoubleType()),
-    ])
-    state_schema = StructType([
-        StructField("hist_ts", ArrayType(LongType())),
-        StructField("hist_val", ArrayType(DoubleType())),
-        StructField("pend_ts", ArrayType(LongType())),
-        StructField("pend_id", ArrayType(LongType())),
-    ])
+    payload_cols = list(feature_val_cols) if feature_val_cols else [feature_val_col]
+    ftypes = {f.name: f.dataType for f in features.schema.fields}
+    etype = {f.name: f.dataType for f in events.schema.fields}[entity_col]
+
+    out_schema = StructType(
+        [
+            StructField("entity", etype),
+            StructField("event_id", LongType()),
+            StructField("event_time_us", LongType()),
+            StructField("matched_ts_us", LongType()),
+        ]
+        + [StructField(c, ftypes[c]) for c in payload_cols]
+    )
+    state_schema = StructType(
+        [StructField("hist_ts", ArrayType(LongType()))]
+        + [StructField(f"hist_p{i}", ArrayType(ftypes[c]))
+           for i, c in enumerate(payload_cols)]
+        + [
+            StructField("pend_ts", ArrayType(LongType())),
+            StructField("pend_id", ArrayType(LongType())),
+        ]
+    )
+    n_p = len(payload_cols)
 
     ev = events.withWatermark(event_ts_col, watermark).select(
         F.col(entity_col).alias("entity"),
         F.col(event_ts_col).alias("ts"),
         F.lit(1).alias("side"),
         F.col(event_id_col).cast("long").alias("event_id"),
-        F.lit(None).cast("double").alias("value"),
+        *[F.lit(None).cast(ftypes[c]).alias(c) for c in payload_cols],
     )
     ft = features.withWatermark(feature_ts_col, watermark).select(
         F.col(entity_col).alias("entity"),
         F.col(feature_ts_col).alias("ts"),
         F.lit(0).alias("side"),
         F.lit(None).cast("long").alias("event_id"),
-        F.col(feature_val_col).cast("double").alias("value"),
+        *payload_cols,
     )
     unioned = ev.unionByName(ft)
     buffered = emit == "watermark"
@@ -258,22 +272,29 @@ def asof_join_stream_stream(
         import bisect
 
         if state.exists:
-            hist_ts, hist_val, pend_ts, pend_id = state.get
-            hist_ts, hist_val = list(hist_ts), list(hist_val)
-            pend_ts, pend_id = list(pend_ts), list(pend_id)
+            st = state.get
+            hist_ts = list(st[0])
+            hist_p = [list(st[1 + i]) for i in range(n_p)]
+            pend_ts, pend_id = list(st[1 + n_p]), list(st[2 + n_p])
         else:
-            hist_ts, hist_val, pend_ts, pend_id = [], [], [], []
+            hist_ts, hist_p = [], [[] for _ in range(n_p)]
+            pend_ts, pend_id = [], []
 
         new_events = []
         for pdf in pdf_iter:
             ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")).tolist()
-            for t, side, eid, val in zip(
-                ts_us, pdf["side"].tolist(), pdf["event_id"].tolist(), pdf["value"].tolist()
+            payload_lists = [
+                [None if pd.isna(x) else x for x in pdf[c].tolist()]
+                for c in payload_cols
+            ]
+            for j, (t, side, eid) in enumerate(
+                zip(ts_us, pdf["side"].tolist(), pdf["event_id"].tolist())
             ):
                 if side == 0:
                     i = bisect.bisect_right(hist_ts, t)
                     hist_ts.insert(i, t)
-                    hist_val.insert(i, val)
+                    for pi in range(n_p):
+                        hist_p[pi].insert(i, payload_lists[pi][j])
                 else:
                     new_events.append((t, int(eid)))
 
@@ -283,8 +304,8 @@ def asof_join_stream_stream(
         def match(t):
             i = bisect.bisect_right(hist_ts, t)
             if i == 0:
-                return (None, None)
-            return (hist_ts[i - 1], hist_val[i - 1])
+                return (None,) + (None,) * n_p
+            return (hist_ts[i - 1],) + tuple(hist_p[pi][i - 1] for pi in range(n_p))
 
         out = []
         if buffered:
@@ -292,31 +313,28 @@ def asof_join_stream_stream(
             still = []
             for t, eid in pend:
                 if wm_us is not None and t <= wm_us:
-                    m_ts, m_val = match(t)
-                    out.append((key[0], eid, t, m_ts, m_val))
+                    out.append((key[0], eid, t) + match(t))
                 else:
                     still.append((t, eid))
             pend_ts = [t for t, _ in still]
             pend_id = [i for _, i in still]
         else:
             for t, eid in sorted(new_events):
-                m_ts, m_val = match(t)
-                out.append((key[0], eid, t, m_ts, m_val))
+                out.append((key[0], eid, t) + match(t))
 
         # prune: history strictly older than the newest row <= watermark is
         # unreachable for any future (post-watermark) event
         if wm_us is not None and hist_ts:
-            import bisect as _b
-
-            cut = _b.bisect_right(hist_ts, wm_us) - 1
+            cut = bisect.bisect_right(hist_ts, wm_us) - 1
             if cut > 0:
                 hist_ts = hist_ts[cut:]
-                hist_val = hist_val[cut:]
-        state.update((hist_ts, hist_val, pend_ts, pend_id))
+                hist_p = [p[cut:] for p in hist_p]
+        state.update(tuple([hist_ts] + hist_p + [pend_ts, pend_id]))
         if out:
             yield pd.DataFrame(
                 out,
-                columns=["entity", "event_id", "event_time_us", "matched_ts_us", "value"],
+                columns=["entity", "event_id", "event_time_us", "matched_ts_us"]
+                + payload_cols,
             )
 
     return unioned.groupBy("entity").applyInPandasWithState(
