@@ -512,12 +512,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return feat
 
 
-# Queries already driver-verified green in CORRECTNESS_r01 whose operator
-# code and oracle are unchanged since. The r01 driver evaluated exactly the
-# first 50 registered queries, so registration order is the lever: everything
-# NOT yet driver-green (r01-unchecked, previously hash-failed, rows-only, new
-# this round, or re-planned) registers first; stable green queries last.
-_R01_STABLE_GREEN = [
+# The driver evaluates exactly the FIRST 50 registered queries per round, so
+# registration order is the coverage lever. Round-3 window (VERDICT r02 item
+# 2: every query should carry a driver row from r02 or r03 at current code):
+#   1. multimodal_features — the one red r02 row, reshaped this round;
+#   2. the 5 queries re-planned in r2 whose driver rows predate the re-plan;
+#   3. queries NEW this round (auto-sized ANN, cluster lowering);
+#   4. r02-green queries whose code changed this round (sampling fallback
+#      cumsum, PSI NaN bin, fintech null segments, record-id checkpointing);
+#   5. the remaining 36 r01-green queries (one round stale, code unchanged).
+# The 45 r02-green unchanged queries register after the window — their r02
+# rows are current.
+_R03_DRIVER_WINDOW = [
+    "multimodal_features",
+    # re-planned in r2, driver row stale
+    "freq_operators", "feature_validator_stats", "hash_sample_exact_1000",
+    "system_record_ids", "date_anniversary",
+    # new in r3
+    "knn_cosine_lsh_auto", "embedding_near_dup_auto", "knn_cosine_ivf_kmeans",
+    "cluster_assign",
+    # r02-green, code changed in r3
+    "ts_id_priority_sample", "psi_monthly", "fintech_dedup_gated",
+    "cv_hash_kfold",
+    # r01-green, unchanged, one round stale
     "asof_join_backward", "asof_join_arrow", "asof_join_tolerance",
     "asof_join_forward", "enrich_entity_join", "roll_windows_7d",
     "roll_quantiles_7d", "time_lag_1d", "row_lag_delta", "sessionize_30m",
@@ -529,18 +546,12 @@ _R01_STABLE_GREEN = [
     "knn_cosine_top3", "text_stats", "lang_id_heuristic", "doc_fingerprints",
     "psi_halves", "class_balance", "ts_truncate_trailing_7d",
     "cross_series_ratio", "ip_converters",
-    # r01-green queries whose plans were improved in round 2 (re-verified by
-    # the strict local oracle) — demoted so never-driver-checked queries fit
-    # the driver's 50-query window
-    "freq_operators", "feature_validator_stats", "hash_sample_exact_1000",
-    "system_record_ids", "date_anniversary",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    stable = set(_R01_STABLE_GREEN)
-    out = {k: v for k, v in _QUERIES.items() if k not in stable}
-    out.update({k: _QUERIES[k] for k in _QUERIES if k in stable})
+    out = {k: _QUERIES[k] for k in _R03_DRIVER_WINDOW if k in _QUERIES}
+    out.update({k: v for k, v in _QUERIES.items() if k not in out})
     return out
 
 

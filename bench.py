@@ -74,6 +74,7 @@ def _steady_time(make_df, runs: int = 2) -> float:
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
     from upgini_spark.fixtures import feature_source, tokenized_sequences
     from upgini_spark.joins.asof import asof_join
     from upgini_spark.operators.timeseries import roll_features, sessionize
@@ -121,6 +122,39 @@ def main() -> None:
     for name in HEADLINE:
         per_query[name] = round(_steady_time(lambda n=name: qs[n](spark, SF_DIR)), 3)
     per_query["flagship_enrich"] = round(t_flagship, 3)
+
+    # --- pipeline-level composite: normalize → validate → dedup →
+    # record-ids → as-of enrich over the events table (the fit lifecycle,
+    # tests/test_lifecycle_e2e.py shape, at benchmark scale). Timed END TO
+    # END including DataFrame construction: record-id assignment
+    # materializes eagerly, and excluding it would hide real pipeline cost.
+    def pipeline_e2e() -> float:
+        from upgini_spark.functions.dedup import drop_full_duplicates
+        from upgini_spark.pipeline.normalizer import normalize_types, validate_features
+        from upgini_spark.pipeline.record_ids import add_system_record_id
+
+        t0 = time.time()
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        feats = ["event_type", "value"]
+        d = normalize_types(ev, feats)
+        d, _dropped = validate_features(d, feats, exact=True)
+        d = drop_full_duplicates(
+            d, subset=["user_id", "ts", "value"], order_col="event_id"
+        )
+        d = add_system_record_id(d, "ts", ["user_id"])
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+            F.col("value").alias("click_value"),
+        )
+        out = asof_join(
+            d, clicks, left_on="ts", right_on="r_ts",
+            by_left="user_id", by_right="r_user", keep_match_ts=True,
+        )
+        out.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    pipeline_e2e()  # warm-up
+    per_query["pipeline_e2e"] = round(min(pipeline_e2e() for _ in range(2)), 3)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({

@@ -333,7 +333,11 @@ def psi_monthly_report(
         n_vals = ref.select(feat).filter(v.isNotNull()).distinct().count()
         if is_numerical and n_vals > 20:
             qs = [i / n_bins for i in range(0, n_bins + 1)]
-            edges = ref.agg(
+            # NaN is excluded from the edge quantiles too (Spark percentile
+            # would sort it above every double; np.histogram never sees it)
+            edges = ref.filter(
+                v.isNotNull() & ~F.isnan(v.cast("double"))
+            ).agg(
                 F.percentile(v.cast("double"), F.array(*[F.lit(q) for q in qs]))
                 .alias("e")
             ).collect()[0]["e"]

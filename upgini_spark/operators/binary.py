@@ -138,7 +138,15 @@ def _jaro_winkler(s1: str, s2: str) -> float:
 
 @F.pandas_udf(DoubleType())
 def sim_jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Vectorized Jaro-Winkler similarity (binary.py:174-199)."""
+    """Vectorized Jaro-Winkler similarity (binary.py:174-199).
+
+    The INNER loop is per-pair Python inside the Arrow-batched UDF — the
+    one remaining Python inner loop reachable from a formula. Deliberate:
+    no vectorized JW exists in this container (numpy can't express the
+    match-window scan; the reference runs the same per-row loop), and the
+    Arrow batching amortizes transfer. If the environment ever grows
+    `rapidfuzz`, swap the kernel for
+    ``rapidfuzz.process.cpdist(a, b, scorer=JaroWinkler.similarity)``."""
     out = []
     for x, y in zip(a, b):
         if x is None or y is None or (isinstance(x, float) and pd.isna(x)) or (
