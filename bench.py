@@ -66,10 +66,11 @@ def _noop_time(df) -> float:
     return time.time() - t0
 
 
-def _steady_time(make_df, runs: int = 2) -> float:
+def _steady_time(make_df, runs: int = 3) -> float:
     """Best of ``runs`` executions — the first run pays one-time costs
-    (plan compilation, codegen, IO cache); the driver's cold environment
-    otherwise reports warm-up, not throughput."""
+    (plan compilation, codegen, IO cache), and this VM exhibits multi-10s
+    host-contention stalls (BASELINE.md), so the min over 3 is the
+    reproducible steady-state figure."""
     return min(_noop_time(make_df()) for _ in range(runs))
 
 
@@ -111,9 +112,9 @@ def main() -> None:
                           tie_cols=["n_tok"])
 
     flagship().write.format("noop").mode("overwrite").save()  # warm-up (JIT, IO cache)
-    # best-of-3: this VM exhibits multi-10s stalls (documented in
+    # best-of-5: this VM exhibits multi-10s stalls (documented in
     # BASELINE.md); the min is the reproducible steady-state figure
-    t_flagship = _steady_time(flagship, runs=3)
+    t_flagship = _steady_time(flagship, runs=5)
     sequences_per_sec = n_rows / t_flagship
 
     # --- headline operator queries over the star schema -------------------
