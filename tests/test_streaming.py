@@ -314,6 +314,11 @@ def test_stream_stream_asof_wide_payload_through_state(spark, tmp_path):
         F.col("f_ext_num_1").cast("double").alias("v_num"),
         (F.col("f_ext_num_1") * 100).cast("long").alias("v_long"),
         F.concat(F.lit("tag_"), F.col("entity_id")).alias("v_str"),
+        # token arrays are first-class payload (north rule): must ride
+        # through state byte-identical
+        F.sequence(
+            F.lit(1), (F.abs(F.xxhash64("entity_id")) % 5 + 1).cast("int")
+        ).cast("array<int>").alias("v_tokens"),
     )
     lpath, rpath = str(tmp_path / "ev"), str(tmp_path / "ft")
     left.write.parquet(lpath)
@@ -324,7 +329,7 @@ def test_stream_stream_asof_wide_payload_through_state(spark, tmp_path):
         asof_join_stream_stream(
             spark.readStream.schema(left.schema).parquet(lpath),
             spark.readStream.schema(right.schema).parquet(rpath),
-            feature_val_cols=["v_num", "v_long", "v_str"],
+            feature_val_cols=["v_num", "v_long", "v_str", "v_tokens"],
         ),
         "ss_asof_wide",
     )
@@ -351,3 +356,7 @@ def test_stream_stream_asof_wide_payload_through_state(spark, tmp_path):
     assert got["v_long"].fillna(-1).astype("int64").tolist() == \
         exp["v_long"].fillna(-1).astype("int64").tolist()
     assert got["v_str"].fillna("").tolist() == exp["v_str"].fillna("").tolist()
+    # token-array byte identity through state
+    g_tok = [None if x is None else list(x) for x in got["v_tokens"]]
+    w_tok = [None if x is None else list(x) for x in exp["v_tokens"]]
+    assert g_tok == w_tok

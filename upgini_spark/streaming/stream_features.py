@@ -280,12 +280,26 @@ def asof_join_stream_stream(
             hist_ts, hist_p = [], [[] for _ in range(n_p)]
             pend_ts, pend_id = [], []
 
+        def _clean(x):
+            # token arrays (array<int32>) are first-class payload: pd.isna
+            # on a list/ndarray cell raises or returns elementwise — only
+            # scalar cells get the null normalization
+            if x is None:
+                return None
+            if isinstance(x, (list, tuple, dict)):
+                return x
+            if hasattr(x, "tolist") and getattr(x, "ndim", 0):
+                return x.tolist()  # ndarray cell from Arrow
+            try:
+                return None if pd.isna(x) else x
+            except (TypeError, ValueError):
+                return x
+
         new_events = []
         for pdf in pdf_iter:
             ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")).tolist()
             payload_lists = [
-                [None if pd.isna(x) else x for x in pdf[c].tolist()]
-                for c in payload_cols
+                [_clean(x) for x in pdf[c].tolist()] for c in payload_cols
             ]
             for j, (t, side, eid) in enumerate(
                 zip(ts_us, pdf["side"].tolist(), pdf["event_id"].tolist())
