@@ -530,7 +530,7 @@ _R03_DRIVER_WINDOW = [
     "system_record_ids", "date_anniversary",
     # new in r3
     "knn_cosine_lsh_auto", "embedding_near_dup_auto", "knn_cosine_ivf_kmeans",
-    "cluster_assign",
+    "cluster_assign", "dedup_components",
     # r02-green, code changed in r3
     "ts_id_priority_sample", "psi_monthly", "fintech_dedup_gated",
     "cv_hash_kfold",
@@ -541,7 +541,10 @@ _R03_DRIVER_WINDOW = [
     "session_stats", "trend_per_user", "groupby_then_ops", "unary_scalars",
     "binary_scalars", "string_similarity", "vector_rowwise", "norm_and_bin",
     "date_list_aggs", "date_list_bounded", "key_converters",
-    "date_multiformat_parse", "dedup_full_rows", "dedup_key_conflicts",
+    # (dedup_full_rows yields its slot to dedup_components: its function
+    # body is untouched since its r01-green row and the lifecycle test
+    # exercises it end-to-end)
+    "date_multiformat_parse", "dedup_key_conflicts",
     "fintech_dedup_1h", "minhash_signatures", "ngram_jaccard_pairs",
     "knn_cosine_top3", "text_stats", "lang_id_heuristic", "doc_fingerprints",
     "psi_halves", "class_balance", "ts_truncate_trailing_7d",
@@ -1119,10 +1122,11 @@ def minhash_signatures(spark, sf_dir):
     return out.select("doc_id", "mh0", "mh1", "mh2", "mh3")
 
 
-@_q(
-    "minhash_lsh_pairs",
-    """
-    WITH t AS (
+# Shared CTE body: documents -> minhash signatures -> LSH bands (k=8,
+# 4 bands of 2) -> candidate pairs. Used by minhash_lsh_pairs and the
+# connected-components dedup query.
+_MINHASH_PAIRS_CTES = """
+    t AS (
       SELECT doc_id,
              list_transform(string_split(text, ' '),
                w -> ('0x' || substr(md5(w), 1, 12))::BIGINT) AS wh
@@ -1145,11 +1149,20 @@ def minhash_signatures(spark, sf_dir):
              md5(CAST(mh[CAST(b.range * 2 + 1 AS INT)] AS VARCHAR) || '|'
                  || CAST(mh[CAST(b.range * 2 + 2 AS INT)] AS VARCHAR)) AS band_key
       FROM sig, range(0, 4) b
+    ), cand_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b
-      ON a.band_no = b.band_no AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
+"""
+
+
+@_q(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT id_a, id_b FROM cand_pairs
     """,
 )
 def minhash_lsh_pairs(spark, sf_dir):
@@ -3558,3 +3571,37 @@ def cluster_assign(spark, sf_dir):
     node = parse_formula("cluster(v)")
     set_op_params(node, {"centroids": _json.dumps(cents)})
     return emb.select("vec_id", lower_to_column(node).alias("cluster_id"))
+
+
+@_q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM cand_pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM cand_pairs
+    ),
+    cc(node, lab) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT e.a, cc.lab FROM cc JOIN sym e ON e.b = cc.node
+    )
+    SELECT node, min(lab) AS component, node = min(lab) AS kept
+    FROM cc GROUP BY node
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate-cluster resolution — the step between LSH candidate
+    pairs and an actual dedup pass at 10^12 rows: MinHash-LSH pairs →
+    distributed min-label-propagation connected components
+    (functions/dedup.connected_components) → canonical min-id per
+    cluster; ``kept`` marks the one row per cluster a keep-canonical
+    dedup retains (near_dup_keep_canonical). The oracle replays the
+    pair pipeline plus a recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_band_pairs(docs, "doc_id", "text", k=8, bands=4)
+    cc = DD.connected_components(pairs)
+    return cc.select(
+        "node", "component", (F.col("node") == F.col("component")).alias("kept")
+    )

@@ -230,3 +230,52 @@ def test_cluster_formula_round_trip(spark):
     out = {r["i"]: r["c"] for r in
            df.select("i", lower_to_column(replayed).alias("c")).collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 0}
+
+
+# -- Duplicate-cluster resolution: connected components + keep-canonical ----
+
+def test_connected_components_chain_and_islands(spark):
+    from upgini_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 4), (4, 9),          # chain -> component 2
+         (20, 30), (30, 20),              # duplicate/reversed edges
+         (100, 101)],
+        "id_a int, id_b int",
+    )
+    cc = {r["node"]: r["component"] for r in
+          connected_components(pairs).collect()}
+    assert cc == {2: 2, 7: 2, 4: 2, 9: 2, 20: 20, 30: 20, 100: 100, 101: 100}
+
+
+def test_connected_components_partition_invariant(spark):
+    from upgini_spark.functions.dedup import connected_components
+
+    import random
+    rnd = random.Random(7)
+    # 40 clusters of ~5 nodes, randomly chained
+    edges = []
+    for c in range(40):
+        ids = [c * 100 + i for i in range(5)]
+        rnd.shuffle(ids)
+        edges += list(zip(ids, ids[1:]))
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r["node"]: r["component"] for r in
+         connected_components(pairs.repartition(16)).collect()}
+    b = {r["node"]: r["component"] for r in
+         connected_components(pairs.repartition(2)).collect()}
+    assert a == b
+    assert all(v == (k // 100) * 100 for k, v in a.items())
+
+
+def test_near_dup_keep_canonical(spark):
+    from upgini_spark.functions.dedup import near_dup_keep_canonical
+
+    df = spark.range(10).select(F.col("id").cast("int").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (7, 8)], "id_a int, id_b int"
+    )
+    kept = sorted(r["doc_id"] for r in near_dup_keep_canonical(
+        df, "doc_id", pairs).collect())
+    # clusters {1,3,5} -> keep 1; {7,8} -> keep 7; singletons kept
+    assert kept == [0, 1, 2, 4, 6, 7, 9]

@@ -344,3 +344,85 @@ def remove_fintech_duplicates(
         part = process(df.filter(F.col(eval_set_index_col).eqNullSafe(F.lit(s))))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution (beyond-reference scale operator): LSH/band
+# joins emit candidate PAIRS; an actual dedup pass must group pairs into
+# clusters and keep one document per cluster. Connected components via
+# distributed min-label propagation.
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the duplicate-pair graph → (node, component)
+    where ``component`` is the MINIMUM node id in the component (canonical,
+    deterministic, engine-portable).
+
+    Distributed min-label propagation: each iteration takes
+    ``label(n) = min(label(n), min over neighbors' labels)`` — one
+    equi-join + one map-side-combinable min aggregation per iteration,
+    converging in O(graph diameter) rounds. Near-dup clusters from banded
+    LSH have tiny diameter (a clique per bucket collision), so 2-4 rounds
+    is typical; ``max_iter`` guards adversarial chains (for genuinely
+    deep graphs switch to the large-star/small-star doubling variant,
+    O(log n) rounds). Each round's labels are cut from the lineage with an
+    eager ``localCheckpoint`` — iterative Spark plans otherwise grow
+    exponentially and re-execute from scratch every round.
+
+    Only nodes that appear in ``pairs`` are returned; callers treat
+    missing ids as singleton components.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("__nl__"))
+        )
+        stepped = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.col("label").alias("__old__"),
+                F.least(F.col("label"), F.coalesce("__nl__", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = stepped.filter(F.col("label") != F.col("__old__")).count()
+        labels = stepped.select("node", "label")
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def near_dup_keep_canonical(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one row per duplicate cluster: the row whose id equals its
+    component's canonical (minimum) id; rows in no pair are singletons and
+    always kept. The anti-join ships only the (small) drop list — the
+    corpus is scanned once, never shuffled on the full row."""
+    cc = connected_components(pairs, id_a, id_b)
+    drop = cc.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), on=id_col, how="left_anti")
