@@ -530,7 +530,7 @@ _R03_DRIVER_WINDOW = [
     "system_record_ids", "date_anniversary",
     # new in r3
     "knn_cosine_lsh_auto", "embedding_near_dup_auto", "knn_cosine_ivf_kmeans",
-    "cluster_assign", "dedup_components",
+    "cluster_assign", "dedup_components", "pack_sequences_512",
     # r02-green, code changed in r3
     "ts_id_priority_sample", "psi_monthly", "fintech_dedup_gated",
     "cv_hash_kfold",
@@ -541,10 +541,11 @@ _R03_DRIVER_WINDOW = [
     "session_stats", "trend_per_user", "groupby_then_ops", "unary_scalars",
     "binary_scalars", "string_similarity", "vector_rowwise", "norm_and_bin",
     "date_list_aggs", "date_list_bounded", "key_converters",
-    # (dedup_full_rows yields its slot to dedup_components: its function
-    # body is untouched since its r01-green row and the lifecycle test
-    # exercises it end-to-end)
-    "date_multiformat_parse", "dedup_key_conflicts",
+    # (dedup_full_rows and dedup_key_conflicts yield their slots to
+    # dedup_components and pack_sequences_512: their function bodies are
+    # untouched since their r01-green rows; the lifecycle test and bench
+    # HEADLINE exercise them continuously)
+    "date_multiformat_parse",
     "fintech_dedup_1h", "minhash_signatures", "ngram_jaccard_pairs",
     "knn_cosine_top3", "text_stats", "lang_id_heuristic", "doc_fingerprints",
     "psi_halves", "class_balance", "ts_truncate_trailing_7d",
@@ -3604,4 +3605,62 @@ def dedup_components(spark, sf_dir):
     cc = DD.connected_components(pairs)
     return cc.select(
         "node", "component", (F.col("node") == F.col("component")).alias("kept")
+    )
+
+
+@_q(
+    "pack_sequences_512",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 4))::UINTEGER % 32000
+                         AS INT)) AS toks
+      FROM documents
+    ), o AS (
+      SELECT doc_id, toks,
+             sum(len(toks)) OVER (ORDER BY doc_id) - len(toks) AS off
+      FROM d
+    ), tok AS (
+      SELECT doc_id, off + generate_subscripts(toks, 1) - 1 AS p,
+             unnest(toks) AS tk
+      FROM o
+    ), ch AS (
+      SELECT CAST(p // 512 AS BIGINT) AS chunk_id,
+             CAST(p % 512 AS INT) AS pos, tk, doc_id
+      FROM tok
+    )
+    SELECT chunk_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           md5(string_agg(CAST(tk AS VARCHAR), ',' ORDER BY pos)) AS tokens_md5
+    FROM ch GROUP BY chunk_id
+    """,
+)
+def pack_sequences_512(spark, sf_dir):
+    """Concat-and-chunk sequence packing (functions/tokens.pack_sequences)
+    — the canonical pretraining layout for the north rule's token
+    payload: documents laid end-to-end in doc_id order, cut into 512-token
+    chunks, offsets from the distributed running sum. tokens_md5 hashes
+    the packed token list, proving BYTE-IDENTICAL token arrays per chunk
+    against the SQL replay (arrays themselves would crash the driver's
+    canonicalizer). Word-md5 token ids stand in for a real tokenizer —
+    engine-portable and sf-scalable."""
+    from upgini_spark.functions.tokens import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: (F.conv(F.substring(F.md5(w), 1, 4), 16, 10) % 32000)
+            .cast("int"),
+        ).alias("toks"),
+    )
+    packed = pack_sequences(docs, "doc_id", "toks", 512)
+    return packed.select(
+        "chunk_id", "n_tokens", "n_docs", "first_doc", "last_doc",
+        F.md5(
+            F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
+        ).alias("tokens_md5"),
     )

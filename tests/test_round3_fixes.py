@@ -279,3 +279,48 @@ def test_near_dup_keep_canonical(spark):
         df, "doc_id", pairs).collect())
     # clusters {1,3,5} -> keep 1; {7,8} -> keep 7; singletons kept
     assert kept == [0, 1, 2, 4, 6, 7, 9]
+
+
+# -- Token ops: concat-and-chunk packing + truncate/pad ----------------------
+
+def test_pack_sequences_matches_python_reference(spark):
+    from upgini_spark.functions.tokens import pack_sequences
+
+    docs = [(i, [i * 10 + j for j in range(i % 7 + 1)]) for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id int, toks array<int>")
+    out = pack_sequences(df, "doc_id", "toks", max_len=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    got = {r["chunk_id"]: (r["n_tokens"], r["n_docs"], list(r["tokens"]))
+           for r in out.collect()}
+
+    stream, owners = [], []
+    for i, toks in docs:
+        stream += toks
+        owners += [i] * len(toks)
+    want = {}
+    for c in range(0, len(stream), 16):
+        want[c // 16] = (
+            len(stream[c:c + 16]),
+            len(set(owners[c:c + 16])),
+            stream[c:c + 16],
+        )
+    assert got == want
+
+    # partition invariance (the offsets must not depend on layout)
+    got2 = {r["chunk_id"]: list(r["tokens"])
+            for r in pack_sequences(df.repartition(7), "doc_id", "toks",
+                                    max_len=16).collect()}
+    assert got2 == {k: v[2] for k, v in want.items()}
+
+
+def test_truncate_pad_tokens(spark):
+    from upgini_spark.functions.tokens import truncate_pad_tokens
+
+    df = spark.createDataFrame(
+        [(1, [5, 6, 7, 8, 9]), (2, [1]), (3, [])],
+        "i int, toks array<int>",
+    )
+    out = {r["i"]: list(r["t"]) for r in df.select(
+        "i", truncate_pad_tokens("toks", 3, pad_id=-1).alias("t")).collect()}
+    assert out == {1: [5, 6, 7], 2: [1, -1, -1], 3: [-1, -1, -1]}

@@ -1,0 +1,92 @@
+"""Token-array operators for training-data pipelines.
+
+The north-rule payload is pre-tokenized sequences (``tokens:
+array<int32>``); these are the array-level operators a 100 TB pipeline
+runs between enrichment and training: packing variable-length documents
+into fixed-length chunks, truncation/padding, and token stats. No
+reference counterpart (the reference is tabular-only) — first-class per
+the task brief's training-data-pipeline mandate.
+
+All operators are native expressions or single explode+agg passes; the
+deterministic total order comes from the distributed
+``global_running_sum`` (pipeline/record_ids.py), so there is no
+single-partition stage at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def truncate_pad_tokens(
+    tokens, max_len: int, pad_id: int = 0
+) -> F.Column:
+    """Fixed-length token rows: truncate to ``max_len`` or right-pad with
+    ``pad_id`` — pure native array expression (slice + concat + repeat)."""
+    t = tokens if not isinstance(tokens, str) else F.col(tokens)
+    cut = F.slice(t, 1, max_len)
+    pad_n = F.greatest(F.lit(0), F.lit(max_len) - F.size(t))
+    pad = F.array_repeat(F.lit(pad_id).cast("int"), pad_n.cast("int"))
+    return F.concat(cut, pad)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard pretraining
+    layout): documents are laid end-to-end along the deterministic total
+    order (``id_col`` asc) and the concatenated token stream is cut into
+    fixed ``max_len`` chunks — zero padding waste except the final chunk.
+
+    Returns one row per chunk: (chunk_id, n_tokens, n_docs, first_doc,
+    last_doc, tokens). Deterministic on any cluster size: document
+    offsets come from the distributed running sum (range-partition +
+    per-partition totals + broadcast prefix offsets — no
+    ``Exchange SinglePartition``); the explode shuffles each token once
+    on chunk_id, which is the honest cost of re-laying out a token
+    stream and is embarrassingly parallel.
+
+    Greedy first-fit bin packing (no cross-document splits) is the other
+    classical layout; concat-and-chunk is chosen because it is
+    order-deterministic, engine-portable (SQL-replayable — see the
+    pack_sequences oracle), and what GPT-style pipelines actually do.
+    """
+    from upgini_spark.pipeline.record_ids import global_running_sum
+
+    d = df.select(
+        F.col(id_col).alias("__pid__"),
+        F.col(tokens_col).alias("__ptok__"),
+        F.size(tokens_col).cast("long").alias("__pnt__"),
+    )
+    d = global_running_sum(
+        d, [F.col("__pid__").asc()], "__pnt__", "__pend__",
+        num_partitions=num_partitions,
+    )
+    tok = (
+        d.select(
+            "__pid__",
+            (F.col("__pend__").cast("long") - F.col("__pnt__")).alias("__poff__"),
+            F.posexplode("__ptok__").alias("__pi__", "tok"),
+        )
+        .withColumn("__pp__", F.col("__poff__") + F.col("__pi__"))
+        .withColumn("chunk_id", (F.col("__pp__") / max_len).cast("long"))
+        .withColumn("pos", (F.col("__pp__") % max_len).cast("int"))
+    )
+    return (
+        tok.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.countDistinct("__pid__").cast("int").alias("n_docs"),
+            F.min("__pid__").alias("first_doc"),
+            F.max("__pid__").alias("last_doc"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ).alias("tokens"),
+        )
+    )
