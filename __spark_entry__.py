@@ -531,6 +531,7 @@ _R03_DRIVER_WINDOW = [
     # new in r3
     "knn_cosine_lsh_auto", "embedding_near_dup_auto", "knn_cosine_ivf_kmeans",
     "cluster_assign", "dedup_components", "pack_sequences_512",
+    "mix_sources_sample",
     # r02-green, code changed in r3
     "ts_id_priority_sample", "psi_monthly", "fintech_dedup_gated",
     "cv_hash_kfold",
@@ -541,12 +542,12 @@ _R03_DRIVER_WINDOW = [
     "session_stats", "trend_per_user", "groupby_then_ops", "unary_scalars",
     "binary_scalars", "string_similarity", "vector_rowwise", "norm_and_bin",
     "date_list_aggs", "date_list_bounded", "key_converters",
-    # (dedup_full_rows and dedup_key_conflicts yield their slots to
-    # dedup_components and pack_sequences_512: their function bodies are
+    # (dedup_full_rows, dedup_key_conflicts and ngram_jaccard_pairs yield
+    # their slots to the new r3 queries: their function bodies are
     # untouched since their r01-green rows; the lifecycle test and bench
-    # HEADLINE exercise them continuously)
+    # HEADLINE exercise the first two continuously)
     "date_multiformat_parse",
-    "fintech_dedup_1h", "minhash_signatures", "ngram_jaccard_pairs",
+    "fintech_dedup_1h", "minhash_signatures",
     "knn_cosine_top3", "text_stats", "lang_id_heuristic", "doc_fingerprints",
     "psi_halves", "class_balance", "ts_truncate_trailing_7d",
     "cross_series_ratio", "ip_converters",
@@ -3664,3 +3665,35 @@ def pack_sequences_512(spark, sf_dir):
             F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
         ).alias("tokens_md5"),
     )
+
+
+@_q(
+    "mix_sources_sample",
+    """
+    WITH u AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS uf
+      FROM documents
+    )
+    SELECT doc_id, source FROM u
+    WHERE uf < CASE source WHEN 'src1' THEN 1.0
+                           WHEN 'src2' THEN 0.5
+                           WHEN 'src3' THEN 0.25
+                           ELSE 0.6 END
+    """,
+)
+def mix_sources_sample(spark, sf_dir):
+    """Deterministic data mixing (functions/sampling.sample_by_rates):
+    per-source keep rates applied via the row's hash-uniform — seed-free,
+    cluster-size-invariant (each row's fate is a pure function of its id),
+    rates compose monotonically. 2^60 = 16^15 makes the uniform an exact
+    double on both engines, so the oracle matches bit-for-bit."""
+    from upgini_spark.functions.sampling import sample_by_rates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = sample_by_rates(
+        docs, "source", {"src1": 1.0, "src2": 0.5, "src3": 0.25},
+        id_cols=["doc_id"], default_rate=0.6,
+    )
+    return out.select("doc_id", "source")

@@ -324,3 +324,35 @@ def test_truncate_pad_tokens(spark):
     out = {r["i"]: list(r["t"]) for r in df.select(
         "i", truncate_pad_tokens("toks", 3, pad_id=-1).alias("t")).collect()}
     assert out == {1: [5, 6, 7], 2: [1, -1, -1], 3: [-1, -1, -1]}
+
+
+# -- Deterministic data mixing (per-source rates) -----------------------------
+
+def test_sample_by_rates_invariant_and_monotone(spark):
+    from upgini_spark.functions.sampling import sample_by_rates
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("wiki"), F.lit("books")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("src"),
+    )
+    kept = sample_by_rates(df, "src", {"web": 0.5, "wiki": 1.0}, ["id"],
+                           default_rate=0.25)
+    rows = kept.groupBy("src").count().collect()
+    by = {r["src"]: r["count"] for r in rows}
+    assert by["wiki"] == 1333            # rate 1.0 keeps everything
+    assert 500 < by["web"] < 840         # ~50% of 1334
+    assert 230 < by["books"] < 440       # ~25% of 1333
+    # partition invariance: same exact rows
+    a = sorted(r["id"] for r in kept.collect())
+    b = sorted(r["id"] for r in sample_by_rates(
+        df.repartition(13), "src", {"web": 0.5, "wiki": 1.0}, ["id"],
+        default_rate=0.25).collect())
+    assert a == b
+    # monotone composition: lowering a rate only removes rows
+    lower = {r["id"] for r in sample_by_rates(
+        df, "src", {"web": 0.2, "wiki": 1.0}, ["id"],
+        default_rate=0.25).collect()}
+    assert lower <= set(a)

@@ -402,3 +402,44 @@ def forced_downsample_binary(
         minority = hash_sample_exact(minority, half, id_cols)
     majority = hash_sample_exact(majority, half, id_cols)
     return minority.unionByName(majority)
+
+
+# --- deterministic source mixing (training-data pipeline op) ---------------
+
+def hash_uniform(id_cols: list[str], salt: str = "") -> F.Column:
+    """Deterministic uniform [0,1) from the row's id tuple: first 60 md5
+    bits / 2^60. Engine-portable — DuckDB replays it as
+    ``('0x' || substr(md5(key), 1, 15))::BIGINT / 1152921504606846976.0``
+    (2^60 = 16^15, so the division is exact in both engines). ``salt``
+    derives independent streams from the same ids."""
+    parts = [F.col(c).cast("string") for c in id_cols]
+    if salt:
+        parts.append(F.lit(salt))
+    h = F.md5(F.concat_ws("\x1f", *parts))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("double")
+        / F.lit(float(1 << 60))
+    )
+
+
+def sample_by_rates(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_cols: list[str],
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic sampling — the data-MIXING step of a
+    pretraining pipeline (keep 100% of wiki, 25% of crawl, ...): keep a
+    row iff its hash-uniform < the group's rate. Unlike ``sampleBy`` this
+    is seed-free and cluster-size-invariant: the SAME rows survive on any
+    partitioning, any engine (each row's fate is a pure function of its
+    id), and rates compose monotonically — lowering a rate only removes
+    rows, never swaps them. One filter, no shuffle."""
+    u = hash_uniform(id_cols, salt=salt)
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in (kv[0], float(kv[1]))]
+    )
+    rate = F.coalesce(rate_map[F.col(group_col)], F.lit(float(default_rate)))
+    return df.filter(u < rate)
