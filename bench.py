@@ -57,12 +57,22 @@ HEADLINE = [
     "knn_cosine_ivf",
     "forced_downsample_binary",
     "ts_id_priority_sample",
+    # round 3: new workload classes (token explode, iterative graph,
+    # mixing filter, fit+assign)
+    "pack_sequences_512",
+    "dedup_components",
+    "mix_sources_sample",
+    "cluster_assign",
 ]
 
 
-def _noop_time(df) -> float:
+def _noop_time(make_df) -> float:
+    """Time DataFrame CONSTRUCTION + noop write: queries with an eager
+    fit stage (connected components, k-means centroids, record ids) do
+    real work while building the frame — excluding it would hide their
+    dominant cost."""
     t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
+    make_df().write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
@@ -71,7 +81,7 @@ def _steady_time(make_df, runs: int = 3) -> float:
     (plan compilation, codegen, IO cache), and this VM exhibits multi-10s
     host-contention stalls (BASELINE.md), so the min over 3 is the
     reproducible steady-state figure."""
-    return min(_noop_time(make_df()) for _ in range(runs))
+    return min(_noop_time(make_df) for _ in range(runs))
 
 
 def main() -> None:
