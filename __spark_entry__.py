@@ -531,7 +531,7 @@ _R03_DRIVER_WINDOW = [
     # new in r3
     "knn_cosine_lsh_auto", "embedding_near_dup_auto", "knn_cosine_ivf_kmeans",
     "cluster_assign", "dedup_components", "pack_sequences_512",
-    "mix_sources_sample",
+    "mix_sources_sample", "quality_filter_decisions",
     # r02-green, code changed in r3
     "ts_id_priority_sample", "psi_monthly", "fintech_dedup_gated",
     "cv_hash_kfold",
@@ -542,13 +542,15 @@ _R03_DRIVER_WINDOW = [
     "session_stats", "trend_per_user", "groupby_then_ops", "unary_scalars",
     "binary_scalars", "string_similarity", "vector_rowwise", "norm_and_bin",
     "date_list_aggs", "date_list_bounded", "key_converters",
-    # (dedup_full_rows, dedup_key_conflicts and ngram_jaccard_pairs yield
-    # their slots to the new r3 queries: their function bodies are
-    # untouched since their r01-green rows; the lifecycle test and bench
-    # HEADLINE exercise the first two continuously)
+    # (dedup_full_rows, dedup_key_conflicts, ngram_jaccard_pairs and
+    # lang_id_heuristic yield their slots to the new r3 queries: their
+    # function bodies are untouched since their r01-green rows; the
+    # lifecycle test and bench HEADLINE exercise the first two
+    # continuously, and quality_filter_decisions subsumes the lang-id
+    # expression)
     "date_multiformat_parse",
     "fintech_dedup_1h", "minhash_signatures",
-    "knn_cosine_top3", "text_stats", "lang_id_heuristic", "doc_fingerprints",
+    "knn_cosine_top3", "text_stats", "doc_fingerprints",
     "psi_halves", "class_balance", "ts_truncate_trailing_7d",
     "cross_series_ratio", "ip_converters",
 ]
@@ -3697,3 +3699,60 @@ def mix_sources_sample(spark, sf_dir):
         id_cols=["doc_id"], default_rate=0.6,
     )
     return out.select("doc_id", "source")
+
+
+@_q(
+    "quality_filter_decisions",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> len(t) > 0) AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS nt,
+             CASE WHEN len(toks) = 0 THEN NULL
+                  ELSE CAST(list_reduce(list_transform(toks, t -> len(t)),
+                                        (a, b) -> a + b) AS DOUBLE) / len(toks)
+             END AS mwl,
+             CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_replace(text,
+                       '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                       / len(text) END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks,
+                    t -> list_contains(['the','a','an','and','or','of','to',
+                                        'in','is','it','that','for','on',
+                                        'with','as','at','by','this','be',
+                                        'are'], lower(t)))) AS DOUBLE)
+                       / len(toks) END AS en
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN nt < 5 THEN 'too_short'
+                WHEN nt > 100000 THEN 'too_long'
+                WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_length'
+                WHEN pr > 0.2 THEN 'punctuation'
+                WHEN en < 0.05 THEN 'language'
+                ELSE 'ok' END AS reject_reason,
+           CASE WHEN nt < 5 THEN FALSE
+                WHEN nt > 100000 THEN FALSE
+                WHEN mwl < 2.0 OR mwl > 12.0 THEN FALSE
+                WHEN pr > 0.2 THEN FALSE
+                WHEN en < 0.05 THEN FALSE
+                ELSE TRUE END AS keep
+    FROM m
+    """,
+)
+def quality_filter_decisions(spark, sf_dir):
+    """C4/Gopher-style document filter (functions/text.quality_filter):
+    length band, mean-word-length sanity, punctuation ratio, stopword
+    language score — first failing rule is the reject reason, fixed
+    priority. All native expressions replayed exactly in SQL; the
+    decision step a pretraining pipeline runs after text stats."""
+    from upgini_spark.functions.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_filter(docs, "text")
+    return out.select("doc_id", "reject_reason", "keep")

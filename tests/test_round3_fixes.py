@@ -356,3 +356,25 @@ def test_sample_by_rates_invariant_and_monotone(spark):
         df, "src", {"web": 0.2, "wiki": 1.0}, ["id"],
         default_rate=0.25).collect()}
     assert lower <= set(a)
+
+
+# -- Quality filter: first failing rule wins, fixed priority ------------------
+
+def test_quality_filter_reasons(spark):
+    from upgini_spark.functions.text import quality_filter
+
+    rows = [
+        (0, "too short"),                                        # 2 tokens
+        (1, "a " * 10 + "verylongwordssssss " * 40),             # mwl ok? 'a'=1 char x10 + 18 x40 -> mwl ~14.6 -> word_length
+        (2, ".,;:!! " * 30),                                     # punctuation
+        (3, "zzz qqq www rrr ttt yyy uuu iii"),                  # no stopwords -> language
+        (4, "the cat sat on the mat with a hat and a rat today"),  # keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: (r["reject_reason"], r["keep"]) for r in
+           quality_filter(df, "text").collect()}
+    assert out[0] == ("too_short", False)
+    assert out[1] == ("word_length", False)
+    assert out[2][0] in ("word_length", "punctuation") and not out[2][1]
+    assert out[3] == ("language", False)
+    assert out[4] == ("ok", True)

@@ -98,3 +98,39 @@ def rolling_hash_fingerprint(c: Column, window: int = 4) -> Column:
         ),
     ).otherwise(F.array(c))
     return F.array_min(F.transform(shingles, lambda s: F.md5(s)))
+
+
+def quality_filter(
+    df,
+    text_col: str,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mwl: float = 2.0,
+    max_mwl: float = 12.0,
+    max_punct: float = 0.2,
+    min_en_score: float = 0.05,
+):
+    """C4/Gopher-style document filter: first failing rule (in a fixed
+    priority order) becomes the reject reason; ``keep`` = no rule fired.
+    One narrow projection per corpus scan, all native expressions —
+    the decision step a pretraining pipeline runs after text stats.
+
+    Reasons (priority order): too_short, too_long, word_length,
+    punctuation, language; 'ok' when kept.
+    """
+    c = F.col(text_col)
+    n_tok = token_count_ws(c)
+    mwl = mean_word_length(c)
+    pr = F.coalesce(punct_ratio(c), F.lit(0.0))
+    en = lang_id_en_score(c)
+    reason = (
+        F.when(n_tok < min_tokens, F.lit("too_short"))
+        .when(n_tok > max_tokens, F.lit("too_long"))
+        .when((mwl < min_mwl) | (mwl > max_mwl), F.lit("word_length"))
+        .when(pr > max_punct, F.lit("punctuation"))
+        .when(en < min_en_score, F.lit("language"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason") == "ok"
+    )
