@@ -3756,3 +3756,57 @@ def quality_filter_decisions(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = quality_filter(docs, "text")
     return out.select("doc_id", "reject_reason", "keep")
+
+
+@_q(
+    "pack_by_source_256",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 4))::UINTEGER % 32000
+                         AS INT)) AS toks
+      FROM documents
+    ), o AS (
+      SELECT doc_id, source, toks,
+             sum(len(toks)) OVER (
+               PARTITION BY source ORDER BY doc_id) - len(toks) AS off
+      FROM d
+    ), tok AS (
+      SELECT doc_id, source, off + generate_subscripts(toks, 1) - 1 AS p,
+             unnest(toks) AS tk
+      FROM o
+    ), ch AS (
+      SELECT source, CAST(p // 256 AS BIGINT) AS chunk_id,
+             CAST(p % 256 AS INT) AS pos, tk, doc_id
+      FROM tok
+    )
+    SELECT source, chunk_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+           md5(string_agg(CAST(tk AS VARCHAR), ',' ORDER BY pos)) AS tokens_md5
+    FROM ch GROUP BY source, chunk_id
+    """,
+)
+def pack_by_source_256(spark, sf_dir):
+    """Per-group packing: chunks never cross a source boundary and chunk
+    ids restart per source — the per-shard layout of a mixed-corpus
+    pipeline (tokens.pack_sequences with group_cols; offsets from a
+    per-group window cumsum, distributed across groups)."""
+    from upgini_spark.functions.tokens import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.transform(
+            F.split("text", " "),
+            lambda w: (F.conv(F.substring(F.md5(w), 1, 4), 16, 10) % 32000)
+            .cast("int"),
+        ).alias("toks"),
+    )
+    packed = pack_sequences(docs, "doc_id", "toks", 256, group_cols=["source"])
+    return packed.select(
+        "source", "chunk_id", "n_tokens", "n_docs",
+        F.md5(
+            F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
+        ).alias("tokens_md5"),
+    )

@@ -378,3 +378,25 @@ def test_quality_filter_reasons(spark):
     assert out[2][0] in ("word_length", "punctuation") and not out[2][1]
     assert out[3] == ("language", False)
     assert out[4] == ("ok", True)
+
+
+def test_pack_sequences_per_group(spark):
+    from upgini_spark.functions.tokens import pack_sequences
+
+    docs = [(i, "g%d" % (i % 2), list(range(i, i + 5))) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id int, g string, toks array<int>")
+    out = pack_sequences(df, "doc_id", "toks", 8, group_cols=["g"])
+    rows = out.collect()
+    # groups never mix and chunk ids restart per group
+    assert {r["g"] for r in rows} == {"g0", "g1"}
+    for g in ("g0", "g1"):
+        ids = sorted(r["chunk_id"] for r in rows if r["g"] == g)
+        assert ids == list(range(len(ids)))
+    # per-group token stream equals the python reference
+    for g in ("g0", "g1"):
+        stream = [t for i, gg, toks in docs if gg == g for t in toks]
+        got = []
+        for r in sorted((r for r in rows if r["g"] == g),
+                        key=lambda r: r["chunk_id"]):
+            got += list(r["tokens"])
+        assert got == stream

@@ -36,6 +36,7 @@ def pack_sequences(
     id_col: str,
     tokens_col: str,
     max_len: int,
+    group_cols: list[str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard pretraining
@@ -55,20 +56,39 @@ def pack_sequences(
     classical layout; concat-and-chunk is chosen because it is
     order-deterministic, engine-portable (SQL-replayable — see the
     pack_sequences oracle), and what GPT-style pipelines actually do.
+
+    ``group_cols`` packs WITHIN each group (per-source shards — documents
+    never cross a group boundary; chunk ids restart per group): offsets
+    then come from a per-group window cumsum, distributed across groups
+    (each group is one window partition — use coarse groups like
+    'source', not high-cardinality keys).
     """
+    from pyspark.sql.window import Window
+
     from upgini_spark.pipeline.record_ids import global_running_sum
 
+    groups = list(group_cols or [])
     d = df.select(
+        *groups,
         F.col(id_col).alias("__pid__"),
         F.col(tokens_col).alias("__ptok__"),
         F.size(tokens_col).cast("long").alias("__pnt__"),
     )
-    d = global_running_sum(
-        d, [F.col("__pid__").asc()], "__pnt__", "__pend__",
-        num_partitions=num_partitions,
-    )
+    if groups:
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(F.col("__pid__").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        d = d.withColumn("__pend__", F.sum("__pnt__").over(w))
+    else:
+        d = global_running_sum(
+            d, [F.col("__pid__").asc()], "__pnt__", "__pend__",
+            num_partitions=num_partitions,
+        )
     tok = (
         d.select(
+            *groups,
             "__pid__",
             (F.col("__pend__").cast("long") - F.col("__pnt__")).alias("__poff__"),
             F.posexplode("__ptok__").alias("__pi__", "tok"),
@@ -78,7 +98,7 @@ def pack_sequences(
         .withColumn("pos", (F.col("__pp__") % max_len).cast("int"))
     )
     return (
-        tok.groupBy("chunk_id")
+        tok.groupBy(*groups, "chunk_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_tokens"),
             F.countDistinct("__pid__").cast("int").alias("n_docs"),
