@@ -58,6 +58,14 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "knn_cosine_top3": [
         ("BroadcastNestedLoopJoin", "by-design exact baseline, query side broadcast"),
     ],
+    # IVF cell assignment is inherently corpus x broadcast(centroids):
+    # every vector scores all sqrt(N) centroids to find its cell (the same
+    # N*k cost FAISS pays); broadcast side is the tiny centroid table, the
+    # corpus is never shuffled
+    "knn_cosine_ivf_kmeans": [
+        ("BroadcastNestedLoopJoin",
+         "argmax over broadcast centroid table — IVF's inherent N×√N assignment, no shuffle"),
+    ],
     # demo slice (40 docs); at scale pair generation comes from
     # minhash_band_pairs (equi-join), see functions/dedup.py docstring
     "ngram_jaccard_pairs": [
