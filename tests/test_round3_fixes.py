@@ -400,3 +400,17 @@ def test_pack_sequences_per_group(spark):
                         key=lambda r: r["chunk_id"]):
             got += list(r["tokens"])
         assert got == stream
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    from upgini_spark.functions.dedup import connected_components
+
+    # a 600-node chain: pure neighbor propagation needs ~600 rounds;
+    # pointer jumping must finish within the default 20 (O(log n))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(599)], "id_a int, id_b int"
+    )
+    cc = connected_components(pairs)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {0}
+    assert cc.count() == 600

@@ -364,16 +364,21 @@ def connected_components(
     where ``component`` is the MINIMUM node id in the component (canonical,
     deterministic, engine-portable).
 
-    Distributed min-label propagation: each iteration takes
-    ``label(n) = min(label(n), min over neighbors' labels)`` — one
-    equi-join + one map-side-combinable min aggregation per iteration,
-    converging in O(graph diameter) rounds. Near-dup clusters from banded
-    LSH have tiny diameter (a clique per bucket collision), so 2-4 rounds
-    is typical; ``max_iter`` guards adversarial chains (for genuinely
-    deep graphs switch to the large-star/small-star doubling variant,
-    O(log n) rounds). Each round's labels are cut from the lineage with an
-    eager ``localCheckpoint`` — iterative Spark plans otherwise grow
+    Distributed min-label propagation WITH pointer jumping: each
+    iteration takes ``label(n) = min(label(n), min over neighbors'
+    labels, label(label(n)))``. The neighbor term moves labels one hop;
+    the label-of-label term halves pointer chains (path doubling), so the
+    worst case — a pure chain — converges in O(log n) rounds, not
+    O(diameter). Near-dup clusters from banded LSH are near-cliques and
+    finish in 2-4 rounds either way. Per iteration: one edge equi-join +
+    one map-side-combinable min agg + one self-join of the (small) label
+    table; each round's labels are cut from the lineage with an eager
+    ``localCheckpoint`` — iterative Spark plans otherwise grow
     exponentially and re-execute from scratch every round.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds do not reach the
+    fixpoint (silently-wrong components would poison a dedup pass); 20
+    rounds cover any graph up to ~2^20-deep chains with pointer jumping.
 
     Only nodes that appear in ``pairs`` are returned; callers treat
     missing ids as singleton components.
@@ -388,18 +393,27 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    n_changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("__nl__"))
         )
+        ptr = labels.select(
+            F.col("node").alias("__pn__"), F.col("label").alias("__pl__")
+        )
         stepped = (
             labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .join(ptr, labels["label"] == ptr["__pn__"], "left")
             .select(
                 "node",
                 F.col("label").alias("__old__"),
-                F.least(F.col("label"), F.coalesce("__nl__", "label")).alias("label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("__nl__", "label"),
+                    F.coalesce("__pl__", "label"),
+                ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
@@ -407,6 +421,11 @@ def connected_components(
         labels = stepped.select("node", "label")
         if n_changed == 0:
             break
+    if n_changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still moving) — raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
