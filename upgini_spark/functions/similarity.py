@@ -197,16 +197,31 @@ def _nearest_cell(df: DataFrame, cent: DataFrame, vec_col: str) -> DataFrame:
     """Nearest-centroid assignment via a broadcast join + struct-max
     aggregation (map-side combinable — no per-row window shuffle):
     argmax cosine, ties to the SMALLEST cell id. ``cent`` must have
-    columns (cell int, cvec array<double>) and be broadcast-small."""
+    columns (cell int, cvec array<double>) and be broadcast-small.
+
+    The vector rides INSIDE the max struct rather than the grouping key —
+    hashing a wide array per (row × cell) would dominate the agg at
+    scale; (s, nc) is unique within a group, so the vector field is never
+    actually compared. Rows sharing the non-vector keys collapse to one
+    assignment (ids are expected unique)."""
     scored = df.crossJoin(F.broadcast(cent)).withColumn(
         "__s__", cosine_similarity(F.col(vec_col), F.col("cvec"))
     )
-    keys = [c for c in df.columns]
+    keys = [c for c in df.columns if c != vec_col]
     best = scored.groupBy(*keys).agg(
-        F.max(F.struct(F.col("__s__").alias("s"), (-F.col("cell")).alias("nc")))
-        .alias("__b__")
+        F.max(
+            F.struct(
+                F.col("__s__").alias("s"),
+                (-F.col("cell")).alias("nc"),
+                F.col(vec_col).alias("v"),
+            )
+        ).alias("__b__")
     )
-    return best.select(*keys, (-F.col("__b__.nc")).cast("int").alias("cell"))
+    return best.select(
+        *keys,
+        F.col("__b__.v").alias(vec_col),
+        (-F.col("__b__.nc")).cast("int").alias("cell"),
+    )
 
 
 def kmeans_centroids(
