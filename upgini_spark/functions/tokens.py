@@ -82,10 +82,18 @@ def pack_sequences(
         )
         d = d.withColumn("__pend__", F.sum("__pnt__").over(w))
     else:
-        d = global_running_sum(
-            d, [F.col("__pid__").asc()], "__pnt__", "__pend__",
+        # offsets on the NARROW (id, count) projection — the running
+        # sum's consistency checkpoint then materializes ~16 bytes/doc
+        # instead of the full token arrays (measured: the wide variant's
+        # checkpoint was a fixed serial floor that capped 2→8-core
+        # scaling at 0.47); the arrays join back on id, one shuffle each
+        # side, and are only ever shuffled twice total (join + chunk agg)
+        offs = global_running_sum(
+            d.select("__pid__", "__pnt__"),
+            [F.col("__pid__").asc()], "__pnt__", "__pend__",
             num_partitions=num_partitions,
-        )
+        ).select("__pid__", "__pend__")
+        d = d.join(offs, "__pid__")
     tok = (
         d.select(
             *groups,
