@@ -3810,3 +3810,91 @@ def pack_by_source_256(spark, sf_dir):
             F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
         ).alias("tokens_md5"),
     )
+
+
+@_q(
+    "pii_redaction_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (555) 123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+               AS raw
+      FROM documents
+    ), r AS (
+      SELECT doc_id, raw,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+?\\d[\\d ()-]{7,}\\d', '<PHONE>', 'g') AS red
+      FROM t
+    )
+    SELECT doc_id, md5(red) AS redacted_md5,
+           CAST(len(regexp_extract_all(red, '<EMAIL>')) AS INT) AS email_hits,
+           CAST(len(regexp_extract_all(red, '<PHONE>')) AS INT) AS phone_hits,
+           CAST(len(regexp_extract_all(red, '<IP>')) AS INT) AS ip_hits
+    FROM r
+    """,
+)
+def pii_redaction_stats(spark, sf_dir):
+    """PII redaction (functions/text.redact_pii): emails, IPv4 literals
+    and phone-shaped digit runs → typed placeholders, pure native
+    regexp_replace chain. The fixture plants one of each per document;
+    md5 of the redacted text proves byte-identical scrubbing against the
+    SQL replay, and the placeholder counts prove every plant was hit."""
+    from upgini_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1"),
+    )
+    red = redact_pii(raw)
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        F.regexp_count(red, F.lit("<EMAIL>")).cast("int").alias("email_hits"),
+        F.regexp_count(red, F.lit("<PHONE>")).cast("int").alias("phone_hits"),
+        F.regexp_count(red, F.lit("<IP>")).cast("int").alias("ip_hits"),
+    )
+
+
+@_q(
+    "repetition_share",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' ' || text || ' ' || text ELSE text END),
+               '\\s+'), t -> len(t) > 0) AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(words) - 2 >= 1 THEN
+             round(1.0 - CAST(len(list_distinct(
+               list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+               AS DOUBLE) / (len(words) - 2), 6)
+           END AS dup3_share
+    FROM w
+    """,
+)
+def repetition_share(spark, sf_dir):
+    """Gopher-style repetition filter signal (text.dup_ngram_share):
+    1 − distinct/total word trigrams. Every 10th document is tripled so
+    the planted repetition is visible (share ≈ 2/3) next to natural text."""
+    from upgini_spark.functions.text import dup_ngram_share
+
+    docs = _t(spark, sf_dir, "documents")
+    boosted = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat_ws(" ", "text", "text", "text"),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id", F.round(dup_ngram_share(boosted, n=3), 6).alias("dup3_share")
+    )

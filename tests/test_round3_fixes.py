@@ -414,3 +414,27 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     comps = {r["component"] for r in cc.collect()}
     assert comps == {0}
     assert cc.count() == 600
+
+
+# -- PII redaction + repetition signal ---------------------------------------
+
+def test_redact_pii_and_dup_share(spark):
+    from upgini_spark.functions.text import redact_pii, dup_ngram_share
+
+    df = spark.createDataFrame(
+        [(0, "mail me at jo.doe+x@corp.example.org now"),
+         (1, "server 192.168.001.12 rebooted"),
+         (2, "call +44 (20) 7946-0958 today"),
+         (3, "clean text with no identifiers at all"),
+         (4, "spam spam spam spam spam spam")],
+        "i int, t string",
+    )
+    out = {r["i"]: (r["red"], r["d"]) for r in df.select(
+        "i", redact_pii(F.col("t")).alias("red"),
+        F.round(dup_ngram_share(F.col("t")), 4).alias("d")).collect()}
+    assert out[0][0] == "mail me at <EMAIL> now"
+    assert out[1][0] == "server <IP> rebooted"
+    assert out[2][0] == "call <PHONE> today"
+    assert out[3][0] == "clean text with no identifiers at all"
+    assert out[3][1] == 0.0
+    assert out[4][1] == 0.75  # 4 trigrams, 1 distinct

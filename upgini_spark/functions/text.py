@@ -134,3 +134,39 @@ def quality_filter(
     return df.withColumn("reject_reason", reason).withColumn(
         "keep", F.col("reject_reason") == "ok"
     )
+
+
+# --- PII redaction + repetition stats (pretraining-pipeline stages) --------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d ()-]{7,}\d"
+
+
+def redact_pii(c: Column) -> Column:
+    """Scrub emails, IPv4 literals and phone-shaped digit runs with typed
+    placeholder tokens — the PII-redaction pass of a pretraining
+    pipeline, pure native regexp_replace chain (order matters: emails
+    first so their digits never half-match the phone pattern)."""
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return out
+
+
+def dup_ngram_share(c: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: 1 − distinct/total word n-grams —
+    0.0 for unrepetitive text, → 1 for loops; null when the doc is
+    shorter than one n-gram. Native higher-order functions only."""
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda t: F.length(t) > 0)
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(
+        k >= 1,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double"),
+    )
