@@ -360,3 +360,23 @@ def test_stream_stream_asof_wide_payload_through_state(spark, tmp_path):
     g_tok = [None if x is None else list(x) for x in got["v_tokens"]]
     w_tok = [None if x is None else list(x) for x in exp["v_tokens"]]
     assert g_tok == w_tok
+
+
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    """Streaming exact dedup: duplicate keys across micro-batches within
+    the watermark are dropped; distinct keys all survive."""
+    from upgini_spark.streaming.stream_features import dedup_stream
+
+    base = tokenized_sequences(spark, 120, n_partitions=2).select(
+        "doc_id", "event_time", F.col("n_tok").cast("double").alias("value")
+    )
+    dup = base.limit(40)  # replayed rows (same doc_id + event_time)
+    path = str(tmp_path / "dups")
+    base.unionByName(dup).write.parquet(path)
+
+    stream = spark.readStream.schema(base.schema).parquet(path)
+    out = _run_stream(
+        spark, dedup_stream(stream, ["doc_id"], "event_time"), "dedup_stream"
+    ).toPandas()
+    assert len(out) == base.select("doc_id").distinct().count()
+    assert out["doc_id"].is_unique

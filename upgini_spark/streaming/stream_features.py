@@ -354,3 +354,20 @@ def asof_join_stream_stream(
     return unioned.groupBy("entity").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    subset: list[str],
+    ts_col: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival of each ``subset`` key wins;
+    duplicates arriving within the event-time watermark horizon are
+    dropped (``dropDuplicatesWithinWatermark``), so state stays bounded
+    by the horizon instead of growing with the stream — the streaming
+    twin of dedup.drop_full_duplicates for at-least-once sources whose
+    replays land inside the watermark."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        subset
+    )
