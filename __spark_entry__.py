@@ -531,7 +531,8 @@ _R03_DRIVER_WINDOW = [
     # new in r3
     "knn_cosine_lsh_auto", "embedding_near_dup_auto", "knn_cosine_ivf_kmeans",
     "cluster_assign", "dedup_components", "pack_sequences_512",
-    "mix_sources_sample", "quality_filter_decisions",
+    "mix_sources_sample", "quality_filter_decisions", "pack_by_source_256",
+    "pii_redaction_stats", "repetition_share",
     # r02-green, code changed in r3
     "ts_id_priority_sample", "psi_monthly", "fintech_dedup_gated",
     "cv_hash_kfold",
@@ -540,18 +541,18 @@ _R03_DRIVER_WINDOW = [
     "asof_join_forward", "enrich_entity_join", "roll_windows_7d",
     "roll_quantiles_7d", "time_lag_1d", "row_lag_delta", "sessionize_30m",
     "session_stats", "trend_per_user", "groupby_then_ops", "unary_scalars",
-    "binary_scalars", "string_similarity", "vector_rowwise", "norm_and_bin",
+    "binary_scalars", "string_similarity", "norm_and_bin",
     "date_list_aggs", "date_list_bounded", "key_converters",
-    # (dedup_full_rows, dedup_key_conflicts, ngram_jaccard_pairs and
-    # lang_id_heuristic yield their slots to the new r3 queries: their
-    # function bodies are untouched since their r01-green rows; the
-    # lifecycle test and bench HEADLINE exercise the first two
-    # continuously, and quality_filter_decisions subsumes the lang-id
-    # expression)
+    # (dedup_full_rows, dedup_key_conflicts, ngram_jaccard_pairs,
+    # lang_id_heuristic, doc_fingerprints, ts_truncate_trailing_7d and
+    # vector_rowwise yield their slots to the new r3 queries — a NEW query
+    # with no driver row at all outranks a refresh of an r01-green row
+    # whose function body is untouched since; the lifecycle test, bench
+    # HEADLINE and the strict local oracle still exercise all seven)
     "date_multiformat_parse",
     "fintech_dedup_1h", "minhash_signatures",
-    "knn_cosine_top3", "text_stats", "doc_fingerprints",
-    "psi_halves", "class_balance", "ts_truncate_trailing_7d",
+    "knn_cosine_top3", "text_stats",
+    "psi_halves", "class_balance",
     "cross_series_ratio", "ip_converters",
 ]
 
@@ -3730,13 +3731,15 @@ def mix_sources_sample(spark, sf_dir):
       FROM s
     )
     SELECT doc_id,
-           CASE WHEN nt < 5 THEN 'too_short'
+           CASE WHEN nt IS NULL THEN 'empty'
+                WHEN nt < 5 THEN 'too_short'
                 WHEN nt > 100000 THEN 'too_long'
                 WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_length'
                 WHEN pr > 0.2 THEN 'punctuation'
                 WHEN en < 0.05 THEN 'language'
                 ELSE 'ok' END AS reject_reason,
-           CASE WHEN nt < 5 THEN FALSE
+           CASE WHEN nt IS NULL THEN FALSE
+                WHEN nt < 5 THEN FALSE
                 WHEN nt > 100000 THEN FALSE
                 WHEN mwl < 2.0 OR mwl > 12.0 THEN FALSE
                 WHEN pr > 0.2 THEN FALSE

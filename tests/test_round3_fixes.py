@@ -438,3 +438,33 @@ def test_redact_pii_and_dup_share(spark):
     assert out[3][0] == "clean text with no identifiers at all"
     assert out[3][1] == 0.0
     assert out[4][1] == 0.75  # 4 trigrams, 1 distinct
+
+
+def test_quality_filter_null_text_explicit(spark):
+    from upgini_spark.functions.text import quality_filter
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "the cat sat on the mat with a hat and a rat")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: (r["reject_reason"], r["keep"]) for r in
+           quality_filter(df, "text").collect()}
+    assert out[0] == ("empty", False)  # explicit rule, not CASE null-fallthrough
+    assert out[1] == ("ok", True)
+
+
+def test_zip_with_index_reliable_checkpoint(spark, tmp_path):
+    from upgini_spark.pipeline.record_ids import add_system_record_id
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        df = spark.range(200).select(
+            F.col("id"), (F.col("id") % 3).alias("k")
+        )
+        out = add_system_record_id(df, None, ["k"])
+        ids = sorted(r["system_record_id"] for r in out.collect())
+        assert ids == list(range(1, 201))
+        import os
+        assert any(os.scandir(str(tmp_path / "ckpt")))  # reliable path used
+    finally:
+        spark.sparkContext.setCheckpointDir(None)

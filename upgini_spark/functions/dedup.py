@@ -438,10 +438,12 @@ def near_dup_keep_canonical(
 ) -> DataFrame:
     """Keep one row per duplicate cluster: the row whose id equals its
     component's canonical (minimum) id; rows in no pair are singletons and
-    always kept. The anti-join ships only the (small) drop list — the
-    corpus is scanned once, never shuffled on the full row."""
+    always kept. The drop list scales with the duplicate COUNT (at a 30%
+    dup rate on 10^9 docs it is 3·10^8 ids — far past any broadcast
+    limit), so the anti-join is left un-hinted: AQE broadcasts it when it
+    actually is small and falls back to a shuffled anti-join otherwise."""
     cc = connected_components(pairs, id_a, id_b)
     drop = cc.filter(F.col("component") != F.col("node")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(F.broadcast(drop), on=id_col, how="left_anti")
+    return df.join(drop, on=id_col, how="left_anti")

@@ -257,6 +257,10 @@ def kmeans_centroids(
     )
     if n > sample_cap:
         sample = hash_sample_exact(sample, sample_cap, ["__kid__"])
+    # the sample feeds ~5 jobs (init + per-iteration assign/update) —
+    # materialize once so the corpus scan / top-n sort never re-executes;
+    # bounded by sample_cap rows
+    sample = sample.localCheckpoint(eager=True)
     h = F.md5(F.col("__kid__").cast("string"))
     cent = (
         sample.orderBy(h, F.col("__kid__"))

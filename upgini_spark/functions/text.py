@@ -115,8 +115,10 @@ def quality_filter(
     One narrow projection per corpus scan, all native expressions —
     the decision step a pretraining pipeline runs after text stats.
 
-    Reasons (priority order): too_short, too_long, word_length,
-    punctuation, language; 'ok' when kept.
+    Reasons (priority order): empty (null text — every downstream stat
+    is null and both engines must agree on an EXPLICIT rule, not on CASE
+    null-propagation), too_short, too_long, word_length, punctuation,
+    language; 'ok' when kept.
     """
     c = F.col(text_col)
     n_tok = token_count_ws(c)
@@ -124,7 +126,8 @@ def quality_filter(
     pr = F.coalesce(punct_ratio(c), F.lit(0.0))
     en = lang_id_en_score(c)
     reason = (
-        F.when(n_tok < min_tokens, F.lit("too_short"))
+        F.when(c.isNull(), F.lit("empty"))
+        .when(n_tok < min_tokens, F.lit("too_short"))
         .when(n_tok > max_tokens, F.lit("too_long"))
         .when((mwl < min_mwl) | (mwl > max_mwl), F.lit("word_length"))
         .when(pr > max_punct, F.lit("punctuation"))
@@ -158,7 +161,7 @@ def dup_ngram_share(c: Column, n: int = 3) -> Column:
     """Gopher-style repetition signal: 1 − distinct/total word n-grams —
     0.0 for unrepetitive text, → 1 for loops; null when the doc is
     shorter than one n-gram. Native higher-order functions only."""
-    words = F.filter(F.split(F.trim(c), r"\s+"), lambda t: F.length(t) > 0)
+    words = tokens_ws(c)
     k = F.size(words) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(0), k - 1),

@@ -39,6 +39,17 @@ from upgini_spark.joins.enrich import EVAL_SET_INDEX, SYSTEM_RECORD_ID
 _MID_BITS = 33  # monotonically_increasing_id: partition id << 33 | counter
 
 
+def _consistent_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager checkpoint freezing nondeterministic mids for multi-job use:
+    RELIABLE (checkpoint-dir) when the session has one configured,
+    executor-local otherwise (see zip_with_index docstring for the
+    tradeoff)."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().checkpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def row_hash(cols: list[str], sep: str = "\x1f") -> F.Column:
     """Deterministic, engine-portable row hash (md5 hex of joined values)."""
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
@@ -59,13 +70,23 @@ def zip_with_index(
     restarts per segment (the segment column must lead the order).
 
     The sorted+indexed intermediate is materialized with an eager
-    ``localCheckpoint`` so the offsets job and the final pass see ONE
-    consistent mid assignment (mids are nondeterministic across
-    recomputes). localCheckpoint — not ``persist()`` — because DataFrame
-    persist registers in the CacheManager and leaks for the session
-    lifetime unless explicitly unpersisted, while checkpoint blocks are
-    reclaimed by the ContextCleaner once the returned DataFrame is
-    garbage-collected; repeated pipeline calls stay bounded.
+    checkpoint so the offsets job and the final pass see ONE consistent
+    mid assignment (mids are nondeterministic across recomputes).
+    Checkpoint — not ``persist()`` — because DataFrame persist registers
+    in the CacheManager and leaks for the session lifetime unless
+    explicitly unpersisted, while checkpoint blocks are reclaimed by the
+    ContextCleaner once the returned DataFrame is garbage-collected;
+    repeated pipeline calls stay bounded.
+
+    Fault-tolerance tradeoff, stated plainly: ``localCheckpoint``
+    truncates lineage AND stores blocks only on executors, so on a
+    multi-executor cluster an executor loss after the checkpoint fails
+    the downstream jobs instead of recomputing (persist would recompute —
+    but through nondeterministic mids, i.e. silently inconsistent ids,
+    which is worse than failing). When a Spark checkpoint directory is
+    configured (``spark.sparkContext.setCheckpointDir``), a RELIABLE
+    checkpoint is used automatically: same consistency, executor-loss
+    safe, at the cost of one write to the checkpoint filesystem.
     """
     spark = df.sparkSession
     out_cols = keep_cols or list(df.columns)
@@ -74,8 +95,8 @@ def zip_with_index(
         df.repartitionByRange(n, *order)
         .sortWithinPartitions(*order)
         .withColumn("__sri_mid__", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
     )
+    work = _consistent_checkpoint(work)
 
     pid = F.shiftright(F.col("__sri_mid__"), _MID_BITS).alias("__sri_pid__")
     # null-safe segment key: the offsets equi-join would silently drop
@@ -165,9 +186,10 @@ def global_running_sum(
     prefix offsets broadcast back, local window cumsum per partition.
     No ``Exchange SinglePartition`` regardless of row count.
 
-    Eager localCheckpoint (not persist) for the same two reasons as
-    zip_with_index: consistent mids across the two jobs, and no
-    session-lifetime CacheManager leak.
+    Eager checkpoint (not persist) for the same reasons as
+    zip_with_index: consistent mids across the two jobs, no
+    session-lifetime CacheManager leak, reliable when a checkpoint dir
+    is configured.
     """
     from pyspark.sql.window import Window
 
@@ -178,8 +200,8 @@ def global_running_sum(
         df.repartitionByRange(n, *order)
         .sortWithinPartitions(*order)
         .withColumn("__grs_mid__", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
     )
+    work = _consistent_checkpoint(work)
     pid = F.shiftright(F.col("__grs_mid__"), _MID_BITS)
     totals = (
         work.groupBy(pid.alias("__grs_pid__"))
