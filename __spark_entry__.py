@@ -3901,3 +3901,44 @@ def repetition_share(spark, sf_dir):
     return docs.select(
         "doc_id", F.round(dup_ngram_share(boosted, n=3), 6).alias("dup3_share")
     )
+
+
+@_q(
+    "decontaminate_overlap",
+    """
+    WITH wh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> ('0x' || substr(md5(w), 1, 12))::BIGINT) AS wh
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(wh) - 2 >= 1
+                  THEN list_transform(range(1, len(wh) - 1),
+                       i -> (wh[i] * 31 + wh[i+1]) * 31 + wh[i+2])
+                  ELSE [list_reduce(wh, (a, x) -> a * 31 + x)] END AS hs
+      FROM wh
+    ), bench AS (
+      SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 25 = 0
+    ), corp AS (
+      SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 25 <> 0
+    ), hits AS (
+      SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.h = b.h
+    )
+    SELECT s.doc_id,
+           s.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+    FROM sh s WHERE s.doc_id % 25 <> 0
+    """,
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate_ngrams): every 25th
+    document plays the held-out benchmark; training docs sharing ANY word
+    trigram with it are flagged — the GPT-3-style overlap check, as one
+    shingle-hash explode + semi-join (same Rabin-Karp word-hash roll as
+    the minhash family, replayed in SQL)."""
+    from upgini_spark.functions.dedup import decontaminate_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return decontaminate_ngrams(corpus, bench, "doc_id", "text", "text")

@@ -468,3 +468,20 @@ def test_zip_with_index_reliable_checkpoint(spark, tmp_path):
         assert any(os.scandir(str(tmp_path / "ckpt")))  # reliable path used
     finally:
         spark.sparkContext.setCheckpointDir(None)
+
+
+def test_decontaminate_ngrams(spark):
+    from upgini_spark.functions.dedup import decontaminate_ngrams
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two")], "i int, t string"
+    )
+    corpus = spark.createDataFrame(
+        [(0, "totally unrelated text about weather patterns today"),
+         (1, "i memorized the secret eval answer yesterday"),   # shares trigram
+         (2, "short doc")],                                      # sub-shingle fallback
+        "i int, t string",
+    )
+    out = {r["i"]: r["contaminated"] for r in
+           decontaminate_ngrams(corpus, bench, "i", "t", "t").collect()}
+    assert out == {0: False, 1: True, 2: False}

@@ -447,3 +447,59 @@ def near_dup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    benchmark_text: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``shingle_n``-gram with the benchmark/eval set (the GPT-3-style
+    overlap check that keeps test answers out of training data).
+
+    Shingles are hashed with the same 48-bit-word-hash Rabin-Karp roll as
+    :func:`minhash_signature` (engine-portable), so the check is one
+    explode of the corpus shingles + one semi-join against the DISTINCT
+    benchmark shingle-hash set — broadcast when the benchmark is
+    benchmark-sized, shuffled equi-join otherwise (AQE decides; no hint).
+    Returns (corpus_id, contaminated) one row per corpus document.
+    """
+    def shingle_hashes(text_col: str) -> F.Column:
+        words = F.split(F.col(text_col), " ")
+        wh = F.transform(
+            words, lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10).cast("long")
+        )
+        n_sh = F.size(words) - (shingle_n - 1)
+        if shingle_n != 3:
+            raise ValueError("specialized to shingle_n=3 (see minhash_signature)")
+        return F.when(
+            n_sh >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: (
+                    F.element_at(wh, i.cast("int")) * 31
+                    + F.element_at(wh, (i + 1).cast("int"))
+                ) * 31
+                + F.element_at(wh, (i + 2).cast("int")),
+            ),
+        ).otherwise(F.array(F.aggregate(wh, F.lit(0).cast("long"), lambda a, x: a * 31 + x)))
+
+    bench_h = (
+        benchmark.select(F.explode(shingle_hashes(benchmark_text)).alias("__h__"))
+        .distinct()
+    )
+    corp_h = corpus.select(
+        F.col(corpus_id).alias("__cid__"),
+        F.explode(shingle_hashes(corpus_text)).alias("__h__"),
+    )
+    hits = corp_h.join(bench_h, "__h__", "leftsemi").select("__cid__").distinct()
+    return corpus.select(F.col(corpus_id).alias("__cid__")).distinct().join(
+        hits.withColumn("__hit__", F.lit(True)), "__cid__", "left"
+    ).select(
+        F.col("__cid__").alias(corpus_id),
+        F.coalesce("__hit__", F.lit(False)).alias("contaminated"),
+    )
