@@ -212,7 +212,13 @@ def asof_join_stream_stream(
 
     History pruning: rows older than the newest history row that is ≤ the
     watermark can never match a future event (events below the watermark
-    are final) — state stays O(updates within the watermark horizon).
+    are final) — state stays O(updates within the watermark horizon),
+    PLUS one retained row per entity: a dormant entity's last feature is
+    still the point-in-time-correct match for an event arriving years
+    later, so state is never fully dropped by design. If business rules
+    bound feature validity, filter dormant entities upstream (an
+    event-time TTL here would silently break PIT correctness for
+    long-gap entities).
 
     Contract: events(entity, event_id, event_time), features(entity,
     feature_ts, *payload). ``feature_val_cols`` carries WIDE payloads
