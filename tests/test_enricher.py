@@ -96,9 +96,42 @@ def test_rename_and_types(spark):
 
 
 def test_validate_features_drops(spark):
-    rows = [(1.0, i, f"id{i}") for i in range(200)]
+    # "ok" is 50-distinct (reference drops INTEGER ids at >=0.85 unique
+    # share too, so a full-range int column would be high-cardinality)
+    rows = [(1.0, i % 50, f"id{i}") for i in range(200)]
     df = spark.createDataFrame(rows, ["const", "ok", "unique_str"])
     out, dropped = validate_features(df, ["const", "ok", "unique_str"], exact=True)
     assert dropped["const"] == "constant"
     assert dropped["unique_str"] == "high_cardinality"
     assert "ok" in out.columns and "const" not in out.columns
+
+
+def test_validate_features_reference_replay(spark):
+    """tests/test_etalon_validation.py test_constant_and_empty_validation
+    replayed verbatim: only 'a' drops — 'b' (995 nulls + 5 values) and
+    'c' (0.0/1.0) have exactly 2 distinct values incl. null, 'd' is
+    integer-valued; 'a' is float, 3 values, top share 99.5%."""
+    rows = []
+    for i in range(1000):
+        rows.append((
+            1.1 if i < 995 else (2.2 if i < 998 else 3.3),
+            None if i < 995 else 3,
+            0.0 if i < 995 else 1.0,
+            1 if i < 10 else 0,
+        ))
+    df = spark.createDataFrame(rows, "a double, b int, c double, d int")
+    out, dropped = validate_features(df, ["a", "b", "c", "d"])
+    assert dropped == {"a": "almost_constant"}
+    assert set(out.columns) == {"b", "c", "d"}
+
+
+def test_validate_features_int_high_card_and_generate_exempt(spark):
+    df = spark.createDataFrame(
+        [(i, f"text_{i}") for i in range(200)], "intid int, text string"
+    )
+    _, dropped = validate_features(df, ["intid", "text"])
+    assert dropped == {"intid": "high_cardinality", "text": "high_cardinality"}
+    _, dropped2 = validate_features(
+        df, ["intid", "text"], features_for_generate=["text"]
+    )
+    assert dropped2 == {"intid": "high_cardinality"}

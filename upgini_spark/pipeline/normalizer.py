@@ -106,31 +106,87 @@ def detect_decimal_comma(df: DataFrame, feature_cols: list[str], probe_rows: int
     return out
 
 
+_INT_DTYPES = ("tinyint", "smallint", "int", "bigint")
+_FLOAT_DTYPES = ("float", "double")
+
+
 def validate_features(
     df: DataFrame,
     feature_cols: list[str],
     high_card_threshold: float = 0.85,
     top_share_threshold: float = 0.99,
-    exact: bool = False,
+    exact: bool = True,
+    features_for_generate: list[str] | None = None,
 ) -> tuple[DataFrame, dict[str, str]]:
-    """Drop constant and high-cardinality features
-    (features_validator.py:25-91). One aggregation pass over all columns
-    (approx_count_distinct at scale; exact opt-in)."""
+    """Drop constant / almost-constant / high-cardinality features —
+    reference-EXACT rules (utils/features_validator.py:25-91, replayed
+    against tests/test_etalon_validation.py):
+
+    - constant: exactly ONE distinct value counting null as a value;
+    - almost-constant: top-value share ≥ 0.99 (null counts as a value)
+      UNLESS the column has exactly 2 distinct values (one-hot/binary
+      exemption) or is integer-valued (int dtype, or float whose non-null
+      values are all whole);
+    - high-cardinality: only when the table has ≥ 100 rows, only for
+      string or integer-valued columns, null-inclusive distinct/rows
+      ≥ 0.85; columns in ``features_for_generate`` (text features) are
+      exempt.
+
+    One stack-melt pass computes every per-column count (the reference
+    loops value_counts per column — thousands of scans at its 3 500-
+    feature cap; here it is two aggregations at any width), plus one tiny
+    agg for float whole-numberedness. ``exact`` is kept for API
+    compatibility; the melt is always exact. (feature_validator_stats in
+    functions/stats.py is the separate REPORTING surface with its own
+    oracle-checked semantics; this is the drop DECISION.)
+    """
     if not feature_cols:
         return df, {}
-    cnt_fn = F.countDistinct if exact else F.approx_count_distinct
-    aggs = [F.count(F.lit(1)).alias("__n__")]
+    _ = exact
+    n = df.count()
+    dtypes = dict(df.dtypes)
+    int_like = {c: dtypes[c] in _INT_DTYPES for c in feature_cols}
+    float_cols = [c for c in feature_cols if dtypes[c] in _FLOAT_DTYPES]
+    if float_cols:
+        # float is integer-valued iff every non-null value is whole
+        # (reference __is_integer); all-null vacuously whole
+        fr = df.agg(*[
+            F.max((F.col(c) != F.floor(F.col(c))).cast("int")).alias(c)
+            for c in float_cols
+        ]).collect()[0]
+        for c in float_cols:
+            int_like[c] = (fr[c] or 0) == 0
+
+    # melt: null rides as a value (cast null -> null string group)
+    pairs: list = []
     for c in feature_cols:
-        aggs.append(cnt_fn(F.col(c)).alias(f"nd__{c}"))
-    row = df.agg(*aggs).collect()[0]
-    n = row["__n__"] or 1
+        pairs.append(F.lit(c))
+        pairs.append(F.col("`" + c.replace("`", "``") + "`").cast("string"))
+    per_value = (
+        df.select(F.stack(F.lit(len(feature_cols)), *pairs).alias("column_name", "v"))
+        .groupBy("column_name", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = {
+        r["column_name"]: (r["nd"], r["top_n"])
+        for r in per_value.groupBy("column_name")
+        .agg(F.count(F.lit(1)).alias("nd"), F.max("cnt").alias("top_n"))
+        .collect()
+    }
+    gen = set(features_for_generate or [])
     dropped: dict[str, str] = {}
     for c in feature_cols:
-        nd = row[f"nd__{c}"]
-        if nd is not None and nd <= 1:
+        nd, top_n = stats.get(c, (0, 0))
+        if nd <= 1:
             dropped[c] = "constant"
-        elif nd is not None and nd / n >= high_card_threshold:
-            f_type = dict(df.dtypes)[c]
-            if f_type in ("string",) or f_type.startswith("varchar"):
-                dropped[c] = "high_cardinality"
+        elif top_n / n >= top_share_threshold and nd != 2 and not int_like[c]:
+            dropped[c] = "almost_constant"
+        elif (
+            n >= 100
+            and c not in gen
+            and (dtypes[c] == "string" or dtypes[c].startswith("varchar")
+                 or int_like[c])
+            and nd / n >= high_card_threshold
+        ):
+            dropped[c] = "high_cardinality"
     return df.drop(*dropped.keys()), dropped
