@@ -485,3 +485,63 @@ def test_decontaminate_ngrams(spark):
     out = {r["i"]: r["contaminated"] for r in
            decontaminate_ngrams(corpus, bench, "i", "t", "t").collect()}
     assert out == {0: False, 1: True, 2: False}
+
+
+# -- Reference etalon-validation replays -------------------------------------
+
+def test_hash_column_name_250_char_cap():
+    import hashlib
+    from upgini_spark.pipeline.normalizer import hash_column_name
+
+    name = "columnname" * 260
+    out = hash_column_name(name)
+    digest = hashlib.sha256(name.encode()).hexdigest()[:6]
+    assert out == "columnname" * 25 + "_" + digest  # test_too_long_columns
+    assert len(out) == 257
+
+
+def test_is_imbalanced_reference_cases(spark):
+    import pytest as _pytest
+    from upgini_spark.functions.stats import is_imbalanced
+
+    # test_fail_on_small_class_observations: a1 b4 c5 d10 -> min 1 < 0.6/4*20
+    df = spark.createDataFrame(
+        [(i, f"p{i}", "123", "a" if i == 0 else ("b" if i < 5 else ("c" if i < 10 else "d")))
+         for i in range(20)],
+        "system_record_id int, phone string, f string, target string",
+    )
+    assert is_imbalanced(df, "target", "MULTICLASS") is True
+
+    # test_fail_on_too_many_classes: 200 distinct targets -> raises
+    many = spark.createDataFrame(
+        [(i, f"p{i}", "x", i) for i in range(200)],
+        "system_record_id int, phone string, f string, target int",
+    )
+    with _pytest.raises(ValueError, match="exceeds the allowed threshold"):
+        is_imbalanced(many, "target", "MULTICLASS")
+
+    # binary small-sample exemption: <=5000 rows never imbalanced
+    small = spark.createDataFrame(
+        [(i, i % 100, 1 if i < 10 else 0) for i in range(1000)],
+        "id int, f int, target int",
+    )
+    assert is_imbalanced(small, "target", "BINARY") is False
+
+
+def test_undersample_reference_resample_replay(spark):
+    """test_etalon_validation.py test_imbalanced_target: a100 b400 c500
+    d1000 with multiclass_min_sample_threshold=1000 -> 1600 rows, d capped
+    at 600, everything else kept whole."""
+    from upgini_spark.functions.sampling import undersample_imbalanced
+
+    rows = []
+    for i in range(2000):
+        t = "a" if i < 100 else ("b" if i < 500 else ("c" if i < 1000 else "d"))
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, "system_record_id int, target string")
+    out = undersample_imbalanced(
+        df, "target", ["system_record_id"], task_type="MULTICLASS",
+        multiclass_min_sample_threshold=1000,
+    )
+    counts = {r["target"]: r["count"] for r in out.groupBy("target").count().collect()}
+    assert counts == {"a": 100, "b": 400, "c": 500, "d": 600}

@@ -80,7 +80,9 @@ RARE_CLASS_SHARE = 0.0001                 # target_utils.py:204
 
 
 def imbalance_quotas(
-    df: DataFrame, target_col: str, task_type: str | None = None
+    df: DataFrame, target_col: str, task_type: str | None = None,
+    binary_min_sample_threshold: int = BINARY_MIN_SAMPLE_THRESHOLD,
+    multiclass_min_sample_threshold: int = MULTICLASS_MIN_SAMPLE_THRESHOLD,
 ) -> tuple[dict, list]:
     """balance_undersample parity (target_utils.py:164-276). Returns
     (per-class keep-quota, classes-to-drop); a class absent from the quota
@@ -110,7 +112,7 @@ def imbalance_quotas(
         k = len(kept)
         min_cls, min_cnt = kept[-1]
         max_cnt = kept[0][1]
-        if total_k > MULTICLASS_MIN_SAMPLE_THRESHOLD and max_cnt > (
+        if total_k > multiclass_min_sample_threshold and max_cnt > (
             min_cnt * MULTICLASS_BOOTSTRAP_LOOPS
         ):
             quota = int(
@@ -118,7 +120,7 @@ def imbalance_quotas(
                 * (
                     min_cnt
                     + max(
-                        (MULTICLASS_MIN_SAMPLE_THRESHOLD - k * min_cnt) / (k - 1), 0
+                        (multiclass_min_sample_threshold - k * min_cnt) / (k - 1), 0
                     )
                 )
             )
@@ -131,23 +133,31 @@ def imbalance_quotas(
     # BINARY
     min_cls, min_cnt = ordered[-1]
     max_cnt = ordered[0][1]
-    if total > BINARY_MIN_SAMPLE_THRESHOLD:
+    if total > binary_min_sample_threshold:
         size = min(
             max_cnt,
             BINARY_BOOTSTRAP_LOOPS
-            * (min_cnt + max(BINARY_MIN_SAMPLE_THRESHOLD - 2 * min_cnt, 0)),
+            * (min_cnt + max(binary_min_sample_threshold - 2 * min_cnt, 0)),
         )
         return {cls: size for cls, _ in ordered if cls != min_cls}, []
     return {}, []
 
 
 def undersample_imbalanced(
-    df: DataFrame, target_col: str, id_cols: list[str], task_type: str | None = None
+    df: DataFrame, target_col: str, id_cols: list[str], task_type: str | None = None,
+    binary_min_sample_threshold: int = BINARY_MIN_SAMPLE_THRESHOLD,
+    multiclass_min_sample_threshold: int = MULTICLASS_MIN_SAMPLE_THRESHOLD,
 ) -> DataFrame:
     """Deterministic undersample to the reference quotas — per-class
     md5-rank sampling replaces the seeded RandomUnderSampler (same rows on
-    any partitioning)."""
-    quotas, drop = imbalance_quotas(df, target_col, task_type)
+    any partitioning). Thresholds are the reference defaults; the
+    reference's SampleConfig overrides map to the keyword args (replayed
+    in test_imbalanced_target)."""
+    quotas, drop = imbalance_quotas(
+        df, target_col, task_type,
+        binary_min_sample_threshold=binary_min_sample_threshold,
+        multiclass_min_sample_threshold=multiclass_min_sample_threshold,
+    )
     out = df
     if drop:
         out = out.filter(~F.col(target_col).isin(drop))

@@ -537,3 +537,58 @@ def calculate_sparsity_psi(
     # the mask is categorical 0/1 (reference passes the boolean frame on)
     rows = psi_monthly_report(masked, sparse, sparse, date_col, **kwargs)
     return {c: p for c, p in rows}
+
+
+MAX_MULTICLASS_CLASS_COUNT = 100  # reference target_utils.py:14
+MIN_TARGET_CLASS_ROWS = 100       # :15
+IMBALANCE_THRESHOLD = 0.6         # :16
+
+
+def is_imbalanced(
+    df: DataFrame,
+    target_col: str,
+    task_type: str,
+    binary_min_sample_threshold: int = 5_000,
+) -> bool:
+    """is_imbalanced parity (target_utils.py:115-155):
+
+    1. full-row keep-first dedup, then remove ALL rows duplicated on the
+       non-target columns (keep=False — surviving subset-dups necessarily
+       conflict on target);
+    2. BINARY with ≤ ``binary_min_sample_threshold`` rows → never
+       imbalanced;
+    3. > ``MAX_MULTICLASS_CLASS_COUNT`` target classes → ValueError
+       (reference ValidationError);
+    4. imbalanced iff the rarest class count < (0.6 / n_classes) × rows.
+
+    (The reference also logs a warning when the rarest class has
+    < ``MIN_TARGET_CLASS_ROWS`` rows — a message, not a decision, so it
+    is not reproduced here.) Ties on class counts break by class value,
+    like :func:`~upgini_spark.functions.sampling.imbalance_quotas`.
+    """
+    from pyspark.sql.window import Window
+
+    if task_type not in ("BINARY", "MULTICLASS"):
+        return False
+    d = df.dropDuplicates()
+    non_target = [c for c in d.columns if c != target_col]
+    w = Window.partitionBy(*non_target)
+    d = (
+        d.withColumn("__dupn__", F.count(F.lit(1)).over(w))
+        .filter(F.col("__dupn__") == 1)
+        .drop("__dupn__")
+    )
+    counts = {r[0]: r[1] for r in d.groupBy(target_col).count().collect()}
+    total = sum(counts.values())
+    if task_type == "BINARY" and total <= binary_min_sample_threshold:
+        return False
+    k = len(counts)
+    if k > MAX_MULTICLASS_CLASS_COUNT:
+        raise ValueError(
+            f"number of target classes {k} exceeds the allowed threshold "
+            f"{MAX_MULTICLASS_CLASS_COUNT}"
+        )
+    if not counts:
+        return False
+    min_count = sorted(counts.items(), key=lambda kv: (kv[1], str(kv[0])))[0][1]
+    return min_count < (IMBALANCE_THRESHOLD / k) * total

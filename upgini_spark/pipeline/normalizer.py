@@ -33,9 +33,11 @@ MAX_STRING_FEATURE_LENGTH = 24_573  # normalize_utils.py:36
 
 
 def hash_column_name(name: str) -> str:
-    """``name → lower_sanitized + "_" + sha256(name)[:6]``
-    (normalize_utils.py:95-140)."""
-    sanitized = re.sub(r"[^a-z0-9]", "_", name.lower())
+    """``name → lower_sanitized[:250] + "_" + sha256(name)[:6]``
+    (normalize_utils.py:95-140; the 250-char cap is the reference's db
+    column-length limit, normalize_utils.py:235-236 — the suffix hashes
+    the UNtruncated original, replayed in test_too_long_columns)."""
+    sanitized = re.sub(r"[^a-z0-9]", "_", name.lower())[:250]
     digest = hashlib.sha256(name.encode()).hexdigest()[:6]
     return f"{sanitized}_{digest}"
 
