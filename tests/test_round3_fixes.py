@@ -545,3 +545,50 @@ def test_undersample_reference_resample_replay(spark):
     )
     counts = {r["target"]: r["count"] for r in out.groupBy("target").count().collect()}
     assert counts == {"a": 100, "b": 400, "c": 500, "d": 600}
+
+
+def test_datetime_with_ms_reference_golden(spark):
+    """tests/test_etalon_validation.py test_datetime_with_ms replayed:
+    microsecond ISO timestamps -> floor-day epoch ms + the full cyclical
+    encoding table, 6dp-exact."""
+    from upgini_spark.functions.keys import to_epoch_ms
+    from upgini_spark.operators.date import cyclical_features
+
+    rows = [
+        ("2023-10-07T07:07:51.006677",),
+        ("2023-09-26T10:36:12.885666",),
+        ("2023-09-25T19:49:32.098655",),
+        ("2023-09-19T18:47:58.268237",),
+    ]
+    df = spark.createDataFrame(rows, "s string").withColumn(
+        "ts", F.to_timestamp("s")
+    )
+    feats = cyclical_features(F.col("ts"), intraday=True)
+    out = df.select(
+        to_epoch_ms(F.to_date("ts").cast("timestamp")).alias("date"),
+        *[F.round(v, 6).alias(k) for k, v in feats.items()],
+    ).collect()
+    expected = [
+        # date_ms, q_sin, q_cos, sec_sin, sec_cos, min_sin, min_cos,
+        # min30_sin, min30_cos, hour_sin, hour_cos
+        (1696636800000, 0.460065, 0.887885, -0.809017, 0.587785,
+         0.669131, 0.743145, 0.994522, 0.104528, 0.965926, -0.258819),
+        (1695686400000, -0.269797, 0.962917, 0.951057, 0.309017,
+         -0.587785, -0.809017, 0.951057, 0.309017, 0.5, -0.866025),
+        (1695600000000, -0.33488, 0.942261, -0.207912, -0.978148,
+         -0.913545, 0.406737, -0.743145, -0.669131, -0.965926, 0.258819),
+        (1695081600000, -0.682553, 0.730836, -0.207912, 0.978148,
+         -0.978148, 0.207912, -0.406737, -0.913545, -1.0, -0.0),
+    ]
+    for r, (date_ms, qs, qc, ss, sc, ms, mc, hs, hc, hrs, hrc) in zip(out, expected):
+        assert r["date"] == date_ms
+        assert r["datetime_sin_quarter"] == qs
+        assert r["datetime_cos_quarter"] == qc
+        assert r["datetime_sin_second"] == ss
+        assert r["datetime_cos_second"] == sc
+        assert r["datetime_sin_minute"] == ms
+        assert r["datetime_cos_minute"] == mc
+        assert r["datetime_sin_minute_half"] == hs
+        assert r["datetime_cos_minute_half"] == hc
+        assert r["datetime_sin_hour"] == hrs
+        assert r["datetime_cos_hour"] == hrc
