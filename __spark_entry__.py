@@ -3942,3 +3942,61 @@ def decontaminate_overlap(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 25 == 0)
     corpus = docs.filter(F.col("doc_id") % 25 != 0)
     return decontaminate_ngrams(corpus, bench, "doc_id", "text", "text")
+
+
+def _define_task_sql(name: str, expr: str, has_date: str = "FALSE") -> str:
+    """One task-type decision row, recomputing define_task's ladder from
+    SQL aggregates over the cleaned target (numeric targets here)."""
+    return f"""
+    SELECT '{name}' AS target_name,
+           CASE WHEN nd = 2 THEN 'BINARY'
+                WHEN nd <= 50 AND whole = 0 AND (mn = 0 OR mn = 1)
+                     AND mx - mn + 1 = nd THEN 'MULTICLASS'
+                WHEN {has_date} THEN 'REGRESSION'
+                WHEN whole = 1 OR nz_items > 50
+                     OR CAST(nz_items AS DOUBLE) / nz_n > 0.2
+                     THEN 'REGRESSION'
+                ELSE 'MULTICLASS' END AS task
+    FROM (
+      SELECT count(DISTINCT v) AS nd,
+             max(CASE WHEN v <> floor(v) THEN 1 ELSE 0 END) AS whole,
+             min(v) AS mn, max(v) AS mx,
+             count(DISTINCT CASE WHEN v <> 0 THEN v END) AS nz_items,
+             count(CASE WHEN v <> 0 THEN 1 END) AS nz_n
+      FROM (SELECT CAST({expr} AS DOUBLE) AS v FROM events WHERE {expr} IS NOT NULL)
+    )
+    """
+
+
+@_q(
+    "define_task_decisions",
+    f"""
+    {_define_task_sql('t_binary', 'CAST(value > 25 AS INT)')}
+    UNION ALL
+    {_define_task_sql('t_multi_int', 'user_id % 5')}
+    UNION ALL
+    {_define_task_sql('t_regression', 'value')}
+    UNION ALL
+    SELECT 't_multi_str' AS target_name,
+           CASE WHEN count(DISTINCT event_type) = 2 THEN 'BINARY'
+                ELSE 'MULTICLASS' END AS task
+    FROM events
+    """,
+)
+def define_task_decisions(spark, sf_dir):
+    """Task-type autodetection (stats.define_task, reference
+    target_utils.py:29-113 — replayed against test_target_utils.py):
+    four synthesized targets hit four ladder branches (2-distinct BINARY,
+    0..4 int-encoded MULTICLASS, fractional-float REGRESSION, non-numeric
+    MULTICLASS); the oracle recomputes the ladder from SQL aggregates."""
+    from upgini_spark.functions.stats import define_task
+
+    ev = _t(spark, sf_dir, "events")
+    targets = {
+        "t_binary": ev.select((F.col("value") > 25).cast("int").alias("y")),
+        "t_multi_int": ev.select((F.col("user_id") % 5).alias("y")),
+        "t_regression": ev.select(F.col("value").alias("y")),
+        "t_multi_str": ev.select(F.col("event_type").alias("y")),
+    }
+    rows = [(n, define_task(d, "y")) for n, d in targets.items()]
+    return spark.createDataFrame(rows, "target_name string, task string")

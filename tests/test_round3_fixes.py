@@ -592,3 +592,36 @@ def test_datetime_with_ms_reference_golden(spark):
         assert r["datetime_cos_minute_half"] == hc
         assert r["datetime_sin_hour"] == hrs
         assert r["datetime_cos_hour"] == hrc
+
+
+def test_define_task_reference_cases(spark):
+    """tests/test_target_utils.py define_task cases replayed verbatim."""
+    import pytest as _pytest
+    from upgini_spark.functions.stats import define_task
+
+    def s(vals, typ):
+        return spark.createDataFrame([(v,) for v in vals], f"y {typ}")
+
+    with _pytest.raises(ValueError, match="empty target"):
+        define_task(s(["", "", ""], "string"), "y")
+    with _pytest.raises(ValueError, match="empty target"):
+        define_task(s([float("nan"), float("inf"), float("-inf")], "double"), "y")
+    with _pytest.raises(ValueError, match="constant target"):
+        define_task(s([1, 1, 1, 1, 1], "int"), "y")
+
+    assert define_task(s([0, 1, 0, 1, 0, 1], "int"), "y") == "BINARY"
+    assert define_task(s(["a", "b", "a", "b", "a"], "string"), "y", True) == "BINARY"
+
+    assert define_task(s(list(range(1, 51)), "int"), "y") == "MULTICLASS"
+    assert define_task(s([float(x) for x in range(1, 51)], "double"), "y", True) == "MULTICLASS"
+    assert define_task(s(list(range(50)), "int"), "y") == "MULTICLASS"
+    assert define_task(s(["a", "b", "c", "b", "a"], "string"), "y") == "MULTICLASS"
+    assert define_task(s(["0", "1", "2", "3", "a"], "string"), "y") == "MULTICLASS"
+    zero35 = [0.0, 3.0, 5.0, 0.0, 5.0, 0.0, 3.0, 0.0, 5.0, 0.0, 5.0, 0.0,
+              3.0, 0.0, 3.0, 5.0, 3.0]
+    assert define_task(s(zero35, "double"), "y", False) == "MULTICLASS"
+    assert define_task(s(zero35, "double"), "y", True) == "REGRESSION"
+
+    assert define_task(s([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.5], "double"), "y") == "REGRESSION"
+    assert define_task(s([0, 1, 2, 3, 4, 5, 6, 8], "int"), "y", True) == "REGRESSION"
+    assert define_task(s([0.0, 3.0, 5.0, 0.0, 5.0, 0.0, 3.0], "double"), "y") == "REGRESSION"

@@ -592,3 +592,75 @@ def is_imbalanced(
         return False
     min_count = sorted(counts.items(), key=lambda kv: (kv[1], str(kv[0])))[0][1]
     return min_count < (IMBALANCE_THRESHOLD / k) * total
+
+
+def define_task(
+    df: DataFrame, target_col: str, has_date: bool = False
+) -> str:
+    """define_task parity (target_utils.py:29-113): detect
+    BINARY / MULTICLASS / REGRESSION from the target column.
+
+    Decision ladder (reference-exact, replayed against
+    tests/test_target_utils.py):
+
+    1. clean: drop null / non-finite; non-numeric targets also drop '';
+       empty → ValueError; single distinct value → ValueError;
+    2. exactly 2 distinct → BINARY;
+    3. not numeric-convertible → MULTICLASS;
+    4. ≤ 50 distinct AND the unique values are exactly 0..n-1 or 1..n
+       (int encoding) → MULTICLASS;
+    5. a DATE search key present → REGRESSION;
+    6. else: fractional floats, > 50 distinct non-zero values, or
+       non-zero distinct/count ratio > 0.2 → REGRESSION, else MULTICLASS.
+
+    Distributed shape: one cleaning projection + aggregates; the unique
+    VALUE SET is only collected when the distinct count is ≤ 50 (bounded
+    driver data at any scale).
+    """
+    dtype = dict(df.dtypes)[target_col]
+    numeric_dtype = dtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ) or dtype.startswith("decimal")
+    t = F.col(target_col)
+    if numeric_dtype:
+        clean = df.filter(t.isNotNull() & ~F.isnan(t.cast("double"))
+                          & (F.abs(t.cast("double")) != float("inf")))
+        num = clean.select(t.cast("double").alias("v"))
+    else:
+        clean = df.filter(t.isNotNull() & (t.cast("string") != ""))
+        num = clean.select(t.cast("string").try_cast("double").alias("v"))
+
+    agg = clean.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(t).alias("nd"),
+    ).collect()[0]
+    if agg["n"] == 0:
+        raise ValueError("empty target")
+    if agg["nd"] == 1:
+        raise ValueError("constant target")
+    if agg["nd"] == 2:
+        return "BINARY"
+
+    num_agg = num.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("v").alias("n_num"),
+        F.max((F.col("v") != F.floor("v")).cast("int")).alias("has_frac"),
+        F.countDistinct(F.when(F.col("v") != 0, F.col("v"))).alias("nz_items"),
+        F.count(F.when(F.col("v") != 0, 1)).alias("nz_n"),
+        F.countDistinct("v").alias("nd_num"),
+    ).collect()[0]
+    if num_agg["n_num"] < num_agg["n"]:  # some values not numeric-parsable
+        return "MULTICLASS"
+    if num_agg["nd_num"] <= 50:
+        uniques = sorted(r["v"] for r in num.select("v").distinct().collect())
+        k = len(uniques)
+        if uniques == [float(x) for x in range(k)] or uniques == [
+            float(x) for x in range(1, k + 1)
+        ]:
+            return "MULTICLASS"
+    if has_date:
+        return "REGRESSION"
+    ratio = num_agg["nz_items"] / num_agg["nz_n"] if num_agg["nz_n"] else 0.0
+    if (num_agg["has_frac"] or 0) or num_agg["nz_items"] > 50 or ratio > 0.2:
+        return "REGRESSION"
+    return "MULTICLASS"
