@@ -625,3 +625,35 @@ def test_define_task_reference_cases(spark):
     assert define_task(s([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.5], "double"), "y") == "REGRESSION"
     assert define_task(s([0, 1, 2, 3, 4, 5, 6, 8], "int"), "y", True) == "REGRESSION"
     assert define_task(s([0.0, 3.0, 5.0, 0.0, 5.0, 0.0, 3.0], "double"), "y") == "REGRESSION"
+
+
+# -- Whole-dataset validation replays on the reference's own fixture data ----
+
+def test_reference_dataset_validation_replay(spark):
+    """test_binary_dataset / test_categorical_dataset: the reference's own
+    data.csv.gz fixtures run through OUR converters + validity filter and
+    keep exactly the reference's expected_valid_rows (everything valid:
+    multi-format dates parse, none pre-2000, keys + target present)."""
+    import os
+    import pytest as _pytest
+
+    from upgini_spark.functions import keys as K
+    from upgini_spark.pipeline.evalset import filter_invalid_keys
+
+    base = "/root/reference/tests/test_data"
+    if not os.path.isdir(base):
+        _pytest.skip("reference fixtures not available")
+
+    for name, expected in (("binary", 15555), ("categorical", 16913)):
+        df = spark.read.csv(
+            f"{base}/{name}/data.csv.gz", header=True, inferSchema=True
+        )
+        d = df.withColumn("ts", K.parse_datetime_multi(F.col("rep_date")))
+        d = d.withColumn("ts", K.clean_old_dates(F.col("ts")))
+        flags = {
+            "phone_num": F.col("phone_num").isNotNull(),
+            "ts": F.col("ts").isNotNull(),
+        }
+        filtered, _stats = filter_invalid_keys(d, flags)
+        filtered = filtered.filter(F.col("target").isNotNull())
+        assert filtered.count() == expected, name
