@@ -1688,7 +1688,7 @@ def undersample_multiclass(spark, sf_dir):
              ORDER BY date_trunc('day', ts),
                       md5(concat_ws(chr(31),
                           CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR)))
-           ) AS BIGINT) AS system_record_id
+           ) - 1 AS BIGINT) AS system_record_id
     FROM events
     """,
 )

@@ -111,9 +111,16 @@ def test_record_ids_dense_per_segment_and_distributed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     pdf = out.toPandas()
-    for seg, g in pdf.groupby("eval_set_index"):
+    # r3: ONE continuous 0-based sequence laid across segment-sorted
+    # blocks (reference reset_index-after-concat, verified against
+    # expected_prepared_with_entity_system_record_id.parquet) — segments
+    # occupy contiguous id blocks in eval_set_index order
+    lo = 0
+    for seg in sorted(pdf["eval_set_index"].unique()):
+        g = pdf[pdf["eval_set_index"] == seg]
         ids = sorted(g["system_record_id"])
-        assert ids == list(range(1, len(g) + 1)), f"segment {seg} ids not dense"
+        assert ids == list(range(lo, lo + len(g))), f"segment {seg} block broken"
+        lo += len(g)
 
 
 def test_record_ids_partition_invariant_with_duplicates(spark):

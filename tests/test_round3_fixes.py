@@ -20,8 +20,12 @@ def test_record_ids_null_segment(spark):
     assert out.count() == 30
     nulls = out.filter(F.col("eval_set_index").isNull())
     assert nulls.count() == 10
+    # null segment sorts first; one continuous 0-based sequence across
+    # segment blocks (reference reset_index-after-concat layout)
     ids = sorted(r[0] for r in nulls.select("system_record_id").collect())
-    assert ids == list(range(1, 11))  # dense per-segment numbering
+    assert ids == list(range(0, 10))
+    all_ids = sorted(r[0] for r in out.select("system_record_id").collect())
+    assert all_ids == list(range(0, 30))
 
 
 def test_fintech_dedup_null_segment(spark):
@@ -463,7 +467,7 @@ def test_zip_with_index_reliable_checkpoint(spark, tmp_path):
         )
         out = add_system_record_id(df, None, ["k"])
         ids = sorted(r["system_record_id"] for r in out.collect())
-        assert ids == list(range(1, 201))
+        assert ids == list(range(0, 200))
         import os
         assert any(os.scandir(str(tmp_path / "ckpt")))  # reliable path used
     finally:
@@ -657,3 +661,68 @@ def test_reference_dataset_validation_replay(spark):
         filtered, _stats = filter_invalid_keys(d, flags)
         filtered = filtered.filter(F.col("target").isNotNull())
         assert filtered.count() == expected, name
+
+
+def test_prepared_upload_layout_vs_reference_golden(spark):
+    """test_idempotent_order_with_balanced_dataset's expected parquet
+    replayed structurally: the reference's own data.csv sliced the same
+    way through OUR combine -> convert -> hashed-rename -> record-id
+    pipeline reproduces the reference's id-block layout (one continuous
+    0-based sequence laid train-first across segment-sorted blocks) and
+    the exact per-segment (phone, date_ms, target) multisets. Within-block
+    ORDER deviates by design (md5 row-hash vs pandas hash_pandas_object —
+    partition-invariance is the property that survives distribution)."""
+    import os
+    import pandas as pd
+    import pytest as _pytest
+
+    from upgini_spark.functions.keys import parse_datetime_multi, to_epoch_ms
+    from upgini_spark.pipeline.evalset import combine_train_eval
+    from upgini_spark.pipeline.normalizer import rename_columns_hashed
+    from upgini_spark.pipeline.record_ids import add_system_record_id
+
+    base = "/root/reference/tests/test_data/binary"
+    if not os.path.isdir(base):
+        _pytest.skip("reference fixtures not available")
+
+    pdf = pd.read_csv(f"{base}/data.csv")
+    pdf = pdf.drop(columns=["SystemRecordId_473310000", "client_feature"])
+    pdf = pdf[pdf["phone_num"] >= 10_000_000]
+    train, ev1, ev2 = pdf.head(10000), pdf[10000:11000], pdf[11000:12000]
+
+    def sdf(p):
+        return spark.createDataFrame(p)
+
+    combined = combine_train_eval(sdf(train), [sdf(ev1), sdf(ev2)], "target")
+    converted = combined.select(
+        F.col("phone_num"),
+        to_epoch_ms(
+            parse_datetime_multi(F.col("rep_date")), floor_day=True
+        ).alias("rep_date"),
+        "target", "eval_set_index",
+    )
+    renamed, _m = rename_columns_hashed(
+        converted, exclude={"target", "eval_set_index"}
+    )
+    out = add_system_record_id(
+        renamed, "rep_date_f5d6bb", ["phone_num_a54a33", "rep_date_f5d6bb"]
+    ).toPandas()
+
+    exp = pd.read_parquet(
+        f"{base}/expected_prepared_with_entity_system_record_id.parquet"
+    )
+    assert list(out.columns) == [
+        "phone_num_a54a33", "rep_date_f5d6bb", "target", "eval_set_index",
+        "system_record_id",
+    ]
+    for seg, lo, hi in ((0, 0, 10000), (1, 10000, 11000), (2, 11000, 12000)):
+        got = out[out["eval_set_index"] == seg]
+        want = exp[exp["eval_set_index"] == seg]
+        # id-block layout parity
+        assert set(got["system_record_id"]) == set(range(lo, hi))
+        assert set(want["system_record_id"]) == set(range(lo, hi))
+        # per-segment converted-value multisets match the reference bytes
+        key = ["phone_num_a54a33", "rep_date_f5d6bb", "target"]
+        g = got[key].sort_values(key).reset_index(drop=True)
+        w = want[key].astype({"phone_num_a54a33": "int64"}).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g.astype("int64"), w.astype("int64"))

@@ -51,7 +51,7 @@ def test_deterministic_fit_sort_stable(spark):
     ga = {r["id"]: r["system_record_id"] for r in a.collect()}
     gb = {r["id"]: r["system_record_id"] for r in b.collect()}
     assert ga == gb  # identical ids regardless of partitioning
-    assert sorted(ga.values()) == list(range(1, 301))
+    assert sorted(ga.values()) == list(range(0, 300))  # 0-based reset_index parity
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):

@@ -63,11 +63,13 @@ def zip_with_index(
     seg_col: str | None = None,
     num_partitions: int | None = None,
     keep_cols: list[str] | None = None,
+    base: int = 1,
 ) -> DataFrame:
-    """Distributed dense 1-based row index along a total order — the
-    zipWithIndex pattern described in the module docstring. ``order`` is a
-    list of Column sort expressions; when ``seg_col`` is given, numbering
-    restarts per segment (the segment column must lead the order).
+    """Distributed dense ``base``-based row index along a total order —
+    the zipWithIndex pattern described in the module docstring. ``order``
+    is a list of Column sort expressions; when ``seg_col`` is given,
+    numbering restarts per segment (the segment column must lead the
+    order).
 
     The sorted+indexed intermediate is materialized with an eager
     checkpoint so the offsets job and the final pass see ONE consistent
@@ -134,7 +136,8 @@ def zip_with_index(
     ).withColumn("__sri_seg__", seg_expr.cast("int"))
     out = keyed.join(F.broadcast(map_df), ["__sri_pid__", "__sri_seg__"])
     rid = (
-        F.col("__sri_off__") + (F.col("__sri_mid__") - F.col("__sri_minmid__")) + 1
+        F.col("__sri_off__") + (F.col("__sri_mid__") - F.col("__sri_minmid__"))
+        + base
     ).cast("long")
     return out.select(*out_cols, rid.alias(out_col))
 
@@ -150,11 +153,19 @@ def add_system_record_id(
     """Assign order-defining ids after the deterministic sort.
 
     Mirrors _add_fit_system_record_id (features_enricher.py:4488-4595):
-    order by [date, row-hash, tie-break row-hash of ALL columns], numbered
-    per eval_set_index segment when the column is present. The tie-break
-    makes ids partition-invariant even for rows duplicated on
-    (date, hash_cols): fully identical rows are interchangeable, so any
-    assignment among them yields the same output multiset.
+    each eval_set_index segment is sorted by [date, row-hash, tie-break
+    row-hash of ALL columns] and the segment blocks are laid train-first
+    (reference: per-segment sort_df + concat), then ONE continuous
+    0-based id sequence runs across the blocks (the reference's single
+    ``reset_index`` after the concat — verified against
+    expected_prepared_with_entity_system_record_id.parquet: train ids
+    0..n_train-1, eval1 the next block, ...). The tie-break makes ids
+    partition-invariant even for rows duplicated on (date, hash_cols):
+    fully identical rows are interchangeable, so any assignment among
+    them yields the same output multiset. The row-hash itself is md5
+    (engine-portable), a documented deviation from pandas'
+    hash_pandas_object — within-block ORDER differs from the reference,
+    the block layout and id density do not.
     """
     orig_cols = list(df.columns)
     seg = EVAL_SET_INDEX if (per_eval_segment and EVAL_SET_INDEX in df.columns) else None
@@ -168,8 +179,8 @@ def add_system_record_id(
         + [F.col("__sri_h__").asc(), F.col("__sri_tie__").asc()]
     )
     return zip_with_index(
-        work, order, out_col, seg_col=seg,
-        num_partitions=num_partitions, keep_cols=orig_cols,
+        work, order, out_col, seg_col=None,
+        num_partitions=num_partitions, keep_cols=orig_cols, base=0,
     )
 
 
