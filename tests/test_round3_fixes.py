@@ -726,3 +726,23 @@ def test_prepared_upload_layout_vs_reference_golden(spark):
         g = got[key].sort_values(key).reset_index(drop=True)
         w = want[key].astype({"phone_num_a54a33": "int64"}).sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(g.astype("int64"), w.astype("int64"))
+
+
+def test_phone_normalizer_reference_replay(spark):
+    """normalizer/test_phone_normalizer.py float/int/str cases verbatim."""
+    from upgini_spark.functions import keys as K
+
+    def run(vals, typ):
+        df = spark.createDataFrame([(v,) for v in vals], f"p {typ}")
+        return [r[0] for r in df.select(K.phone_to_int(F.col("p")).alias("o"))
+                .collect()]
+
+    assert run([7.2, 0.1, 3.9, 123456789012345.1, None], "double") == \
+        [None, None, None, 123456789012345, None]
+    assert run([0, -2, 100, 123456789012345, 1234567890123456, None], "long") == \
+        [None, None, None, 123456789012345, None, None]
+    assert run(["+4(234)5678", "01 02 03 04 05", "223-45-678",
+                "+86 10 6764 5489", "123456789012345", "123", "abc"],
+               "string") == \
+        [42345678, 102030405, 22345678, 861067645489, 123456789012345,
+         None, None]

@@ -104,13 +104,27 @@ def email_domain(c: Column) -> Column:
 # --- phone -------------------------------------------------------------------
 
 def phone_to_int(c: Column) -> Column:
-    """Phone → Int64 (phone_utils.py:44-106): strip a trailing ".0"
-    (float-typed sources), keep digits, convert, and gate on the VALUE
+    """Phone → Int64 (phone_utils.py:44-106), then gate on the VALUE
     range [10^7, 10^15-1] — leading zeros vanish in the int conversion,
-    so the gate is numeric, not a digit count."""
-    s = F.regexp_replace(c.cast("string"), r"\.0$", "")
+    so the gate is numeric, not a digit count.
+
+    Float-typed sources TRUNCATE like the reference's
+    ``phone_float_to_int_safe`` (``int(value)`` — 123456789012345.1 →
+    123456789012345; replayed from normalizer/test_phone_normalizer.py).
+    A float input is recognized by its string rendering carrying '.' or
+    an exponent AND parsing as a double; phone strings with separators
+    ("+86 10 ...", "223-45-678") never match and take the reference's
+    strip-non-digits path. (Dtype is lost at Column level, so a LITERAL
+    decimal string like "12345678.9" also truncates — the reference's
+    string path would strip the dot instead; documented edge.)"""
+    s = c.cast("string")
+    floatish = s.rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$") & s.rlike(
+        r"[.eE]"
+    )
+    truncated = s.try_cast("double").cast("long")  # toward zero, like int()
     digits = F.regexp_replace(s, "[^0-9]", "")
-    v = F.when(digits != "", digits).cast("long")
+    stripped = F.when(digits != "", digits).cast("long")
+    v = F.when(floatish, truncated).otherwise(stripped)
     return F.when((v >= 10_000_000) & (v <= 999_999_999_999_999), v)
 
 
