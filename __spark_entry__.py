@@ -1871,24 +1871,27 @@ def cv_time_series_folds(spark, sf_dir):
 @_q(
     "cv_blocked_folds",
     """
-    WITH n AS (SELECT count(*) AS total FROM events),
+    WITH n AS (SELECT count(*) // 3 AS fold_size FROM events),
     r AS (
       SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
       FROM events
     )
     SELECT event_id,
-           CAST(floor(rn * 3.0 / (SELECT total FROM n)) AS INT) AS fold_id,
-           CASE WHEN rn - floor(floor(rn * 3.0 / (SELECT total FROM n))
-                      * (SELECT total FROM n) / 3.0)
-                     >= (floor((floor(rn * 3.0 / (SELECT total FROM n)) + 1)
-                         * (SELECT total FROM n) / 3.0)
-                        - floor(floor(rn * 3.0 / (SELECT total FROM n))
-                          * (SELECT total FROM n) / 3.0)) * 0.8
+           CASE WHEN rn < 3 * (SELECT fold_size FROM n)
+                THEN CAST(rn // (SELECT fold_size FROM n) AS INT) END AS fold_id,
+           CASE WHEN rn >= 3 * (SELECT fold_size FROM n) THEN 'unused'
+                WHEN rn % (SELECT fold_size FROM n)
+                     -- floor, not CAST: DuckDB CAST rounds where python
+                     -- int() truncates (0.8*fold_size with .8/.6 fracs)
+                     >= CAST(floor(0.8 * (SELECT fold_size FROM n)) AS BIGINT)
                 THEN 'test' ELSE 'train' END AS cv_role
     FROM r
     """,
 )
 def cv_blocked_folds(spark, sf_dir):
+    """Reference-exact BlockedTimeSeriesSplit as a column: n//k blocks,
+    int((1-test_size)*fold_size) boundary, trailing remainder 'unused'
+    (blocked_ts_logic.csv replayed in tests)."""
     ev = _t(spark, sf_dir, "events")
     return CV.blocked_time_series_column(ev, "ts", ["event_id"], 3, 0.2).select(
         "event_id", "fold_id", "cv_role"

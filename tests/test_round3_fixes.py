@@ -746,3 +746,36 @@ def test_phone_normalizer_reference_replay(spark):
                "string") == \
         [42345678, 102030405, 22345678, 861067645489, 123456789012345,
          None, None]
+
+
+def test_blocked_ts_split_reference_etalon(spark):
+    """test_blocked_time_series.py test_bts_split_logic replayed: fold/role
+    columns over the reference's data2.csv.gz reproduce the exact per-fold
+    index stats from blocked_ts_logic.csv (n_splits=5, test_size=0.25)."""
+    import os
+    import pandas as pd
+    import pytest as _pytest
+
+    from upgini_spark.pipeline.cv import blocked_time_series_column
+
+    base = "/root/reference/tests/test_data/binary"
+    if not os.path.isdir(base):
+        _pytest.skip("reference fixtures not available")
+
+    pdf = pd.read_csv(f"{base}/data2.csv.gz").reset_index()
+    df = spark.createDataFrame(pdf[["index"]])
+    out = blocked_time_series_column(
+        df, "index", [], n_splits=5, test_size=0.25
+    ).toPandas()
+
+    etalon = pd.read_csv(f"{base}/blocked_ts_logic.csv")
+    got = []
+    for fold in sorted(out["fold_id"].dropna().unique()):
+        tr = out[(out["fold_id"] == fold) & (out["cv_role"] == "train")]["index"]
+        te = out[(out["fold_id"] == fold) & (out["cv_role"] == "test")]["index"]
+        got.append([len(tr), tr.min(), tr.max(), len(te), te.min(), te.max()])
+    got = pd.DataFrame(
+        got, columns=["train_len", "train_min", "train_max",
+                      "test_len", "test_min", "test_max"],
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), etalon.astype("int64"))

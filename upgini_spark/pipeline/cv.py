@@ -71,18 +71,27 @@ def blocked_time_series_column(
     df: DataFrame, ts_col: str, tie_cols: list[str], n_splits: int = 3,
     test_size: float = 0.2, out_col: str = "fold_id", role_col: str = "cv_role",
 ) -> DataFrame:
-    """BlockedTimeSeriesSplit (blocked_time_series.py:11-99): k equal
-    chronological blocks; within each block the leading (1−test_size)
-    share is train, the trailing share is test."""
+    """BlockedTimeSeriesSplit — reference-EXACT (blocked_time_series.py:
+    62-99, replayed against tests/test_data/binary/blocked_ts_logic.csv):
+    ``fold_size = n // n_splits`` chronological blocks; within each block
+    positions [0, int((1-test_size)*fold_size)) are train, the rest test.
+    The reference's index arithmetic drops the trailing remainder rows
+    entirely (``n % n_splits`` of them) — those get fold null /
+    role 'unused' here (a fold COLUMN can say so; index arrays just omit
+    them)."""
     n = df.count()
+    fold_size = n // n_splits
+    test_start = int((1.0 - test_size) * fold_size)
     indexed = _chronological_index(df, ts_col, tie_cols)
     rn = F.col("__cv_rn__")
-    block = F.floor(rn * n_splits / F.lit(n)).cast("int")
-    pos_in_block = rn - F.floor(block * F.lit(n) / n_splits)
-    block_size = (
-        F.floor((block + 1) * F.lit(n) / n_splits) - F.floor(block * F.lit(n) / n_splits)
-    )
-    is_test = pos_in_block >= (block_size * (1.0 - test_size))
-    return indexed.withColumn(out_col, block).withColumn(
-        role_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    in_range = rn < n_splits * fold_size
+    block = F.floor(rn / fold_size).cast("int")
+    pos_in_block = rn - block * fold_size
+    return indexed.withColumn(
+        out_col, F.when(in_range, block).cast("int")
+    ).withColumn(
+        role_col,
+        F.when(~in_range, F.lit("unused"))
+        .when(pos_in_block >= test_start, F.lit("test"))
+        .otherwise(F.lit("train")),
     ).drop("__cv_rn__")
