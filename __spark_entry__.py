@@ -1850,18 +1850,23 @@ def cv_stratified_folds(spark, sf_dir):
 @_q(
     "cv_time_series_folds",
     """
-    WITH n AS (SELECT count(*) AS total FROM events)
+    WITH n AS (
+      SELECT count(*) AS total, count(*) // 5 AS ts_size FROM events
+    )
     SELECT event_id,
-           CASE WHEN blk >= 1 THEN CAST(blk - 1 AS INT) END AS fold_id
+           CASE WHEN rn >= (SELECT total - 4 * ts_size FROM n)
+                THEN CAST((rn - (SELECT total - 4 * ts_size FROM n))
+                          // (SELECT ts_size FROM n) AS INT) END AS fold_id
     FROM (
       SELECT event_id,
-             CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1) * 5.0
-                  / (SELECT total FROM n)) AS INT) AS blk
+             row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
       FROM events
     )
     """,
 )
 def cv_time_series_folds(spark, sf_dir):
+    """sklearn-exact TimeSeriesSplit boundaries as a fold column
+    (test_size = n//(k+1); remainder rows stay in the train-only head)."""
     ev = _t(spark, sf_dir, "events")
     return CV.time_series_split_column(ev, "ts", ["event_id"], 4).select(
         "event_id", "fold_id"

@@ -779,3 +779,15 @@ def test_blocked_ts_split_reference_etalon(spark):
                       "test_len", "test_min", "test_max"],
     )
     pd.testing.assert_frame_equal(got.astype("int64"), etalon.astype("int64"))
+
+
+def test_time_series_split_sklearn_boundaries(spark):
+    """sklearn TimeSeriesSplit(n_splits=3) on 10 rows: train-only head of
+    n - k*(n//(k+1)) = 4 rows, then test blocks [4,6) [6,8) [8,10)."""
+    from upgini_spark.pipeline.cv import time_series_split_column
+
+    df = spark.range(10).select(F.col("id").alias("t"))
+    out = {r["t"]: r["fold_id"] for r in
+           time_series_split_column(df, "t", [], 3).collect()}
+    assert out == {0: None, 1: None, 2: None, 3: None,
+                   4: 0, 5: 0, 6: 1, 7: 1, 8: 2, 9: 2}

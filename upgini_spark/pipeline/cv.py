@@ -57,13 +57,19 @@ def time_series_split_column(
     out_col: str = "fold_id",
 ) -> DataFrame:
     """sklearn TimeSeriesSplit fold of the TEST block each row falls in:
-    rows in chronological (n_splits+1)-quantile block b>=1 are test of fold
-    b-1; block 0 is never test (fold null)."""
+    sklearn-EXACT TimeSeriesSplit boundaries (the reference hands CV to
+    sklearn's splitter, cv_utils.py:56): ``test_size = n // (n_splits+1)``
+    and test block i = [n - (k-i)*test_size, n - (k-i-1)*test_size) — the
+    remainder rows all land in the leading train-only region (fold null),
+    NOT spread across blocks."""
     n = df.count()
+    test_size = n // (n_splits + 1)
+    first = n - n_splits * test_size
     indexed = _chronological_index(df, ts_col, tie_cols)
-    block = F.floor(F.col("__cv_rn__") * (n_splits + 1) / F.lit(n)).cast("int")
+    rn = F.col("__cv_rn__")
     return indexed.withColumn(
-        out_col, F.when(block >= 1, block - 1).cast("int")
+        out_col,
+        F.when(rn >= first, F.floor((rn - first) / test_size)).cast("int"),
     ).drop("__cv_rn__")
 
 
