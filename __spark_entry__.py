@@ -4008,3 +4008,43 @@ def define_task_decisions(spark, sf_dir):
     }
     rows = [(n, define_task(d, "y")) for n, d in targets.items()]
     return spark.createDataFrame(rows, "target_name string, task string")
+
+
+@_q(
+    "cv_group_kfold",
+    """
+    WITH RECURSIVE g AS (
+      SELECT grp, cnt,
+             row_number() OVER (ORDER BY cnt DESC, grp) - 1 AS ord
+      FROM (
+        SELECT user_id % 37 AS grp, count(*) AS cnt
+        FROM events GROUP BY 1
+      )
+    ), greedy(ord, grp, fold, loads) AS (
+      SELECT ord, grp, 0,
+             list_transform(range(1, 6),
+               j -> CASE WHEN j = 1 THEN cnt ELSE CAST(0 AS BIGINT) END)
+      FROM g WHERE ord = 0
+      UNION ALL
+      SELECT g.ord, g.grp,
+             CAST(list_indexof(p.loads, list_min(p.loads)) - 1 AS INT),
+             list_transform(range(1, 6),
+               j -> p.loads[CAST(j AS INT)] + CASE
+                 WHEN j = list_indexof(p.loads, list_min(p.loads))
+                 THEN g.cnt ELSE 0 END)
+      FROM greedy p JOIN g ON g.ord = p.ord + 1
+    )
+    SELECT e.event_id, CAST(gr.fold AS INT) AS fold_id
+    FROM events e JOIN greedy gr ON e.user_id % 37 = gr.grp
+    """,
+)
+def cv_group_kfold(spark, sf_dir):
+    """Balanced GroupKFold (sklearn semantics, cv_utils.py:71): size-desc
+    greedy onto the lightest fold, all rows of a group together. The
+    oracle replays the sequential greedy as a recursive CTE carrying the
+    per-fold load vector through the recursion."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "grp", F.col("user_id") % 37
+    )
+    out = CV.group_kfold_column(ev, ["grp"], n_splits=5)
+    return out.select("event_id", "fold_id")

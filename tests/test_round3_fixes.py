@@ -791,3 +791,32 @@ def test_time_series_split_sklearn_boundaries(spark):
            time_series_split_column(df, "t", [], 3).collect()}
     assert out == {0: None, 1: None, 2: None, 3: None,
                    4: 0, 5: 0, 6: 1, 7: 1, 8: 2, 9: 2}
+
+
+def test_group_kfold_balanced_greedy(spark):
+    """sklearn-style balanced GroupKFold: one giant group must not drag
+    its whole fold — greedy assignment keeps fold sizes near-equal, all
+    rows of a group stay together, and the result equals the python
+    greedy reference."""
+    from upgini_spark.pipeline.cv import group_kfold_column
+
+    rows = [(i, "big") for i in range(300)]
+    rows += [(1000 + i, f"g{i % 20}") for i in range(700)]
+    df = spark.createDataFrame(rows, "rid int, grp string")
+    out = group_kfold_column(df, ["grp"], n_splits=4).toPandas()
+    assert out.groupby("grp")["fold_id"].nunique().max() == 1  # integrity
+    sizes = out.groupby("fold_id").size()
+    assert sizes.max() - sizes.min() <= 310  # 'big' alone caps one fold
+
+    counts = out.groupby("grp").size().sort_values(
+        ascending=False, kind="mergesort"
+    )
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    loads = [0] * 4
+    want = {}
+    for g, c in ordered:
+        f = loads.index(min(loads))
+        want[g] = f
+        loads[f] += c
+    got = out.drop_duplicates("grp").set_index("grp")["fold_id"].to_dict()
+    assert got == want

@@ -35,11 +35,57 @@ def stratified_kfold_column(
 
 
 def group_kfold_column(
-    df: DataFrame, group_cols: list[str], n_splits: int = 5, out_col: str = "fold_id"
+    df: DataFrame, group_cols: list[str], n_splits: int = 5,
+    out_col: str = "fold_id", max_groups: int = 1_000_000,
 ) -> DataFrame:
-    """All rows of a group land in one fold (GroupKFold)."""
-    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols]))
-    return df.withColumn(out_col, F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_splits)).cast("int"))
+    """All rows of a group land in one fold, folds BALANCED like sklearn's
+    GroupKFold (the reference's splitter, cv_utils.py:71): groups sorted
+    by size descending, each greedily assigned to the currently-lightest
+    fold (ties → lowest fold index, np.argmin-style). Tie order among
+    EQUAL-SIZE groups breaks by group value — deterministic and
+    engine-portable, a documented deviation from np.argsort's internal
+    permutation; the balance guarantee is identical.
+
+    The greedy is inherently sequential over the GROUP-SIZE table (the
+    same in-memory step sklearn runs): collected to the driver up to
+    ``max_groups`` distinct groups, result broadcast back. Beyond the cap
+    it degrades to hash assignment (balanced in expectation only) — at
+    that cardinality individual groups are tiny and hash balance is
+    tight."""
+    spark = df.sparkSession
+    sizes = df.groupBy(*group_cols).count()
+    if sizes.count() > max_groups:
+        h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols]))
+        return df.withColumn(
+            out_col,
+            F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_splits)
+            ).cast("int"),
+        )
+    rows = sizes.collect()
+    # tie-break on the RAW group values (nulls first) so the SQL oracle's
+    # ORDER BY matches — str() would collate "10" < "9"
+    ordered = sorted(
+        rows,
+        key=lambda r: (
+            -r["count"],
+            tuple((r[c] is None, r[c]) for c in group_cols),
+        ),
+    )
+    loads = [0] * n_splits
+    mapping = []
+    for r in ordered:
+        f = loads.index(min(loads))
+        mapping.append(tuple(r[c] for c in group_cols) + (f,))
+        loads[f] += r["count"]
+    from pyspark.sql.types import IntegerType
+
+    map_df = spark.createDataFrame(
+        mapping, df.select(*group_cols).schema.add("__gkf__", IntegerType())
+    )
+    return df.join(F.broadcast(map_df), on=group_cols, how="left").withColumn(
+        out_col, F.col("__gkf__").cast("int")
+    ).drop("__gkf__")
 
 
 def _chronological_index(df: DataFrame, ts_col: str, tie_cols: list[str]):
