@@ -820,3 +820,31 @@ def test_group_kfold_balanced_greedy(spark):
         loads[f] += c
     got = out.drop_duplicates("grp").set_index("grp")["fold_id"].to_dict()
     assert got == want
+
+
+def test_date_diff_year_bucket_registry(spark):
+    """autofe/test_autofe_registry.py date_diff_Y_18_23_count: the Y-unit
+    bounded date-list diff parses from the registry formula and counts
+    birthdates whose trunc(days/365) age falls in [18, 23)."""
+    import datetime as dt
+
+    from upgini_spark.plans.feature_dag import (
+        _parse_date_list_diff, parse_formula, lower_to_column,
+    )
+
+    assert _parse_date_list_diff("date_diff_Y_18_23_count") == (
+        "Y", "count", 18.0, 23.0, False
+    )
+    assert _parse_date_list_diff("not_an_operand") is None
+
+    base = dt.date(2024, 1, 1)
+    rows = [(
+        base,
+        [base.replace(year=2024 - 20), base.replace(year=2024 - 30),
+         base.replace(year=2024 - 18), base.replace(year=2024 - 23)],
+    )]
+    df = spark.createDataFrame(rows, "d date, births array<date>")
+    node = parse_formula("date_diff_Y_18_23_count(d,births)")
+    out = df.select(lower_to_column(node).alias("n")).collect()[0]["n"]
+    # ages trunc(days/365): 20, 30, 18, 23 -> [18,23) keeps 20 and 18
+    assert out == 2

@@ -82,11 +82,19 @@ def date_list_diff(a: Column, dates: Column, agg: str) -> Column:
 
 def date_list_diff_bounded(
     a: Column, dates: Column, agg: str, lo: float | None = None, hi: float | None = None,
-    normalize: bool = False,
+    normalize: bool = False, unit: str = "D",
 ) -> Column:
     """Filter diffs into [lo, hi) before aggregating (date.py:187-242);
-    ``_norm`` divides by the original list length."""
+    ``_norm`` divides by the original list length. ``unit='Y'`` converts
+    each diff to trunc(days/365) years BEFORE bounding (reference
+    _convert_diff_to_unit, date.py:38-41: ``(diff/365/…).astype(int)`` —
+    the age-bucket features like date_diff_Y_18_23_count)."""
     diffs = F.transform(dates, lambda x: F.datediff(F.to_date(a), F.to_date(x)))
+    if unit == "Y":
+        # cast truncates toward zero, matching numpy astype(int)
+        diffs = F.transform(diffs, lambda d: (d / 365).cast("int"))
+    elif unit != "D":
+        raise ValueError(f"unsupported diff unit {unit!r}")
     cond = lambda d: F.lit(True)  # noqa: E731
     if lo is not None and hi is not None:
         cond = lambda d: (d >= F.lit(lo)) & (d < F.lit(hi))  # noqa: E731

@@ -215,16 +215,20 @@ _DLD_BOUNDED = re.compile(r"^date_diff_([^_]+)_(minusinf|\d+)_(plusinf|\d+)_(\w+
 
 def _parse_date_list_diff(name: str):
     """DateListDiff formula names (date.py:136-144, 192-224):
-    ``date_diff_<agg>`` and ``date_diff_<unit>_<lo>_<hi>_<agg>[_norm]``.
-    Returns (agg, lo, hi, normalize) or None."""
+    ``date_diff_<agg>`` and ``date_diff_<unit>_<lo>_<hi>_<agg>[_norm]``
+    with unit D (days) or Y (trunc(days/365) years — the reference's
+    age-bucket features like date_diff_Y_18_23_count,
+    autofe/test_autofe_registry.py). Returns (unit, agg, lo, hi,
+    normalize) or None."""
     if name.startswith("date_diff_type"):
         return None
     m = _DLD_BOUNDED.match(name)
     if m:
         unit, lo, hi, agg, norm = m.groups()
-        if unit != "D" or agg not in _DLD_AGGS:
+        if unit not in ("D", "Y") or agg not in _DLD_AGGS:
             return None
         return (
+            unit,
             agg,
             None if lo == "minusinf" else float(lo),
             None if hi == "plusinf" else float(hi),
@@ -233,7 +237,7 @@ def _parse_date_list_diff(name: str):
     if name.startswith("date_diff_"):
         agg = name[len("date_diff_"):]
         if agg in _DLD_AGGS:
-            return (agg, None, None, False)
+            return ("D", agg, None, None, False)
     return None
 
 
@@ -324,11 +328,12 @@ def lower_to_column(node: Node, total: float | None = None) -> Column:
         return (-best["ni"]).cast("int")
     dld = _parse_date_list_diff(node.op)
     if dld is not None and len(kids) == 2:
-        agg, lo, hi, normalize = dld
-        if lo is None and hi is None and not normalize:
+        unit, agg, lo, hi, normalize = dld
+        if unit == "D" and lo is None and hi is None and not normalize:
             return DT.date_list_diff(kids[0], kids[1], agg)
         return DT.date_list_diff_bounded(
-            kids[0], kids[1], agg, lo=lo, hi=hi, normalize=normalize
+            kids[0], kids[1], agg, lo=lo, hi=hi, normalize=normalize,
+            unit=unit,
         )
     if node.op in _UNARY and len(kids) == 1:
         return _UNARY[node.op](kids[0])
