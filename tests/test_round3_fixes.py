@@ -848,3 +848,24 @@ def test_date_diff_year_bucket_registry(spark):
     out = df.select(lower_to_column(node).alias("n")).collect()[0]["n"]
     # ages trunc(days/365): 20, 30, 18, 23 -> [18,23) keeps 20 and 18
     assert out == 2
+
+
+def test_volatility_base_returns_reference_golden(spark):
+    """autofe/test_volatility_base.py replayed: exact 1-day-step returns
+    with NaN/gap handling — [100,110,99,121,NaN] over 05-01..05-06 (no
+    05-04) gives [0, .1, -.1, 0, 0]: the 2-day gap and the NaN both zero."""
+    from upgini_spark.operators.timeseries import step_returns
+
+    rows = [
+        ("2024-05-01", 100.0), ("2024-05-02", 110.0), ("2024-05-03", 99.0),
+        ("2024-05-05", 121.0), ("2024-05-06", None),
+    ]
+    df = spark.createDataFrame(rows, "d string, value double").withColumn(
+        "d", F.to_timestamp("d")
+    )
+    out = step_returns(df, "d", [], "value", 1, "D", "ret")
+    got = {str(r["d"])[:10]: r["ret"] for r in out.collect()}
+    want = {"2024-05-01": 0.0, "2024-05-02": 0.1, "2024-05-03": -0.1,
+            "2024-05-05": 0.0, "2024-05-06": 0.0}
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-12), k
