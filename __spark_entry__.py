@@ -533,22 +533,27 @@ _R03_DRIVER_WINDOW = [
     "cluster_assign", "dedup_components", "pack_sequences_512",
     "mix_sources_sample", "quality_filter_decisions", "pack_by_source_256",
     "pii_redaction_stats", "repetition_share",
-    # r02-green, code changed in r3
+    # r02-green, code changed in r3 (cv_blocked_folds and
+    # cv_time_series_folds changed RESULTS late in r3 — sklearn-exact
+    # boundaries — so their r02 rows describe old outputs)
     "ts_id_priority_sample", "psi_monthly", "fintech_dedup_gated",
-    "cv_hash_kfold",
+    "cv_hash_kfold", "cv_blocked_folds", "cv_time_series_folds",
     # r01-green, unchanged, one round stale
     "asof_join_backward", "asof_join_arrow", "asof_join_tolerance",
     "asof_join_forward", "enrich_entity_join", "roll_windows_7d",
     "roll_quantiles_7d", "time_lag_1d", "row_lag_delta", "sessionize_30m",
     "session_stats", "trend_per_user", "groupby_then_ops", "unary_scalars",
-    "binary_scalars", "string_similarity", "norm_and_bin",
+    "string_similarity",
     "date_list_aggs", "date_list_bounded", "key_converters",
     # (dedup_full_rows, dedup_key_conflicts, ngram_jaccard_pairs,
-    # lang_id_heuristic, doc_fingerprints, ts_truncate_trailing_7d and
-    # vector_rowwise yield their slots to the new r3 queries — a NEW query
-    # with no driver row at all outranks a refresh of an r01-green row
-    # whose function body is untouched since; the lifecycle test, bench
-    # HEADLINE and the strict local oracle still exercise all seven)
+    # lang_id_heuristic, doc_fingerprints, ts_truncate_trailing_7d,
+    # vector_rowwise, binary_scalars and norm_and_bin yield their slots —
+    # a query whose CURRENT results were never driver-verified outranks a
+    # refresh of an r01-green row with an untouched function body; the
+    # goldens, bench HEADLINE and the strict local oracle still exercise
+    # all of them. Rotation debt for r04: decontaminate_overlap,
+    # define_task_decisions, cv_group_kfold (new after the window filled)
+    # plus the yielded rows above.)
     "date_multiformat_parse",
     "fintech_dedup_1h", "minhash_signatures",
     "knn_cosine_top3", "text_stats",
