@@ -869,3 +869,22 @@ def test_volatility_base_returns_reference_golden(spark):
             "2024-05-05": 0.0, "2024-05-06": 0.0}
     for k, v in want.items():
         assert got[k] == pytest.approx(v, abs=1e-12), k
+
+
+def test_validate_search_keys_reference_rules():
+    """test_search_keys_validation replayed + the multi-key and email/hem
+    rules from features_enricher.py:3254-3301."""
+    import pytest as _pytest
+    from upgini_spark.pipeline.autodetect import validate_search_keys
+
+    with _pytest.raises(ValueError, match="simultaneously"):
+        validate_search_keys({"d1": "DATE", "dt2": "DATETIME"})
+    with _pytest.raises(ValueError, match="country"):
+        validate_search_keys({"postal_code": "POSTAL_CODE"})
+    validate_search_keys({"postal_code": "POSTAL_CODE", "c": "COUNTRY"})
+    validate_search_keys({"postal_code": "POSTAL_CODE"}, country_code="US")
+    with _pytest.raises(ValueError, match="multiple"):
+        validate_search_keys({"d1": "DATE", "d2": "DATE"})
+    validate_search_keys({"p1": "PHONE", "p2": "PHONE"})  # multi allowed
+    with _pytest.raises(ValueError, match="simultaneously"):
+        validate_search_keys({"e": "EMAIL", "h": "HEM"})

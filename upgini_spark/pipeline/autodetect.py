@@ -111,3 +111,32 @@ def detect_search_keys(df: DataFrame, head_rows: int = 100) -> dict[str, str]:
             if _share(vals, lambda s: bool(_POSTAL_RE.match(s))) > 0.5:
                 out[c] = "POSTAL_CODE"
     return out
+
+
+MULTI_ALLOWED_KEYS = {"PHONE", "IP", "POSTAL_CODE", "EMAIL", "HEM", "CUSTOM_KEY"}
+
+
+def validate_search_keys(
+    search_keys: dict[str, str], country_code: str | None = None
+) -> None:
+    """Search-key combination rules (features_enricher.py:3254-3301,
+    replayed from test_search_keys_validation): only PHONE/IP/POSTAL_CODE/
+    EMAIL/HEM/CUSTOM_KEY may appear on multiple columns; DATE and DATETIME
+    are mutually exclusive, as are EMAIL and HEM; POSTAL_CODE requires a
+    COUNTRY key (or an explicit country_code). Raises ValueError."""
+    from collections import Counter
+
+    key_types = list(search_keys.values())
+    for key, count in Counter(key_types).items():
+        if count > 1 and key not in MULTI_ALLOWED_KEYS:
+            raise ValueError(f"multiple {key} search keys are not supported")
+    if "DATE" in key_types and "DATETIME" in key_types:
+        raise ValueError(
+            "date and datetime search keys cannot be used simultaneously"
+        )
+    if "EMAIL" in key_types and "HEM" in key_types:
+        raise ValueError(
+            "email and hem search keys cannot be used simultaneously"
+        )
+    if "POSTAL_CODE" in key_types and "COUNTRY" not in key_types and country_code is None:
+        raise ValueError("postal code search key requires a country key")
