@@ -888,3 +888,47 @@ def test_validate_search_keys_reference_rules():
     validate_search_keys({"p1": "PHONE", "p2": "PHONE"})  # multi allowed
     with _pytest.raises(ValueError, match="simultaneously"):
         validate_search_keys({"e": "EMAIL", "h": "HEM"})
+
+
+def test_cross_formula_parses_and_lowers(spark):
+    """cross_<op> formulas (timeseries/cross.py grammar) now parse and
+    lower: descriptors ride in the fit params like the reference's
+    pydantic fields, and the compiled feature equals the direct
+    cross_series_interaction call."""
+    import json
+
+    from upgini_spark.operators.binary import divide
+    from upgini_spark.operators.timeseries import cross_series_interaction
+    from upgini_spark.plans.feature_dag import (
+        compile_features, parse_formula, parse_ts_op, set_op_params,
+    )
+
+    assert parse_ts_op("cross_div") == ("cross", {"op": "div"})
+    assert parse_ts_op("cross_div_offset_1D") == (
+        "cross", {"op": "div", "offset": (1, "D")}
+    )
+
+    rows = []
+    for d in range(1, 8):
+        for etype in ("click", "purchase"):
+            rows.append((f"2024-01-0{d}", etype, float(d * (2 if etype == "click" else 1))))
+    df = spark.createDataFrame(rows, "d string, etype string, v double").withColumn(
+        "d", F.to_timestamp("d")
+    )
+    node = parse_formula("cross_div(d,etype,v)")
+    set_op_params(node, {
+        "descriptor_indices": "[0]",
+        "left_descriptor": json.dumps(["click"]),
+        "right_descriptor": json.dumps(["purchase"]),
+    })
+    out = compile_features(df, {"cross_ratio": node}).toPandas()
+
+    direct = cross_series_interaction(
+        df, "d", ["etype"], ["click"], ["purchase"], "v", divide,
+        out_col="cross_ratio",
+    ).toPandas()
+    key = ["d", "etype"]
+    a = out.sort_values(key).reset_index(drop=True)["cross_ratio"]
+    b = direct.sort_values(key).reset_index(drop=True)["cross_ratio"]
+    assert a.fillna(-1).tolist() == b.fillna(-1).tolist()
+    assert (a.dropna() == 2.0).all()  # click/purchase = 2 every day

@@ -124,6 +124,9 @@ _TS_PATTERNS = [
     ("vol_ratio", re.compile(r"^vol_ratio_(\d+)_to_(\d+)([a-zA-Z])?$")),
     ("ewma_vol", re.compile(r"^ewma_vol_(\d+)$")),
     ("trend_coef", re.compile(r"^trend_coef$")),
+    # CrossSeriesInteraction: cross_<interaction-op>[_offset_...]
+    # (timeseries/cross.py:56-75; descriptors ride in op params)
+    ("cross", re.compile(r"^cross_([a-z+*/-]+?)(?:_offset_(\d+)([a-zA-Z]))?$")),
 ]
 
 
@@ -158,6 +161,11 @@ def parse_ts_op(name: str) -> tuple[str, dict] | None:
             return "ewma_vol", {"span": int(g[0])}
         if kind == "trend_coef":
             return "trend_coef", {}
+        if kind == "cross":
+            p = {"op": g[0]}
+            if g[1]:
+                p["offset"] = (int(g[1]), g[2])
+            return "cross", p
     return None
 
 
@@ -197,6 +205,13 @@ _GROUPBY = {
 }
 
 _VECTOR = {"mean": V.mean, "sum": V.sum_, "vectorize": V.vectorize}
+
+# interaction ops reachable from cross_<op> formulas (alias names per
+# OP_ALIASES: / -> div etc.)
+_CROSS_OPS = {
+    "add": B.add, "sub": B.subtract, "mul": B.multiply, "div": B.divide,
+    "min": B.min_, "max": B.max_,
+}
 
 
 def _param_f(node: "Op", key: str) -> float | None:
@@ -402,6 +417,24 @@ def compile_features(
             fn = lambda s, p=p: TS.ewma_volatility(s, date_col, groups, value, p["span"], out_col=out_name)  # noqa: E501,E731
         elif kind == "trend_coef":
             fn = lambda s, p=p: TS.trend_coefficient(s, date_col, groups, value, out_col=out_name)  # noqa: E501,E731
+        elif kind == "cross":
+            # children: (date, descriptor columns..., value); descriptor
+            # VALUES selecting the two series come from the fit params
+            # exactly like the reference's pydantic fields
+            import json as _json
+
+            def _p(key):
+                v = node.params.get(key)
+                return _json.loads(v) if isinstance(v, str) else v
+
+            op_fn = _CROSS_OPS.get(p["op"])
+            if op_fn is None:
+                raise ValueError(f"unsupported cross interaction op {p['op']!r}")
+            fn = lambda s, p=p, op_fn=op_fn: TS.cross_series_interaction(  # noqa: E731
+                s, date_col, groups,
+                _p("left_descriptor"), _p("right_descriptor"),
+                value, op_fn, out_col=out_name,
+            )
         else:
             raise ValueError(kind)
         out = TS.ts_feature_parity(
@@ -519,6 +552,8 @@ _PARAM_KEYS = {
 def _param_keys(op: str) -> list[str]:
     if op == "outlier_dist" or op.startswith("outlier_dist_"):
         return ["centroid"]
+    if op.startswith("cross_"):
+        return ["descriptor_indices", "left_descriptor", "right_descriptor"]
     if op == "cluster" or op.startswith("cluster_"):
         return ["centroids"]
     return _PARAM_KEYS.get(op, [])
