@@ -1,0 +1,103 @@
+"""Round-4 regressions: ADVICE fixes (phone float overflow under ANSI,
+null-group GroupKFold join, null target classes in is_imbalanced,
+degenerate TS splits raising) plus round-4 verdict items."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -- ADVICE: phone float beyond bigint range must yield null, not throw -----
+
+def test_phone_to_int_float_overflow_null(spark):
+    from upgini_spark.functions.keys import phone_to_int
+
+    df = spark.createDataFrame(
+        [("1e20",), ("99999999999999999999.0",), ("123456789012345.1",),
+         ("12345678.9",), ("+86 10 6552 9988",)],
+        "p string",
+    )
+    out = df.select(phone_to_int(F.col("p")).alias("v")).collect()
+    vals = [r["v"] for r in out]
+    # overflow rows null (reference phone_float_to_int_safe -> None);
+    # in-range floats truncate toward zero; separator strings strip digits
+    assert vals[0] is None
+    assert vals[1] is None
+    assert vals[2] == 123456789012345
+    assert vals[3] == 12345678
+    assert vals[4] == 861065529988
+
+
+# -- ADVICE: null group keys must receive their assigned fold ---------------
+
+def test_group_kfold_null_group_gets_fold(spark):
+    from upgini_spark.pipeline.cv import group_kfold_column
+
+    rows = [(i, None if i % 5 == 0 else f"g{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "rid int, grp string")
+    out = group_kfold_column(df, ["grp"], n_splits=3)
+    got = out.select("rid", "grp", "fold_id").collect()
+    # every row — including null-group rows — has a fold
+    assert all(r["fold_id"] is not None for r in got)
+    # all null-group rows share ONE fold (they are one group)
+    null_folds = {r["fold_id"] for r in got if r["grp"] is None}
+    assert len(null_folds) == 1
+    # group atomicity holds for the rest too
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], set()).add(r["fold_id"])
+    assert all(len(v) == 1 for v in by_grp.values())
+    # balance: fold loads within one greedy step of each other
+    loads = {}
+    for r in got:
+        loads[r["fold_id"]] = loads.get(r["fold_id"], 0) + 1
+    assert max(loads.values()) - min(loads.values()) <= 14  # largest group
+
+
+# -- ADVICE: null target is not a class but its rows count ------------------
+
+def test_is_imbalanced_null_target_not_a_class(spark):
+    from upgini_spark.functions.stats import is_imbalanced
+
+    # 4800 of class 0, 1200 of class 1, 600 nulls -> total 6600 rows,
+    # 2 classes. rarest=1200 >= (0.6/2)*6600=1980? no -> imbalanced True.
+    # If null were (wrongly) a third class: k=3, threshold (0.6/3)*6600
+    # =1320, rarest=600 < 1320 — same verdict, so instead pick counts
+    # where the verdicts DIFFER:
+    # class 0: 700, class 1: 260, nulls: 40 -> total 1000, k=2,
+    # threshold (0.6/2)*1000 = 300 > 260 -> imbalanced.
+    # With null-as-class: k=3, threshold 0.6/3*1000=200, rarest=40<200
+    # -> also True. Need a case flipping: class0=700, class1=290,
+    # null=10: k=2 thr=300>290 True; null-as-class k=3 thr=200,
+    # rarest=10<200 True. The cleaner discriminator is the class COUNT
+    # ValueError gate — craft >100 null-distinct? Nulls collapse to one
+    # group. Use the k value directly via the binary gate instead:
+    rows = [(i, 0) for i in range(700)]
+    rows += [(700 + i, 1) for i in range(290)]
+    rows += [(990 + i, None) for i in range(10)]
+    df = spark.createDataFrame(rows, "rid int, target int")
+    # k must be 2 (not 3): with 2 classes, threshold = 300 > 290 -> True
+    assert is_imbalanced(df, "target", "MULTICLASS") is True
+    # and a balanced 2-class frame with nulls still reads balanced
+    rows2 = [(i, i % 2) for i in range(1000)] + [(1000 + i, None) for i in range(50)]
+    df2 = spark.createDataFrame(rows2, "rid int, target int")
+    assert is_imbalanced(df2, "target", "MULTICLASS") is False
+
+
+# -- ADVICE: degenerate TS splits raise like sklearn ------------------------
+
+def test_time_series_split_too_few_rows_raises(spark):
+    from upgini_spark.pipeline.cv import (
+        blocked_time_series_column,
+        time_series_split_column,
+    )
+
+    df = spark.createDataFrame([(i, i) for i in range(4)], "rid int, ts int")
+    with pytest.raises(ValueError):
+        time_series_split_column(df, "ts", ["rid"], n_splits=5)
+    df2 = spark.createDataFrame([(i, i) for i in range(2)], "rid int, ts int")
+    with pytest.raises(ValueError):
+        blocked_time_series_column(df2, "ts", ["rid"], n_splits=3)
+    # boundary: n == n_splits+1 works (test_size 1)
+    df3 = spark.createDataFrame([(i, i) for i in range(6)], "rid int, ts int")
+    out = time_series_split_column(df3, "ts", ["rid"], n_splits=5)
+    assert out.filter(F.col("fold_id").isNotNull()).count() == 5

@@ -121,7 +121,10 @@ def phone_to_int(c: Column) -> Column:
     floatish = s.rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$") & s.rlike(
         r"[.eE]"
     )
-    truncated = s.try_cast("double").cast("long")  # toward zero, like int()
+    # try_cast both hops: a float-like string beyond bigint range ("1e20")
+    # must yield null (reference phone_float_to_int_safe returns None on
+    # any exception), not an ANSI CAST_OVERFLOW job failure.
+    truncated = s.try_cast("double").try_cast("long")  # toward zero, like int()
     digits = F.regexp_replace(s, "[^0-9]", "")
     stripped = F.when(digits != "", digits).cast("long")
     v = F.when(floatish, truncated).otherwise(stripped)

@@ -578,8 +578,11 @@ def is_imbalanced(
         .filter(F.col("__dupn__") == 1)
         .drop("__dupn__")
     )
-    counts = {r[0]: r[1] for r in d.groupBy(target_col).count().collect()}
-    total = sum(counts.values())
+    counts_all = {r[0]: r[1] for r in d.groupBy(target_col).count().collect()}
+    # pandas nunique()/value_counts() default dropna=True: a null target
+    # is NOT a class, but its rows still count toward len(target).
+    counts = {k: v for k, v in counts_all.items() if k is not None}
+    total = sum(counts_all.values())
     if task_type == "BINARY" and total <= binary_min_sample_threshold:
         return False
     k = len(counts)

@@ -83,9 +83,23 @@ def group_kfold_column(
     map_df = spark.createDataFrame(
         mapping, df.select(*group_cols).schema.add("__gkf__", IntegerType())
     )
-    return df.join(F.broadcast(map_df), on=group_cols, how="left").withColumn(
-        out_col, F.col("__gkf__").cast("int")
-    ).drop("__gkf__")
+    # Null group keys ARE assigned a fold by the greedy (sklearn treats
+    # NaN as a group value), so the join-back must be null-safe — a plain
+    # equi-join would leave those rows with a null fold while their load
+    # still skewed the balance.
+    map_df = map_df.select(
+        *[F.col(c).alias(f"__gk_{i}__") for i, c in enumerate(group_cols)],
+        "__gkf__",
+    )
+    cond = None
+    for i, c in enumerate(group_cols):
+        this = df[c].eqNullSafe(map_df[f"__gk_{i}__"])
+        cond = this if cond is None else (cond & this)
+    return (
+        df.join(F.broadcast(map_df), on=cond, how="left")
+        .withColumn(out_col, F.col("__gkf__").cast("int"))
+        .drop("__gkf__", *[f"__gk_{i}__" for i in range(len(group_cols))])
+    )
 
 
 def _chronological_index(df: DataFrame, ts_col: str, tie_cols: list[str]):
@@ -110,6 +124,13 @@ def time_series_split_column(
     NOT spread across blocks."""
     n = df.count()
     test_size = n // (n_splits + 1)
+    if test_size == 0:
+        # sklearn TimeSeriesSplit raises here; an all-null fold column
+        # would silently degenerate to "everything is train-only head".
+        raise ValueError(
+            f"Cannot have number of folds={n_splits + 1} greater than the "
+            f"number of samples={n}."
+        )
     first = n - n_splits * test_size
     indexed = _chronological_index(df, ts_col, tie_cols)
     rn = F.col("__cv_rn__")
@@ -133,6 +154,13 @@ def blocked_time_series_column(
     them)."""
     n = df.count()
     fold_size = n // n_splits
+    if fold_size == 0:
+        # mirrors the TimeSeriesSplit guard: fewer rows than blocks would
+        # mark every row 'unused' instead of erroring like the reference.
+        raise ValueError(
+            f"Cannot have number of splits={n_splits} greater than the "
+            f"number of samples={n}."
+        )
     test_start = int((1.0 - test_size) * fold_size)
     indexed = _chronological_index(df, ts_col, tie_cols)
     rn = F.col("__cv_rn__")
