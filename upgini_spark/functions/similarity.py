@@ -64,6 +64,15 @@ def cosine_topk_bruteforce(
     )
 
 
+def _plane_sign(p: int, d: int) -> float:
+    """+1.0 if the first hex digit of md5(f"{p}_{d}") >= '8' else -1.0 —
+    the exact value the DuckDB oracles derive in SQL (knn_cosine_lsh
+    planes CTE), computed driver-side so plans carry only literals."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0] >= "8" else -1.0
+
+
 def hyperplane_sign_bits(
     vec_col: str, n_planes: int = 8, dims: int = 64, plane_offset: int = 0
 ) -> F.Column:
@@ -78,12 +87,14 @@ def hyperplane_sign_bits(
     v = F.col(vec_col)
     bits = []
     for p in range(plane_offset, plane_offset + n_planes):
-        signs = F.array(*[
-            F.when(
-                F.substring(F.md5(F.lit(f"{p}_{d}")), 1, 1) >= "8", F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            for d in range(dims)
-        ])
+        # Plane signs are pure functions of (p, d): evaluate the md5 bit
+        # in PYTHON (bit-identical to the SQL form the oracles replay) and
+        # ship one literal array per plane. The previous per-dim
+        # when(md5(substring)) chain built n_bands*n_planes*dims nested
+        # nodes (1024 at 2x8x64) that the optimizer constant-folded on
+        # EVERY plan compile — a measured 6x wall-time cliff at sf0.1
+        # (BENCH/BASELINE.md round-4 note).
+        signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dims)])
         dot = F.aggregate(
             F.zip_with(v, signs, lambda x, s: x * s),
             F.lit(0.0),
