@@ -58,19 +58,8 @@ def test_group_kfold_null_group_gets_fold(spark):
 def test_is_imbalanced_null_target_not_a_class(spark):
     from upgini_spark.functions.stats import is_imbalanced
 
-    # 4800 of class 0, 1200 of class 1, 600 nulls -> total 6600 rows,
-    # 2 classes. rarest=1200 >= (0.6/2)*6600=1980? no -> imbalanced True.
-    # If null were (wrongly) a third class: k=3, threshold (0.6/3)*6600
-    # =1320, rarest=600 < 1320 — same verdict, so instead pick counts
-    # where the verdicts DIFFER:
-    # class 0: 700, class 1: 260, nulls: 40 -> total 1000, k=2,
-    # threshold (0.6/2)*1000 = 300 > 260 -> imbalanced.
-    # With null-as-class: k=3, threshold 0.6/3*1000=200, rarest=40<200
-    # -> also True. Need a case flipping: class0=700, class1=290,
-    # null=10: k=2 thr=300>290 True; null-as-class k=3 thr=200,
-    # rarest=10<200 True. The cleaner discriminator is the class COUNT
-    # ValueError gate — craft >100 null-distinct? Nulls collapse to one
-    # group. Use the k value directly via the binary gate instead:
+    # class 0: 700, class 1: 290, nulls: 10 -> k must be 2 (pandas
+    # nunique dropna) with total 1000: threshold (0.6/2)*1000 = 300 > 290
     rows = [(i, 0) for i in range(700)]
     rows += [(700 + i, 1) for i in range(290)]
     rows += [(990 + i, None) for i in range(10)]
@@ -101,3 +90,38 @@ def test_time_series_split_too_few_rows_raises(spark):
     df3 = spark.createDataFrame([(i, i) for i in range(6)], "rid int, ts int")
     out = time_series_split_column(df3, "ts", ["rid"], n_splits=5)
     assert out.filter(F.col("fold_id").isNotNull()).count() == 5
+
+
+# -- bigint running-sum accumulator: exact past 2^53 ------------------------
+
+def test_global_running_sum_bigint_exact(spark):
+    from upgini_spark.pipeline.record_ids import global_running_sum
+
+    big = (1 << 53) + 1  # not representable as double
+    df = spark.createDataFrame(
+        [(i, big) for i in range(8)], "id int, v long"
+    ).repartition(4)
+    out = global_running_sum(df, [F.col("id").asc()], "v", "cum")
+    assert dict(out.dtypes)["cum"] == "bigint"
+    rows = {r["id"]: r["cum"] for r in out.collect()}
+    assert rows == {i: big * (i + 1) for i in range(8)}
+    # double arithmetic would collapse big*(k)+big and big*(k)+big+1:
+    assert rows[1] - rows[0] == big  # exact, no 2^53 rounding
+
+
+def test_pack_sequences_offsets_exact_past_2_53(spark):
+    """pack_sequences' offset feed must stay exact with huge counts: unit
+    test on the narrow (id, count) projection the packer uses."""
+    from upgini_spark.pipeline.record_ids import global_running_sum
+
+    base = (1 << 53) + 7
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", base + i) for i in range(6)], "pid string, n_tok long"
+    ).repartition(3)
+    out = global_running_sum(df, [F.col("pid").asc()], "n_tok", "end_off")
+    got = {r["pid"]: r["end_off"] for r in out.collect()}
+    expect, acc = {}, 0
+    for i in range(6):
+        acc += base + i
+        expect[f"d{i:02d}"] = acc
+    assert got == expect

@@ -297,9 +297,11 @@ def remove_fintech_duplicates(
     3. remove ALL rows of personal-key groups whose target CHANGES between
        date-adjacent rows less than 60 days apart.
 
-    Every gate is a small aggregate over the per-key groupBy (map-side
-    combined); the raw table is only shuffled once per segment for the
-    adjacency window.
+    ALL segments fold into ONE stats job — a grouped aggregation over
+    (segment, personal_keys) rolled up to one row per segment (bounded
+    collect: segments are 2-4 in practice) — and ONE conditional filter
+    pass, instead of a per-segment collect + union loop whose plan and
+    job count grew linearly with the segment count.
     """
     if not personal_cols:
         return df
@@ -308,42 +310,63 @@ def remove_fintech_duplicates(
         return df
 
     has_eval = eval_set_index_col in df.columns
-    segments = (
-        [r[0] for r in df.select(eval_set_index_col).distinct().collect()]
-        if has_eval
-        else [None]
+    seg = (
+        F.col(eval_set_index_col) if has_eval else F.lit(0)
+    ).alias("__seg__")
+
+    groups = df.select(seg, *personal_cols, date_col, target_col).groupBy(
+        "__seg__", *personal_cols
+    ).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.countDistinct(F.col(date_col)).alias("__nd__"),
+        F.countDistinct(F.col(target_col)).alias("__nt__"),
     )
+    seg_stats = groups.groupBy("__seg__").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("__n__") > 1).cast("int")).alias("dups"),
+        F.sum((F.col("__nd__") > 1).cast("int")).alias("diff_dates"),
+        F.sum(((F.col("__n__") > 1) & (F.col("__nt__") > 1)).cast("int"))
+        .alias("conflicts"),
+    ).collect()
+    dedup_segs = [
+        r["__seg__"]
+        for r in seg_stats
+        if r["dups"]
+        and r["total"]
+        and r["diff_dates"] / r["total"] < 0.6
+        and r["conflicts"]
+    ]
+    if not dedup_segs:
+        return df
 
-    def process(seg: DataFrame) -> DataFrame:
-        groups = seg.groupBy(*personal_cols).agg(
-            F.count(F.lit(1)).alias("__n__"),
-            F.countDistinct(F.col(date_col)).alias("__nd__"),
-            F.countDistinct(F.col(target_col)).alias("__nt__"),
+    # one adjacency-window pass over (segment, keys); rows in segments
+    # that failed a gate pass through untouched. Null segments group fine
+    # under partitionBy and match via eqNullSafe.
+    w = Window.partitionBy(seg, *[F.col(c) for c in personal_cols]).orderBy(
+        F.col(date_col).asc()
+    )
+    prev_t = F.lag(F.col(target_col)).over(w)
+    prev_ts = F.lag(F.col(date_col)).over(w)
+    close_conflict = (
+        prev_t.isNotNull()
+        & (prev_t != F.col(target_col))
+        & (
+            (F.unix_micros(F.col(date_col).cast("timestamp"))
+             - F.unix_micros(prev_ts.cast("timestamp")))
+            < window_seconds * 1_000_000
         )
-        stats = groups.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum((F.col("__n__") > 1).cast("int")).alias("dups"),
-            F.sum((F.col("__nd__") > 1).cast("int")).alias("diff_dates"),
-            F.sum(((F.col("__n__") > 1) & (F.col("__nt__") > 1)).cast("int"))
-            .alias("conflicts"),
-        ).collect()[0]
-        if not stats["dups"] or not stats["total"]:
-            return seg
-        if stats["diff_dates"] / stats["total"] >= 0.6:
-            return seg
-        if not stats["conflicts"]:
-            return seg
-        return fintech_dedup(seg, personal_cols, target_col, date_col, window_seconds)
-
-    if not has_eval:
-        return process(df)
-    out = None
-    # null segments sort last and select with a null-safe equality —
-    # plain `== None` matches nothing and sorted() raises on mixed None
-    for s in sorted(segments, key=lambda x: (x is None, x)):
-        part = process(df.filter(F.col(eval_set_index_col).eqNullSafe(F.lit(s))))
-        out = part if out is None else out.unionByName(part)
-    return out
+    ).cast("int")
+    wg = Window.partitionBy(seg, *[F.col(c) for c in personal_cols])
+    in_dedup_seg = None
+    seg_val = F.col(eval_set_index_col) if has_eval else F.lit(0)
+    for s in dedup_segs:
+        cond = seg_val.eqNullSafe(F.lit(s))
+        in_dedup_seg = cond if in_dedup_seg is None else (in_dedup_seg | cond)
+    return (
+        df.withColumn("__flag__", F.max(close_conflict).over(wg))
+        .filter(~in_dedup_seg | (F.col("__flag__") == 0))
+        .drop("__flag__")
+    )
 
 
 # --------------------------------------------------------------------------

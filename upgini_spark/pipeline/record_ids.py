@@ -214,19 +214,30 @@ def global_running_sum(
     )
     work = _consistent_checkpoint(work)
     pid = F.shiftright(F.col("__grs_mid__"), _MID_BITS)
+    # Integral value columns accumulate EXACTLY in bigint (Python int on
+    # the driver, long offsets shipped back) — a double accumulator loses
+    # integer exactness past 2^53, a ceiling token-count offsets would
+    # inherit. Fractional columns keep the double path. Totals beyond
+    # 2^63 fail loudly under ANSI sum overflow rather than wrapping.
+    integral = dict(work.dtypes)[value_col] in (
+        "bigint", "int", "smallint", "tinyint",
+    )
+    off_type = "bigint" if integral else "double"
     totals = (
         work.groupBy(pid.alias("__grs_pid__"))
         .agg(F.sum(F.col(value_col)).alias("t"))
         .collect()
     )
     if not totals:
-        return df.withColumn(out_col, F.lit(None).cast("double"))
+        return df.withColumn(out_col, F.lit(None).cast(off_type))
     totals.sort(key=lambda r: r["__grs_pid__"])
-    offsets, acc = [], 0.0
+    offsets, acc = [], 0 if integral else 0.0
     for r in totals:
-        offsets.append((int(r["__grs_pid__"]), float(acc)))
+        offsets.append((int(r["__grs_pid__"]), acc))
         acc += r["t"] or 0
-    map_df = spark.createDataFrame(offsets, "__grs_pid__ long, __grs_off__ double")
+    map_df = spark.createDataFrame(
+        offsets, f"__grs_pid__ long, __grs_off__ {off_type}"
+    )
 
     w = (
         Window.partitionBy("__grs_pid__")
