@@ -204,6 +204,81 @@ class SparkFeaturesEnricher:
         )
         return out
 
+    def calculate_metrics(
+        self,
+        df: DataFrame,
+        target_col: str,
+        scoring: str | None = None,
+        max_rows: int = 100_000,
+        eval_set_index_col: str = "eval_set_index",
+        n_splits: int = 5,
+    ):
+        """The `calculate_metrics` lifecycle step (features_enricher.py:
+        926-1300): enrich distributed → deterministic ≤``max_rows``
+        sample (the reference also trains on a ≤100k sampled frame —
+        model fitting never touches the full table) → distributed fold
+        assignment (pipeline/cv.py) → ONE collect → driver-side CV
+        harness (pipeline/metrics.py). Returns the reference-layout
+        report DataFrame (pandas)."""
+        from upgini_spark.functions.sampling import hash_sample_exact
+        from upgini_spark.functions.stats import define_task
+        from upgini_spark.pipeline.cv import (
+            kfold_column,
+            stratified_kfold_column,
+        )
+        from upgini_spark.pipeline.metrics import calculate_metrics_report
+
+        st = self.state
+        if st is None:
+            raise RuntimeError("calculate_metrics called before fit")
+        enriched = self.transform(df)
+        task = define_task(df, target_col, has_date=True)
+
+        dtypes = dict(enriched.dtypes)
+        baseline_cols = [c for c in st.feature_cols if c in dtypes]
+        generated = [c for c in st.generated_formulas if c in dtypes]
+        enriched_cols = baseline_cols + generated
+
+        has_eval = eval_set_index_col in dtypes
+        seg = F.col(eval_set_index_col) if has_eval else None
+        train_sdf = (
+            enriched.filter(seg.isNull() | (seg == 0)) if has_eval else enriched
+        )
+        if train_sdf.count() > max_rows:
+            train_sdf = hash_sample_exact(train_sdf, max_rows, [st.entity_col, st.ts_col])
+        fold_fn = (
+            stratified_kfold_column if task in ("BINARY", "MULTICLASS") else kfold_column
+        )
+        folded = (
+            stratified_kfold_column(
+                train_sdf, target_col, [st.entity_col, st.ts_col], n_splits
+            )
+            if fold_fn is stratified_kfold_column
+            else kfold_column(train_sdf, [st.entity_col, st.ts_col], n_splits)
+        )
+        keep = [st.entity_col, st.ts_col, target_col, "fold_id", *enriched_cols]
+        train_pdf = folded.select(*dict.fromkeys(keep)).toPandas()
+
+        eval_frames = []
+        if has_eval:
+            segs = sorted(
+                r[0]
+                for r in enriched.select(eval_set_index_col).distinct().collect()
+                if r[0] not in (None, 0)
+            )
+            for s in segs:
+                eval_frames.append(
+                    enriched.filter(seg == s)
+                    .select(*dict.fromkeys(k for k in keep if k != "fold_id"))
+                    .toPandas()
+                )
+        return calculate_metrics_report(
+            train_pdf, target_col,
+            baseline_cols=baseline_cols, enriched_cols=enriched_cols,
+            fold_col="fold_id", task_type=task,
+            eval_frames=eval_frames, scoring=scoring,
+        )
+
     def with_record_ids(self, df: DataFrame) -> DataFrame:
         """Deterministic sort + system_record_id (§3.1 steps 12,16)."""
         st = self.state
