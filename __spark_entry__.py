@@ -1243,7 +1243,9 @@ def ngram_jaccard_pairs(spark, sf_dir):
 )
 def simhash_32(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", DD.simhash64("text", bits=32).alias("simhash"))
+    return DD.simhash_table(
+        docs, "text", out_col="simhash", bits=32, keep=["doc_id"]
+    )
 
 
 @_q(
@@ -1520,6 +1522,120 @@ def psi_halves(spark, sf_dir):
 def class_balance(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ST.class_balance(ev, "event_type")
+
+
+@_q(
+    "rank_auc_by_type",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS t, value AS sc
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT event_type, t,
+             rank() OVER (PARTITION BY event_type ORDER BY sc) AS mr,
+             count(*) OVER (PARTITION BY event_type, sc) AS ce
+      FROM s
+    ), a AS (
+      SELECT event_type,
+             sum(CASE WHEN t = 1 THEN mr + (ce - 1) / 2.0 END) AS rs,
+             CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_pos, n_neg,
+           round((rs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) + 0.0 AS auc,
+           round(2.0 * (rs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) - 1.0, 6)
+             + 0.0 AS gini
+    FROM a
+    """,
+)
+def rank_auc_by_type(spark, sf_dir):
+    """Distributed rank-based ROC AUC / GINI (stats.rank_auc) — the
+    at-scale twin of the driver-side metrics harness's numpy
+    roc_auc_score (pipeline/metrics.py; reference metrics.py:539-542
+    GINI = 2·AUC − 1). No row-level global sort: rows collapse per
+    (group, score) first; the oracle replays the average-rank
+    Mann-Whitney form with SQL window ranks."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        F.col("value").alias("sc"),
+    )
+    out = ST.rank_auc(d, "t", "sc", group_cols=["event_type"])
+    return out.select(
+        "event_type", "n_pos", "n_neg",
+        (F.col("auc") + 0.0).alias("auc"),
+        (F.col("gini") + 0.0).alias("gini"),
+    )
+
+
+_IMB_SQL_CASE = """
+    SELECT '{name}' AS case_name,
+           CASE WHEN {binary} AND total <= 5000 THEN FALSE
+                ELSE rarest < 0.6 / k * total END AS imbalanced
+    FROM (
+      SELECT (SELECT count(*) FROM y_{name}) AS total,
+             min(n) AS rarest, count(*) AS k
+      FROM (SELECT y, count(*) AS n FROM y_{name} WHERE y IS NOT NULL GROUP BY y)
+    )
+"""
+
+
+@_q(
+    "imbalance_decisions",
+    """
+    WITH y_bal_binary AS (
+      SELECT CAST(event_id % 2 AS INT) AS y FROM events
+    ), y_imb_binary AS (
+      SELECT CAST(event_id % 20 = 0 AS INT) AS y FROM events
+    ), y_null_class AS (
+      SELECT CASE WHEN event_id % 5 = 0 THEN NULL
+                  WHEN event_id % 4 = 0 THEN 'a' ELSE 'b' END AS y
+      FROM events
+    ), y_small_binary AS (
+      SELECT CAST(event_id % 20 = 0 AS INT) AS y FROM events WHERE event_id < 3000
+    )
+    """
+    + _IMB_SQL_CASE.format(name="bal_binary", binary="TRUE")
+    + " UNION ALL " + _IMB_SQL_CASE.format(name="imb_binary", binary="TRUE")
+    + " UNION ALL " + _IMB_SQL_CASE.format(name="null_class", binary="FALSE")
+    + " UNION ALL " + _IMB_SQL_CASE.format(name="small_binary", binary="TRUE"),
+)
+def imbalance_decisions(spark, sf_dir):
+    """is_imbalanced decision replay (stats.is_imbalanced, reference
+    target_utils.py:115-155): four targets hit the min-sample gate, the
+    balanced/imbalanced thresholds, and the r4 null-semantics fix (a
+    null target is NOT a class — pandas nunique dropna — but its rows
+    still count toward the total). event_id is unique so the dedup
+    pre-steps are no-ops and the oracle replays the decision ladder from
+    plain aggregates."""
+    from upgini_spark.functions.stats import is_imbalanced
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    cases = [
+        ("bal_binary", ev.select("event_id", (e % 2).cast("int").alias("y")), "BINARY"),
+        ("imb_binary", ev.select("event_id", (e % 20 == 0).cast("int").alias("y")), "BINARY"),
+        (
+            "null_class",
+            ev.select(
+                "event_id",
+                F.when(e % 5 == 0, F.lit(None))
+                .when(e % 4 == 0, F.lit("a"))
+                .otherwise(F.lit("b"))
+                .alias("y"),
+            ),
+            "MULTICLASS",
+        ),
+        (
+            "small_binary",
+            ev.filter(e < 3000).select("event_id", (e % 20 == 0).cast("int").alias("y")),
+            "BINARY",
+        ),
+    ]
+    rows = [(n, is_imbalanced(d, "y", t)) for n, d, t in cases]
+    return spark.createDataFrame(rows, "case_name string, imbalanced boolean")
 
 
 @_q(

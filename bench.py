@@ -63,6 +63,8 @@ HEADLINE = [
     "dedup_components",
     "mix_sources_sample",
     "cluster_assign",
+    # round 4: benchmark decontamination (shingle explode + semi-join)
+    "decontaminate_overlap",
 ]
 
 
@@ -166,6 +168,26 @@ def main() -> None:
 
     pipeline_e2e()  # warm-up
     per_query["pipeline_e2e"] = round(min(pipeline_e2e() for _ in range(2)), 3)
+
+    # metrics lifecycle: enrich -> <=100k deterministic sample -> fold
+    # column -> ONE collect -> driver-side CV (r4 harness). Timed end to
+    # end; the driver-side fit is the reference's own <=100k design.
+    def metrics_e2e() -> float:
+        from upgini_spark.pipeline.enricher import SparkFeaturesEnricher
+
+        t0 = time.time()
+        seq = left.withColumn(
+            "client_f", (F.col("n_tok") % 97).cast("double")
+        ).withColumn("target_bin", (F.col("n_tok") % 2).cast("int"))
+        enr = SparkFeaturesEnricher(right).fit(
+            seq, "doc_id", "event_time", feature_cols=["client_f"],
+            target_col="target_bin", validate_features=False,
+        )
+        enr.calculate_metrics(seq, "target_bin", max_rows=50_000)
+        return time.time() - t0
+
+    metrics_e2e()  # warm-up
+    per_query["metrics_e2e"] = round(min(metrics_e2e() for _ in range(2)), 3)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({

@@ -667,3 +667,69 @@ def define_task(
     if (num_agg["has_frac"] or 0) or num_agg["nz_items"] > 50 or ratio > 0.2:
         return "REGRESSION"
     return "MULTICLASS"
+
+
+def rank_auc(
+    df: DataFrame,
+    target_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distributed rank-based ROC AUC (+ GINI = 2·AUC − 1) — the exact
+    Mann-Whitney statistic sklearn's roc_auc_score computes, expressed so
+    NO row-level global sort exists in the plan: rows collapse to one row
+    per (group, score) first (map-side combined), the cumulative
+    below-count runs over that aggregated table, and the average rank of
+    a tie group is ``c_lt + (c_eq + 1)/2``. With ``group_cols`` the
+    cumsum is a per-group window; without, it rides the distributed
+    :func:`~upgini_spark.pipeline.record_ids.global_running_sum` (range
+    partition + offsets — never an ``Exchange SinglePartition``).
+
+    The same statistic the driver-side metrics harness
+    (pipeline/metrics.py ``roc_auc_score``) evaluates in numpy on the
+    sampled frame — this is its at-scale twin for scoring the FULL
+    table. Null targets/scores are excluded (pandas dropna semantics).
+    Returns one row per group: (``*group_cols``, n_pos, n_neg, auc,
+    gini)."""
+    from pyspark.sql.window import Window
+
+    groups = list(group_cols or [])
+    d = df.filter(F.col(target_col).isNotNull() & F.col(score_col).isNotNull())
+    pos = (F.col(target_col) == 1).cast("long")
+    by_score = d.groupBy(*groups, F.col(score_col).alias("__s__")).agg(
+        F.count(F.lit(1)).alias("__c__"), F.sum(pos).alias("__p__")
+    )
+    if groups:
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(F.col("__s__").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = by_score.withColumn("__cum__", F.sum("__c__").over(w))
+    else:
+        from upgini_spark.pipeline.record_ids import global_running_sum
+
+        cum = global_running_sum(
+            by_score, [F.col("__s__").asc()], "__c__", "__cum__"
+        )
+    # avg rank of the tie group = rows strictly below + (c_eq + 1)/2
+    contrib = F.col("__p__") * (
+        (F.col("__cum__") - F.col("__c__")).cast("double")
+        + (F.col("__c__") + 1).cast("double") / 2.0
+    )
+    agg = cum.groupBy(*groups).agg(
+        F.sum("__p__").alias("n_pos"),
+        (F.sum("__c__") - F.sum("__p__")).alias("n_neg"),
+        F.sum(contrib).alias("__rs__"),
+    )
+    auc = F.try_divide(
+        F.col("__rs__") - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0,
+        F.col("n_pos").cast("double") * F.col("n_neg"),
+    )
+    return agg.select(
+        *groups,
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini"),
+    )
