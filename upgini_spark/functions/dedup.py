@@ -85,20 +85,27 @@ def fintech_dedup(
 # Near-duplicate detection at scale
 # --------------------------------------------------------------------------
 
+def shingle_array(words: F.Column, n: int, fallback: F.Column) -> F.Column:
+    """n-gram shingles of a token array via n shifted slices zipped with
+    concat — the array expression is referenced O(n) times (n slices +
+    one size), NOT O(n·k) as the element_at-per-index form was: inside a
+    higher-order lambda each element_at re-evaluates the whole source
+    expression per element (the round-4 decontaminate cliff, 150× on
+    50-shingle docs). Shorter-than-n docs yield ``[fallback]``."""
+    k = F.size(words) - (n - 1)
+    kk = F.greatest(k, F.lit(0))
+    parts = [F.slice(words, j + 1, kk) for j in range(n)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(k >= 1, zipped).otherwise(F.array(fallback))
+
+
 def word_shingles(text_col: str, n: int = 3) -> F.Column:
     """n-word shingles of a whitespace-tokenized text column (native
     higher-order functions, no Python)."""
-    words = F.split(F.col(text_col), " ")
-    k = F.size(words) - (n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array(F.col(text_col)))
+    c = F.col(text_col)
+    return shingle_array(F.split(c, " "), n, c)
 
 
 def _minhash_perm_constants(k: int) -> list[int]:
@@ -221,20 +228,7 @@ def ngram_jaccard(
 ) -> F.Column:
     """Exact n-gram (word) Jaccard similarity between two text columns."""
     def sh(c):
-        words = F.split(c, " ")
-        k = F.size(words) - (n - 1)
-        return F.when(
-            k >= 1,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), k - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)],
-                    ),
-                )
-            ),
-        ).otherwise(F.array(c))
+        return F.array_distinct(shingle_array(F.split(c, " "), n, c))
 
     sa, sb = sh(a_text), sh(b_text)
     inter = F.size(F.array_intersect(sa, sb)).cast("double")

@@ -83,20 +83,10 @@ def fingerprint_md5(c: Column) -> Column:
 def rolling_hash_fingerprint(c: Column, window: int = 4) -> Column:
     """Winnowing-style fingerprint: min md5 over ``window``-word rolling
     shingles — stable under small edits far from the minimum."""
-    from upgini_spark.functions.dedup import word_shingles
+    from upgini_spark.functions.dedup import shingle_array
 
-    # word_shingles expects a column name; inline the same construction
     words = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
-    k = F.size(words) - (window - 1)
-    shingles = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(window)]
-            ),
-        ),
-    ).otherwise(F.array(c))
+    shingles = shingle_array(words, window, c)
     return F.array_min(F.transform(shingles, lambda s: F.md5(s)))
 
 
@@ -161,14 +151,11 @@ def dup_ngram_share(c: Column, n: int = 3) -> Column:
     """Gopher-style repetition signal: 1 − distinct/total word n-grams —
     0.0 for unrepetitive text, → 1 for loops; null when the doc is
     shorter than one n-gram. Native higher-order functions only."""
+    from upgini_spark.functions.dedup import shingle_array
+
     words = tokens_ws(c)
     k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    grams = shingle_array(words, n, c)
     return F.when(
         k >= 1,
         F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double"),
