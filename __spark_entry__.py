@@ -513,57 +513,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates exactly the FIRST 50 registered queries per round, so
-# registration order is the coverage lever. Round-3 window (VERDICT r02 item
-# 2: every query should carry a driver row from r02 or r03 at current code):
-#   1. multimodal_features — the one red r02 row, reshaped this round;
-#   2. the 5 queries re-planned in r2 whose driver rows predate the re-plan;
-#   3. queries NEW this round (auto-sized ANN, cluster lowering);
-#   4. r02-green queries whose code changed this round (sampling fallback
-#      cumsum, PSI NaN bin, fintech null segments, record-id checkpointing);
-#   5. the remaining 36 r01-green queries (one round stale, code unchanged).
-# The 45 r02-green unchanged queries register after the window — their r02
-# rows are current.
-_R03_DRIVER_WINDOW = [
-    "multimodal_features",
-    # re-planned in r2, driver row stale
-    "freq_operators", "feature_validator_stats", "hash_sample_exact_1000",
-    "system_record_ids", "date_anniversary",
-    # new in r3
-    "knn_cosine_lsh_auto", "embedding_near_dup_auto", "knn_cosine_ivf_kmeans",
-    "cluster_assign", "dedup_components", "pack_sequences_512",
-    "mix_sources_sample", "quality_filter_decisions", "pack_by_source_256",
-    "pii_redaction_stats", "repetition_share",
-    # r02-green, code changed in r3 (cv_blocked_folds and
-    # cv_time_series_folds changed RESULTS late in r3 — sklearn-exact
-    # boundaries — so their r02 rows describe old outputs)
-    "ts_id_priority_sample", "psi_monthly", "fintech_dedup_gated",
-    "cv_hash_kfold", "cv_blocked_folds", "cv_time_series_folds",
-    # r01-green, unchanged, one round stale
-    "asof_join_backward", "asof_join_arrow", "asof_join_tolerance",
-    "asof_join_forward", "enrich_entity_join", "roll_windows_7d",
-    "roll_quantiles_7d", "time_lag_1d", "row_lag_delta", "sessionize_30m",
-    "session_stats", "trend_per_user", "groupby_then_ops", "unary_scalars",
-    "string_similarity",
-    "date_list_aggs", "date_list_bounded", "key_converters",
-    # (dedup_full_rows, dedup_key_conflicts, ngram_jaccard_pairs,
-    # lang_id_heuristic, doc_fingerprints, ts_truncate_trailing_7d,
-    # vector_rowwise, binary_scalars and norm_and_bin yield their slots —
-    # a query whose CURRENT results were never driver-verified outranks a
-    # refresh of an r01-green row with an untouched function body; the
-    # goldens, bench HEADLINE and the strict local oracle still exercise
-    # all of them. Rotation debt for r04: decontaminate_overlap,
-    # define_task_decisions, cv_group_kfold (new after the window filled)
-    # plus the yielded rows above.)
-    "date_multiformat_parse",
-    "fintech_dedup_1h", "minhash_signatures",
-    "knn_cosine_top3", "text_stats",
-    "psi_halves", "class_balance",
-    "cross_series_ratio", "ip_converters",
+# registration order is the coverage lever. Round-4 window (VERDICT r03 item
+# 1 — pay down the rotation debt; priority order):
+#   1. never driver-verified (r3 late additions) + queries NEW in r4
+#      (rank AUC, imbalance decisions);
+#   2. queries whose CODE changed in r4: LSH plane literals, phone
+#      float-overflow path, TS-split guards, single-job fintech gates,
+#      bigint running-sum consumers, staged simhash/shingle builders;
+#   3. the 9 r01-stale rows that yielded their slots in r3;
+#   4. the OLDEST r02-stale rows (20 of 39).
+# Remaining r02-stale rows (trend_coefficient_daily, eval_set_combine,
+# target_correction, enrichment_hit_rate, outlier_dist_per_class,
+# asof_join_broadcast, ip_range_join, cyclical_intraday, psi_sparsity_halves,
+# formula_compiled_features, country_full_map, ip_v6_converters,
+# forced_downsample_binary, ts_modal_unit, psi_categorical, knn_cosine_ivf,
+# normalize_types_q, key_validity_filter) rotate in r05 — their code is
+# unchanged since r2 and the strict local oracle covers them.
+_R04_DRIVER_WINDOW = [
+    # 1. never driver-verified + new this round
+    "decontaminate_overlap", "define_task_decisions", "cv_group_kfold",
+    "rank_auc_by_type", "imbalance_decisions",
+    # 2. code changed in r4
+    "embedding_near_dup", "knn_cosine_lsh", "embedding_near_dup_auto",
+    "knn_cosine_lsh_auto", "key_converters", "phone_prefix_converters",
+    "cv_time_series_folds", "cv_blocked_folds", "ts_decisions",
+    "fintech_dedup_gated", "fintech_dedup_1h", "pack_sequences_512",
+    "pack_by_source_256", "ts_id_priority_sample", "simhash_32",
+    "repetition_share", "doc_fingerprints", "ngram_jaccard_pairs",
+    # 3. r01-stale (yielded in r3)
+    "binary_scalars", "vector_rowwise", "norm_and_bin", "dedup_full_rows",
+    "dedup_key_conflicts", "lang_id_heuristic", "ts_truncate_trailing_7d",
+    # 4. oldest r02-stale
+    "ewma_volatility_span10", "string_similarity_jw", "date_diff_ops",
+    "cyclical_date_features", "minhash_lsh_pairs", "undersample_imbalanced",
+    "undersample_multiclass", "date_percentile_bucket", "date_percentile_offset",
+    "cv_stratified_folds", "unnest_multi_keys", "one_hot_decode",
+    "cross_series_click_vs_purchase", "psi_quantile_halves",
+    "date_distribution_check", "is_time_series_stats", "multimodal_meta",
+    "rolling_volatility_7d", "volatility_ratio_7_to_14", "rolling_volatility2_7d",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {k: _QUERIES[k] for k in _R03_DRIVER_WINDOW if k in _QUERIES}
+    out = {k: _QUERIES[k] for k in _R04_DRIVER_WINDOW if k in _QUERIES}
     out.update({k: v for k, v in _QUERIES.items() if k not in out})
     return out
 
