@@ -272,3 +272,40 @@ def test_enricher_calculate_metrics_e2e(spark):
     assert "Baseline GINI" in report.columns
     assert "Enriched GINI" in report.columns
     assert (report["Rows"] > 0).all()
+
+
+# -- permutation importance (the deterministic SHAP stand-in) ---------------
+
+def test_permutation_importance_ranks_informative_feature():
+    from upgini_spark.pipeline.metrics import CVMetricsHarness
+
+    pdf = _toy(240)
+    h = CVMetricsHarness("BINARY")
+    h.cross_val_predict(pdf, ["f", "noise"], "target", "fold_id")
+    imp = h.permutation_importance(pdf, "target", "fold_id")
+    assert set(imp) == {"f", "noise"}
+    assert imp["f"] > imp["noise"]
+    assert imp["f"] > 0
+    # deterministic: same inputs, bit-identical result
+    h2 = CVMetricsHarness("BINARY")
+    h2.cross_val_predict(pdf, ["f", "noise"], "target", "fold_id")
+    assert h2.permutation_importance(pdf, "target", "fold_id") == imp
+
+
+def test_permutation_importance_error_metric_orientation():
+    """For an error scorer (RMSE) a helpful feature must still come out
+    POSITIVE (raw scores are greater-is-better internally)."""
+    from upgini_spark.pipeline.metrics import CVMetricsHarness
+
+    rng = np.random.RandomState(11)
+    x = rng.normal(size=200)
+    pdf = pd.DataFrame({
+        "f": x, "noise": rng.normal(size=200),
+        "target": 3 * x + rng.normal(scale=0.1, size=200),
+        "fold_id": np.arange(200) % 4,
+    })
+    h = CVMetricsHarness("REGRESSION", "rmse")
+    h.cross_val_predict(pdf, ["f", "noise"], "target", "fold_id")
+    imp = h.permutation_importance(pdf, "target", "fold_id")
+    assert imp["f"] > 0.5  # destroying the only real feature hurts a lot
+    assert abs(imp["noise"]) < 0.2

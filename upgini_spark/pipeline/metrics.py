@@ -334,6 +334,39 @@ class CVMetricsHarness:
             raw.append(self._score(est, test[feature_cols], test[target_col].to_numpy()))
         return self._fold_metrics(raw)
 
+    def permutation_importance(
+        self, pdf: pd.DataFrame, target_col: str, fold_col: str
+    ) -> dict[str, float]:
+        """Per-feature importance — the dependency-free stand-in for the
+        reference's per-fold SHAP averaging (metrics.py calculate_shap /
+        features_enricher._update_shap_values): on each fold's
+        VALIDATION slice, importance of feature f = score drop when f's
+        column is cyclically shifted by one position (breaks row
+        alignment deterministically — no RNG, bit-reproducible), averaged
+        over folds. Call after :meth:`cross_val_predict` (reuses the
+        fold estimators). Returns {feature: mean importance} in the
+        scorer's display orientation (positive = feature helps)."""
+        if not self.estimators:
+            return {}
+        sums = {f: 0.0 for f in self.fold_feature_cols}
+        n_folds = 0
+        for (train, test), est in zip(self._splits(pdf, fold_col), self.estimators):
+            if not len(test):
+                continue
+            y = test[target_col].to_numpy()
+            base = self._score(est, test[self.fold_feature_cols], y)
+            n_folds += 1
+            for f in self.fold_feature_cols:
+                x = test[self.fold_feature_cols].copy()
+                x[f] = np.roll(x[f].to_numpy(), 1)
+                # raw scores are greater-is-better (errors arrive negated,
+                # sklearn scorer convention), so base − permuted > 0 ⇔
+                # the feature helps — for every scorer, no multiplier.
+                sums[f] += base - self._score(est, x, y)
+        if not n_folds:
+            return {}
+        return {f: s / n_folds for f, s in sums.items()}
+
     def calculate_metric(self, pdf: pd.DataFrame, target_col: str) -> CrossValResult:
         """Eval-segment scoring: every fold estimator re-scored on the
         full eval frame, folded with the same mean ± std (metrics.py
