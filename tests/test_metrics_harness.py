@@ -309,3 +309,16 @@ def test_permutation_importance_error_metric_orientation():
     imp = h.permutation_importance(pdf, "target", "fold_id")
     assert imp["f"] > 0.5  # destroying the only real feature hurts a lot
     assert abs(imp["noise"]) < 0.2
+
+
+def test_report_return_harnesses_and_importances():
+    from upgini_spark.pipeline.metrics import calculate_metrics_report
+
+    pdf = _toy()
+    report, bh, eh = calculate_metrics_report(
+        pdf, "target", baseline_cols=["f"], enriched_cols=["f", "noise"],
+        fold_col="fold_id", task_type="BINARY", return_harnesses=True,
+    )
+    assert "Enriched GINI" in report.columns
+    imp = eh.permutation_importance(pdf, "target", "fold_id")
+    assert imp["f"] > imp["noise"]

@@ -286,12 +286,20 @@ class SparkFeaturesEnricher:
                 eval_frames.append(
                     narrow.filter(seg == s).drop(eval_set_index_col).toPandas()
                 )
-        return calculate_metrics_report(
+        report, _baseline_h, enriched_h = calculate_metrics_report(
             train_pdf, target_col,
             baseline_cols=baseline_cols, enriched_cols=enriched_cols,
             fold_col="fold_id", task_type=task,
             eval_frames=eval_frames, scoring=scoring,
+            return_harnesses=True,
         )
+        # the reference's _update_shap_values step: per-fold importances
+        # averaged into a feature ranking (deterministic permutation
+        # stand-in; reference uses CatBoost SHAP)
+        self.feature_importances_ = enriched_h.permutation_importance(
+            train_pdf, target_col, "fold_id"
+        )
+        return report
 
     def with_record_ids(self, df: DataFrame) -> DataFrame:
         """Deterministic sort + system_record_id (§3.1 steps 12,16)."""

@@ -406,7 +406,8 @@ def calculate_metrics_report(
     scoring: str | None = None,
     cv_scheme: str = "kfold",
     role_col: str = "cv_role",
-) -> pd.DataFrame:
+    return_harnesses: bool = False,
+):
     """The `calculate_metrics` report frame, reference layout exactly:
     one Train row (CV mean ± std), one row per eval frame (per-fold
     estimators re-scored), headers/rounding/uplift formatting from
@@ -448,4 +449,6 @@ def calculate_metrics_report(
     out = pd.DataFrame(rows)
     if MEAN_TARGET_HEADER in out.columns:
         out[MEAN_TARGET_HEADER] = out[MEAN_TARGET_HEADER].astype("float64")
+    if return_harnesses:
+        return out, baseline_h, enriched_h
     return out
