@@ -322,3 +322,36 @@ def test_report_return_harnesses_and_importances():
     assert "Enriched GINI" in report.columns
     imp = eh.permutation_importance(pdf, "target", "fold_id")
     assert imp["f"] > imp["noise"]
+
+
+def test_baseline_score_column_gini_no_fit():
+    """features_enricher.py:1104-1118 / metrics.py:475-481: with a
+    baseline_score_column and GINI, the baseline metric is roc_auc of
+    that column (×2−1), no model fit, no std; eval frames score the
+    same column directly."""
+    from upgini_spark.pipeline.metrics import (
+        CVMetricsHarness,
+        calculate_metrics_report,
+        roc_auc_score,
+    )
+
+    pdf = _toy()
+    pdf["ext_score"] = pdf["f"]  # the informative signal as a raw score
+    h = CVMetricsHarness("BINARY")
+    res = h.cross_val_predict(
+        pdf, ["f"], "target", "fold_id", baseline_score_column="ext_score"
+    )
+    expect = 2 * roc_auc_score(pdf["target"].to_numpy(), pdf["ext_score"].to_numpy()) - 1
+    assert res.metric == expect and res.metric_std is None
+    assert res.get_display_metric() == f"{expect:.3f}"  # no ± suffix
+    assert h.estimators == []
+    ev = h.calculate_metric(pdf, "target")
+    assert ev.metric == expect
+    # report path: baseline column present, enriched still CV-fit
+    report = calculate_metrics_report(
+        pdf, "target", baseline_cols=["f"], enriched_cols=["f", "noise"],
+        fold_col="fold_id", task_type="BINARY",
+        baseline_score_column="ext_score",
+    )
+    assert report.loc[0, "Baseline GINI"] == f"{expect:.3f}"
+    assert "±" in report.loc[0, "Enriched GINI"]

@@ -319,13 +319,24 @@ def cosine_topk_ivf_kmeans(
     n_cells: int | None = None,
     n_probe: int = 2,
     n_iter: int = 2,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k with Lloyd-refined, auto-sized centroids —
     the scale evolution of :func:`cosine_topk_ivf` (which pins a handful
     of md5-sampled centroids as literal expressions): centroids live in a
     broadcast DataFrame, so cells ≈ sqrt(N) works at any corpus size; the
     corpus is scanned once for assignment, queries probe their ``n_probe``
-    nearest cells, and ranking is exact within candidates."""
+    nearest cells, and ranking is exact within candidates.
+
+    ``cell_cap`` bounds the WORST-CASE per-query candidate list at
+    ``n_probe × cell_cap`` even under cell skew (a hot cell with ≫ √N
+    members would otherwise blow up every query that probes it): each
+    cell keeps only its ``cell_cap`` members most similar to the cell
+    centroid (a static index-build rank — one broadcast join + one
+    per-cell window, fully distributed). Rows cut from a cell are lost
+    to recall exactly like standard IVF list truncation; the recall
+    trade is measured in tests/test_round4_fixes.py
+    (test_ivf_cell_cap_bounds_and_recall)."""
     cent = kmeans_centroids(
         corpus, corpus_id, corpus_vec, n_cells=n_cells, n_iter=n_iter,
     )
@@ -336,6 +347,17 @@ def cosine_topk_ivf_kmeans(
         cent,
         "n_vec",
     )
+    if cell_cap is not None:
+        wc = Window.partitionBy("cell").orderBy(
+            F.col("__cs__").desc(), F.col("n_id").asc()
+        )
+        c = (
+            c.join(F.broadcast(cent), on="cell")
+            .withColumn("__cs__", cosine_similarity(F.col("n_vec"), F.col("cvec")))
+            .withColumn("__cr__", F.row_number().over(wc))
+            .filter(F.col("__cr__") <= cell_cap)
+            .select("n_id", "n_vec", "cell")
+        )
     q0 = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec"))
     qs = q0.crossJoin(F.broadcast(cent)).withColumn(
         "__s__", cosine_similarity(F.col("q_vec"), F.col("cvec"))

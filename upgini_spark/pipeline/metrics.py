@@ -319,8 +319,21 @@ class CVMetricsHarness:
 
     def cross_val_predict(
         self, pdf: pd.DataFrame, feature_cols: list[str], target_col: str,
-        fold_col: str,
+        fold_col: str, baseline_score_column: str | None = None,
     ) -> CrossValResult:
+        """With ``baseline_score_column`` and a GINI metric, no model is
+        fit at all: the metric is roc_auc of that pre-scored column vs
+        the target (metrics.py:475-481 — an externally-scored baseline),
+        post-processed to GINI, no std."""
+        if baseline_score_column is not None and self.scorer.metric_name == "GINI":
+            m = roc_auc_score(
+                pdf[target_col].to_numpy(), pdf[baseline_score_column].to_numpy()
+            )
+            self.estimators = []
+            self._baseline_score_col = baseline_score_column
+            return CrossValResult(
+                _post_process(m, "GINI") * self.scorer.multiplier, None
+            )
         if not feature_cols:
             return CrossValResult(None, None)
         self.fold_feature_cols = list(feature_cols)
@@ -370,7 +383,14 @@ class CVMetricsHarness:
     def calculate_metric(self, pdf: pd.DataFrame, target_col: str) -> CrossValResult:
         """Eval-segment scoring: every fold estimator re-scored on the
         full eval frame, folded with the same mean ± std (metrics.py
-        calculate_metric:549-567)."""
+        calculate_metric:549-567); the baseline_score_column path scores
+        the pre-scored column directly, no estimators."""
+        bsc = getattr(self, "_baseline_score_col", None)
+        if bsc is not None and self.scorer.metric_name == "GINI":
+            m = roc_auc_score(pdf[target_col].to_numpy(), pdf[bsc].to_numpy())
+            return CrossValResult(
+                _post_process(m, "GINI") * self.scorer.multiplier, None
+            )
         if not self.estimators:
             return CrossValResult(None, None)
         raw = [
@@ -406,6 +426,7 @@ def calculate_metrics_report(
     scoring: str | None = None,
     cv_scheme: str = "kfold",
     role_col: str = "cv_role",
+    baseline_score_column: str | None = None,
     return_harnesses: bool = False,
 ):
     """The `calculate_metrics` report frame, reference layout exactly:
@@ -417,7 +438,10 @@ def calculate_metrics_report(
     metric = scorer.metric_name
 
     baseline_h = CVMetricsHarness(task_type, scoring, cv_scheme, role_col)
-    baseline_res = baseline_h.cross_val_predict(train, baseline_cols, target_col, fold_col)
+    baseline_res = baseline_h.cross_val_predict(
+        train, baseline_cols, target_col, fold_col,
+        baseline_score_column=baseline_score_column,
+    )
     enriched_res = CrossValResult(None, None)
     enriched_h = CVMetricsHarness(task_type, scoring, cv_scheme, role_col)
     if set(enriched_cols) != set(baseline_cols):
