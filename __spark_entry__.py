@@ -838,8 +838,8 @@ def cyclical_date_features(spark, sf_dir):
     # negatives emits -0.0; the driver hash distinguishes the sign bit).
     return o.select(
         "o_orderkey",
-        (F.round(feats["datetime_sin_quarter"], 6) + F.lit(0.0)).alias("sin_quarter"),
-        (F.round(feats["datetime_cos_quarter"], 6) + F.lit(0.0)).alias("cos_quarter"),
+        (F.round(feats["datetime_day_in_quarter_sin"], 6) + F.lit(0.0)).alias("sin_quarter"),
+        (F.round(feats["datetime_day_in_quarter_cos"], 6) + F.lit(0.0)).alias("cos_quarter"),
     )
 
 
@@ -2605,11 +2605,11 @@ def cyclical_intraday(spark, sf_dir):
     feats = D.cyclical_features(F.col("ts"), intraday=True)
     return ev.select(
         "event_id",
-        (F.round(feats["datetime_sin_second"], 6) + F.lit(0.0)).alias("sin_second"),
-        (F.round(feats["datetime_cos_second"], 6) + F.lit(0.0)).alias("cos_second"),
-        (F.round(feats["datetime_sin_minute"], 6) + F.lit(0.0)).alias("sin_minute"),
-        (F.round(feats["datetime_sin_minute_half"], 6) + F.lit(0.0)).alias("sin_minute_half"),
-        (F.round(feats["datetime_cos_hour"], 6) + F.lit(0.0)).alias("cos_hour"),
+        (F.round(feats["datetime_second_sin_60"], 6) + F.lit(0.0)).alias("sin_second"),
+        (F.round(feats["datetime_second_cos_60"], 6) + F.lit(0.0)).alias("cos_second"),
+        (F.round(feats["datetime_minute_sin_60"], 6) + F.lit(0.0)).alias("sin_minute"),
+        (F.round(feats["datetime_minute_sin_30"], 6) + F.lit(0.0)).alias("sin_minute_half"),
+        (F.round(feats["datetime_hour_cos_24"], 6) + F.lit(0.0)).alias("cos_hour"),
     )
 
 

@@ -33,7 +33,7 @@ def test_fit_transform_end_to_end(spark, frames):
 
     assert enricher.state.generated_formulas
     for c in ["f_ext_num_1", "f_autofe_roll_7d_mean", "f_autofe_lag_1d",
-              "datetime_sin_quarter", "matched_ts", "tokens"]:
+              "datetime_day_in_quarter_sin", "matched_ts", "tokens"]:
         assert c in out.columns, c
 
     # zero temporal leakage

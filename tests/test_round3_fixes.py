@@ -586,16 +586,16 @@ def test_datetime_with_ms_reference_golden(spark):
     ]
     for r, (date_ms, qs, qc, ss, sc, ms, mc, hs, hc, hrs, hrc) in zip(out, expected):
         assert r["date"] == date_ms
-        assert r["datetime_sin_quarter"] == qs
-        assert r["datetime_cos_quarter"] == qc
-        assert r["datetime_sin_second"] == ss
-        assert r["datetime_cos_second"] == sc
-        assert r["datetime_sin_minute"] == ms
-        assert r["datetime_cos_minute"] == mc
-        assert r["datetime_sin_minute_half"] == hs
-        assert r["datetime_cos_minute_half"] == hc
-        assert r["datetime_sin_hour"] == hrs
-        assert r["datetime_cos_hour"] == hrc
+        assert r["datetime_day_in_quarter_sin"] == qs
+        assert r["datetime_day_in_quarter_cos"] == qc
+        assert r["datetime_second_sin_60"] == ss
+        assert r["datetime_second_cos_60"] == sc
+        assert r["datetime_minute_sin_60"] == ms
+        assert r["datetime_minute_cos_60"] == mc
+        assert r["datetime_minute_sin_30"] == hs
+        assert r["datetime_minute_cos_30"] == hc
+        assert r["datetime_hour_sin_24"] == hrs
+        assert r["datetime_hour_cos_24"] == hrc
 
 
 def test_define_task_reference_cases(spark):

@@ -168,3 +168,149 @@ def test_ivf_cell_cap_bounds_and_recall(spark):
         queries, corpus, "vid", "vid", "v", "v", k=3, n_probe=4, cell_cap=100
     )
     assert topk(same) == got_unc
+
+
+# -- distributed rank AUC == numpy roc_auc on randomized frames -------------
+
+def test_rank_auc_matches_numpy_randomized(spark):
+    import numpy as np
+    from upgini_spark.functions.stats import rank_auc
+    from upgini_spark.pipeline.metrics import roc_auc_score
+
+    for seed in (1, 7, 42):
+        rng = np.random.RandomState(seed)
+        y = rng.randint(0, 2, 600)
+        s = np.round(rng.normal(size=600) + 0.6 * y, 1)  # heavy ties
+        df = spark.createDataFrame(
+            [(int(a), float(b), int(i % 3)) for i, (a, b) in enumerate(zip(y, s))],
+            "t int, sc double, g int",
+        ).repartition(7)
+        # global (runs through the distributed running sum)
+        row = rank_auc(df, "t", "sc").collect()[0]
+        assert row["auc"] == round(roc_auc_score(y, s), 6)
+        # grouped (per-group window cumsum)
+        for r in rank_auc(df, "t", "sc", group_cols=["g"]).collect():
+            mask = np.arange(600) % 3 == r["g"]
+            assert r["auc"] == round(roc_auc_score(y[mask], s[mask]), 6)
+
+
+# -- reference imbalanced prepare replay ------------------------------------
+
+def test_prepared_imbalanced_layout_vs_reference_golden(spark):
+    """tests/test_features_enricher.py test_idempotent_order_with_
+    imbalanced_dataset replayed: train 8000 + deduped eval sets through
+    combine -> date/phone converters + day-in-quarter cyclical features
+    (reference-EXACT generated names) -> hashed renames -> continuous
+    record ids -> BINARY undersample of the train segment only
+    (binary_min_sample_threshold=1000, SampleConfig override). The
+    reference samples the majority rows with a seeded RNG; our engine
+    uses md5-rank selection (documented deviation) — so the replay
+    asserts everything EXCEPT row identity of the sampled majority:
+    column names (incl. hashed cyclical names), per-segment row and
+    class counts, id block layout with pre-sample ids, minority side
+    kept whole, and bit-level value parity on the unsampled eval
+    segments."""
+    import os
+    import pandas as pd
+    import pytest as _pytest
+
+    base = "/root/reference/tests/test_data/binary"
+    if not os.path.exists(f"{base}/expected_prepared_imbalanced.parquet"):
+        _pytest.skip("reference fixtures not available")
+
+    from upgini_spark.functions.keys import parse_datetime_multi, to_epoch_ms
+    from upgini_spark.functions.sampling import undersample_imbalanced
+    from upgini_spark.operators.date import cyclical_features
+    from upgini_spark.pipeline.evalset import combine_train_eval
+    from upgini_spark.pipeline.normalizer import rename_columns_hashed
+    from upgini_spark.pipeline.record_ids import add_system_record_id
+
+    train = pd.read_parquet(f"{base}/initial_train_imbalanced.parquet")
+    key = ["phone_num", "rep_date", "target"]
+
+    def dedup_eval(p):
+        ev = pd.read_parquet(p)
+        return ev[~ev.set_index(key).index.isin(train.set_index(key).index)]
+
+    ev1 = dedup_eval(f"{base}/initial_eval1_imbalanced.parquet")
+    ev2 = dedup_eval(f"{base}/initial_eval2_imbalanced.parquet")
+    exp = pd.read_parquet(f"{base}/expected_prepared_imbalanced.parquet")
+
+    combined = combine_train_eval(
+        spark.createDataFrame(train.reset_index(drop=True)),
+        [spark.createDataFrame(ev1.reset_index(drop=True)),
+         spark.createDataFrame(ev2.reset_index(drop=True))],
+        "target",
+    )
+    # the reference's prepare runs the gated fintech dedup per segment
+    # (features_enricher.py:3543): the TRAIN segment is skipped by the
+    # ≥60% multi-date-share gate (0.63 here), both eval segments dedup
+    # 478/482 → 434/434 — the expected parquet's exact eval sizes
+    from upgini_spark.functions.dedup import remove_fintech_duplicates
+
+    combined = remove_fintech_duplicates(
+        combined, ["phone_num"], "target", "rep_date"
+    )
+    parsed = parse_datetime_multi(F.col("rep_date"))
+    cyc = cyclical_features(parsed)
+    converted = combined.select(
+        "phone_num",
+        to_epoch_ms(parsed, floor_day=True).alias("rep_date"),
+        "target", "eval_set_index",
+        *[e.alias(n) for n, e in cyc.items()],
+    )
+    renamed, _m = rename_columns_hashed(
+        converted, exclude={"target", "eval_set_index"}
+    )
+    with_ids = add_system_record_id(
+        renamed, "rep_date_f5d6bb", ["phone_num_a54a33", "rep_date_f5d6bb"]
+    ).withColumn("entity_system_record_id", F.col("system_record_id"))
+
+    tr = with_ids.filter(F.col("eval_set_index") == 0)
+    evs = with_ids.filter(F.col("eval_set_index") != 0)
+    sampled = undersample_imbalanced(
+        tr, "target", ["phone_num_a54a33", "rep_date_f5d6bb"],
+        task_type="BINARY", binary_min_sample_threshold=1000,
+    )
+    out = sampled.unionByName(evs).toPandas()
+
+    # column-name parity (hashed cyclical names included)
+    assert set(out.columns) == set(exp.columns)
+
+    # segment sizes + train class quotas (reference formula: majority
+    # capped at min(7000, 5*(1000 + max(1000-2000, 0))) = 5000)
+    assert out.groupby("eval_set_index").size().to_dict() == \
+        exp.groupby("eval_set_index").size().to_dict()
+    got_tr = out[out.eval_set_index == 0]
+    assert got_tr.target.value_counts().to_dict() == \
+        exp[exp.eval_set_index == 0].target.value_counts().to_dict()
+    # minority kept whole: every pre-sample minority row survives
+    assert (got_tr.target == 1).sum() == 1000
+
+    # id block layout: pre-sample ids preserved in train (subset of
+    # 0..7999), eval blocks contiguous and identical to the reference
+    assert set(got_tr.system_record_id) <= set(range(0, 8000))
+    for s in (1, 2):
+        assert set(out[out.eval_set_index == s].system_record_id) == \
+            set(exp[exp.eval_set_index == s].system_record_id)
+    assert (out.system_record_id == out.entity_system_record_id).all()
+
+    # eval segments are NOT sampled: bit-level value parity per segment
+    vals = ["phone_num_a54a33", "rep_date_f5d6bb", "target",
+            "datetime_day_in_quarter_sin_65d4f7",
+            "datetime_day_in_quarter_cos_eeb97a"]
+    cyc = ["datetime_day_in_quarter_sin_65d4f7", "datetime_day_in_quarter_cos_eeb97a"]
+    for s in (1, 2):
+        g = out[out.eval_set_index == s][vals].copy()
+        w = exp[exp.eval_set_index == s][vals].copy()
+        # JVM vs numpy libm differ in the LAST bit of cos (1 ULP:
+        # -0.5766803221148671 vs ...670) — compare trig at 12 dp, far
+        # inside the north rule's allclose; keys/target stay exact
+        for c in cyc:
+            g[c] = g[c].round(12)
+            w[c] = w[c].round(12)
+        g = g.astype({"phone_num_a54a33": "int64", "rep_date_f5d6bb": "int64"})
+        w = w.astype({"phone_num_a54a33": "int64", "rep_date_f5d6bb": "int64"})
+        g = g.sort_values(vals).reset_index(drop=True)
+        w = w.sort_values(vals).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_exact=True)

@@ -151,18 +151,24 @@ def cyclical_features(ts: Column, intraday: bool = False) -> dict[str, Column]:
     q_end = F.add_months(q_start, 3)
     days_in_q = F.datediff(q_end, q_start).cast("double")
     day_in_q = (F.datediff(d, q_start) + 1).cast("double")
+    # names are the reference's EXACT generated-feature names
+    # (datetime_utils.py:184-240: f"datetime_{column}_{sin|cos}{_period}",
+    # day_in_quarter carries no period suffix) — the hashed renames in
+    # expected_prepared*.parquet derive from these strings, so parity of
+    # the NAME matters as much as the value
     out = {
-        "datetime_sin_quarter": F.sin(F.lit(TWO_PI) * day_in_q / days_in_q),
-        "datetime_cos_quarter": F.cos(F.lit(TWO_PI) * day_in_q / days_in_q),
+        "datetime_day_in_quarter_sin": F.sin(F.lit(TWO_PI) * day_in_q / days_in_q),
+        "datetime_day_in_quarter_cos": F.cos(F.lit(TWO_PI) * day_in_q / days_in_q),
     }
     if intraday:
         for name, val, period in (
             ("second", F.second(ts), 60.0),
             ("minute", F.minute(ts), 60.0),
-            ("minute_half", F.minute(ts) % 30, 30.0),
+            ("minute", F.minute(ts), 30.0),
             ("hour", F.hour(ts), 24.0),
         ):
             v = val.cast("double")
-            out[f"datetime_sin_{name}"] = F.sin(F.lit(TWO_PI) * v / F.lit(period))
-            out[f"datetime_cos_{name}"] = F.cos(F.lit(TWO_PI) * v / F.lit(period))
+            p = int(period)
+            out[f"datetime_{name}_sin_{p}"] = F.sin(F.lit(TWO_PI) * v / F.lit(period))
+            out[f"datetime_{name}_cos_{p}"] = F.cos(F.lit(TWO_PI) * v / F.lit(period))
     return out
