@@ -648,10 +648,16 @@ def test_reference_dataset_validation_replay(spark):
     if not os.path.isdir(base):
         _pytest.skip("reference fixtures not available")
 
-    for name, expected in (("binary", 15555), ("categorical", 16913)):
+    for name, expected in (
+        ("binary", 15555), ("categorical", 16913),
+        # test_continuous_dataset: all 20401 rows valid (r4)
+        ("continuous", 20401),
+    ):
         df = spark.read.csv(
             f"{base}/{name}/data.csv.gz", header=True, inferSchema=True
         )
+        if "score" in df.columns:
+            df = df.withColumnRenamed("score", "target")
         d = df.withColumn("ts", K.parse_datetime_multi(F.col("rep_date")))
         d = d.withColumn("ts", K.clean_old_dates(F.col("ts")))
         flags = {
