@@ -314,3 +314,41 @@ def test_prepared_imbalanced_layout_vs_reference_golden(spark):
         g = g.sort_values(vals).reset_index(drop=True)
         w = w.sort_values(vals).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w, check_exact=True)
+
+
+# -- OOT-PSI stability selection (the reference _check_stability flow) ------
+
+def test_select_stable_features_decision(spark):
+    from upgini_spark.functions.stats import select_stable_features
+
+    def frame(start_day, n, drift):
+        rows = []
+        for i in range(n):
+            day = start_day + (i % 60)
+            # f_stable: same distribution everywhere; f_drift: shifts with
+            # time when drift=True; f_sparse: nulls appear only late
+            rows.append((
+                f"2023-{1 + day // 28:02d}-{1 + day % 28:02d}",
+                float(i % 10),
+                float(i % 10) + (10.0 * (day // 30) if drift else 0.0),
+                None if (drift and day % 60 >= 30 and i % 2 == 0) else float(i % 5),
+            ))
+        return spark.createDataFrame(
+            rows, "d string, f_stable double, f_drift double, f_sparse double"
+        )
+
+    train = frame(0, 2000, drift=False)
+    ev_small = frame(60, 200, drift=True)       # <1000 rows -> skipped
+    ev_late = frame(60, 2000, drift=True)       # elected: latest window
+    unstable, stable_vals, idx = select_stable_features(
+        train, [ev_small, ev_late], "d",
+        ["f_stable", "f_drift", "f_sparse"], [],
+    )
+    assert idx == 1
+    assert "f_drift" in unstable          # value drift over the intervals
+    assert "f_sparse" in unstable         # null-mask drift (sparsity PSI)
+    assert "f_stable" not in unstable
+    assert "f_stable" in stable_vals and stable_vals["f_stable"] <= 0.2
+    # no qualifying eval set -> empty decision, like the reference
+    assert select_stable_features(train, [ev_small], "d", ["f_stable"], []) \
+        == ([], {}, None)

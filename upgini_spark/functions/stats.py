@@ -733,3 +733,73 @@ def rank_auc(
         F.round(auc, 6).alias("auc"),
         F.round(2 * auc - 1, 6).alias("gini"),
     )
+
+
+def select_stable_features(
+    train_df: DataFrame,
+    eval_dfs: list[DataFrame],
+    date_col: str,
+    feature_cols: list[str],
+    cat_features: list[str],
+    stability_threshold: float = 0.2,
+    min_rows: int = 1_000,
+) -> tuple[list[str], dict[str, float], int | None]:
+    """_check_stability parity (features_enricher.py:1419-1533) — the
+    OOT-PSI feature-selection DECISION over distributed frames:
+
+    1. eval-set election: frames missing the date column, under
+       ``min_rows`` rows, or with a constant date are skipped; among
+       frames whose min date >= the train min date the one with the
+       HIGHEST max date wins, else the one with the highest min date
+       (one small aggregate per frame — no data movement);
+    2. sparsity PSI (null-mask stability) and value PSI run on the
+       elected frame's monthly intervals;
+    3. unstable = union of features whose sparsity OR value PSI exceeds
+       ``stability_threshold`` (sorted); surviving value-PSI numbers are
+       returned for reporting (the reference's ``self.psi_values``).
+
+    Returns (unstable_features, psi_values_of_stable, elected_index) —
+    ([], {}, None) when no frame qualifies, like the reference's early
+    returns."""
+    t_dates = train_df.select(F.col(date_col)).filter(F.col(date_col).isNotNull())
+    t_agg = t_dates.agg(F.min(date_col).alias("mn"), F.count(F.lit(1)).alias("n")).collect()[0]
+    if not t_agg["n"]:
+        return [], {}, None
+    main_min = t_agg["mn"]
+
+    stats = []
+    for i, ev in enumerate(eval_dfs):
+        if date_col not in ev.columns:
+            continue
+        agg = ev.filter(F.col(date_col).isNotNull()).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(date_col).alias("mn"),
+            F.max(date_col).alias("mx"),
+        ).collect()[0]
+        if (agg["n"] or 0) < min_rows or agg["mn"] == agg["mx"]:
+            continue
+        stats.append((i, agg["mn"], agg["mx"]))
+    if not stats:
+        return [], {}, None
+
+    later = [s for s in stats if s[1] >= main_min]
+    if later:
+        idx = max(later, key=lambda s: s[2])[0]
+    else:
+        idx = max(stats, key=lambda s: s[1])[0]
+    chosen = eval_dfs[idx]
+
+    cat = [c for c in cat_features if c in chosen.columns]
+    feats = [c for c in feature_cols if c in chosen.columns]
+    sparse_psi = calculate_sparsity_psi(chosen, feats, date_col)
+    value_psi = calculate_features_psi(chosen, feats, cat, date_col)
+
+    unstable = sorted(
+        {f for f, p in sparse_psi.items() if p is not None and p > stability_threshold}
+        | {f for f, p in value_psi.items() if p is not None and p > stability_threshold}
+    )
+    stable_vals = {
+        f: p for f, p in value_psi.items()
+        if p is not None and p <= stability_threshold
+    }
+    return unstable, stable_vals, idx
