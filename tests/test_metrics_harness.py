@@ -355,3 +355,30 @@ def test_baseline_score_column_gini_no_fit():
     )
     assert report.loc[0, "Baseline GINI"] == f"{expect:.3f}"
     assert "±" in report.loc[0, "Enriched GINI"]
+
+
+def test_enricher_check_stability_e2e(spark):
+    from upgini_spark.fixtures import feature_source, tokenized_sequences
+    from upgini_spark.pipeline.enricher import SparkFeaturesEnricher
+
+    n = 2400
+    left = tokenized_sequences(spark, n).withColumn(
+        "client_f", (F.col("n_tok") % 100).cast("double")
+    ).withColumn("target_bin", (F.col("n_tok") % 2).cast("int")).withColumn(
+        # eval segment = trailing half of the time range, >=1000 rows
+        "eval_set_index",
+        F.when(F.col("event_time") >= F.lit("2023-03-15"), 1).otherwise(0),
+    )
+    right = feature_source(spark, n)
+    enr = SparkFeaturesEnricher(right).fit(
+        left, "doc_id", "event_time", feature_cols=["client_f"],
+        target_col="target_bin", validate_features=False,
+    )
+    unstable, stable_vals = enr.check_stability(left)
+    # attributes recorded; the synthetic features are stationary so most
+    # (possibly all) survive — the contract is shape + partition
+    assert enr.unstable_features_ == unstable
+    assert all(p <= 0.2 for p in stable_vals.values())
+    assert set(unstable).isdisjoint(stable_vals)
+    # frames without an eval set short-circuit like the reference
+    assert enr.check_stability(left.drop("eval_set_index")) == ([], {})

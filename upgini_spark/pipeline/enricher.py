@@ -301,6 +301,49 @@ class SparkFeaturesEnricher:
         )
         return report
 
+    def check_stability(
+        self,
+        df: DataFrame,
+        eval_set_index_col: str = "eval_set_index",
+        stability_threshold: float = 0.2,
+        min_rows: int = 1_000,
+        cat_features: list[str] | None = None,
+    ) -> tuple[list[str], dict[str, float]]:
+        """The reference's OOT-PSI stability step (features_enricher.py:
+        1419-1533, default ``stability_threshold=0.2``): enrich, slice
+        the eval segments, elect the best-dated one, and report unstable
+        features (sparsity ∪ value PSI over monthly intervals). Returns
+        (unstable_features, psi_values_of_stable) and records them on
+        ``self.unstable_features_`` / ``self.psi_values_`` like the
+        reference's attributes. All PSI work is distributed aggregates."""
+        from upgini_spark.functions.stats import select_stable_features
+
+        st = self.state
+        if st is None:
+            raise RuntimeError("check_stability called before fit")
+        if eval_set_index_col not in df.columns:
+            self.unstable_features_, self.psi_values_ = [], {}
+            return [], {}
+        enriched = self.transform(df)
+        dtypes = dict(enriched.dtypes)
+        features = [c for c in st.feature_cols if c in dtypes] + [
+            c for c in st.generated_formulas if c in dtypes
+        ]
+        seg = F.col(eval_set_index_col)
+        train = enriched.filter(seg.isNull() | (seg == 0))
+        segs = sorted(
+            r[0]
+            for r in enriched.select(eval_set_index_col).distinct().collect()
+            if r[0] not in (None, 0)
+        )
+        evals = [enriched.filter(seg == s) for s in segs]
+        unstable, stable_vals, _idx = select_stable_features(
+            train, evals, st.ts_col, features, cat_features or [],
+            stability_threshold=stability_threshold, min_rows=min_rows,
+        )
+        self.unstable_features_, self.psi_values_ = unstable, stable_vals
+        return unstable, stable_vals
+
     def with_record_ids(self, df: DataFrame) -> DataFrame:
         """Deterministic sort + system_record_id (§3.1 steps 12,16)."""
         st = self.state
