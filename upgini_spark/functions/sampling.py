@@ -19,7 +19,13 @@ FIT_SAMPLE_THRESHOLD = 100_000  # reference utils/config.py:18-21
 FORCE_SAMPLE_SIZE = 7_000       # reference dataset.py:65
 
 
-HASH_SAMPLE_HEAP_CEILING = 1_000_000
+# Regime gate for hash_sample_exact, measured at 600k rows / local[32]
+# (r4): direct TakeOrdered wins at n=1k (0.47 vs 1.1 s) but loses by the
+# heap + global-sort degradation from n=10k (2.7 vs 0.9 s) and 4× at
+# n=50k (6.3 vs 1.6 s) — mid-plan `orderBy().limit()` compiles to a full
+# range-partitioned sort, not TakeOrderedAndProject. Both regimes return
+# identical rows (exactness re-verified either way).
+HASH_SAMPLE_HEAP_CEILING = 5_000
 
 
 def hash_sample_exact(

@@ -146,6 +146,54 @@ def ts_feature_parity(
     return df.join(feat, on=key, how="left")
 
 
+def ts_features_parity(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    features: list[tuple[str, object]],
+    order_col: str | None = None,
+    offset: tuple[int, str] | None = None,
+) -> DataFrame:
+    """Multi-feature :func:`ts_feature_parity`: same dedup/offset
+    semantics, but the slim series is built ONCE, every
+    ``(out_col, feature_fn)`` chains on it (window stages share the
+    (groups) exchange — one shuffle for N features instead of N), and a
+    single (groups, ts) join broadcasts ALL feature columns back.
+    Compiling k formulas over the same (date, groups, value) previously
+    re-ran the entire upstream plan k times (22 exchanges for 3 formulas
+    in the enricher's transform — round-4 plan audit)."""
+    key = groups + [ts_col]
+    slim = dedup_first(
+        df.select(*key, value_col, *([order_col] if order_col else [])),
+        ts_col, groups, order_col,
+    ).filter(F.col(ts_col).isNotNull())
+    if order_col:
+        slim = slim.drop(order_col)
+    if offset is not None:
+        n_off, u_off = offset
+        shifted = slim.select(
+            *groups,
+            (epoch_us(F.col(ts_col)) + F.lit(unit_us(n_off, u_off))).alias("__sh_us__"),
+            F.col(value_col).alias("__sh_val__"),
+        )
+        slim_us = slim.withColumn("__us__", epoch_us(F.col(ts_col)))
+        cond = [slim_us["__us__"] == shifted["__sh_us__"]] + [
+            slim_us[g] == shifted[g] for g in groups
+        ]
+        slim = (
+            slim_us.join(shifted, on=cond, how="inner")
+            .select(*[slim_us[c] for c in key], F.col("__sh_val__").alias(value_col))
+        )
+    cur = slim
+    names = []
+    for out_col, fn in features:
+        cur = fn(cur)
+        names.append(out_col)
+    feat = cur.select(*key, *names)
+    return df.join(feat, on=key, how="left")
+
+
 # --------------------------------------------------------------------------
 # Lag / Roll / Delta — native window expressions
 # --------------------------------------------------------------------------

@@ -395,6 +395,7 @@ def compile_features(
             scalar_cols.append(lower_to_column(node, total).alias(out_name))
     out = df.select("*", *scalar_cols) if scalar_cols else df
 
+    batched: dict[tuple, list] = {}
     for out_name, node in staged:
         kind, p = parse_ts_op(node.op)
         child_names = [c.name for c in node.children]
@@ -404,19 +405,19 @@ def compile_features(
         offset = p.pop("offset", None)
 
         if kind == "lag":
-            fn = lambda s, p=p: TS.lag_feature(s, date_col, groups, value, p["n"], p["unit"], out_col=out_name)  # noqa: E501,E731
+            fn = lambda s, p=p, d=date_col, g=groups, v=value, o=out_name: TS.lag_feature(s, d, g, v, p["n"], p["unit"], out_col=o)  # noqa: E501,E731
         elif kind == "roll":
-            fn = lambda s, p=p: TS.roll_feature(s, date_col, groups, value, p["n"], p["unit"], p["agg"], out_col=out_name)  # noqa: E501,E731
+            fn = lambda s, p=p, d=date_col, g=groups, v=value, o=out_name: TS.roll_feature(s, d, g, v, p["n"], p["unit"], p["agg"], out_col=o)  # noqa: E501,E731
         elif kind == "delta":
-            fn = lambda s, p=p: TS.delta_feature(s, date_col, groups, value, p["n"], p["unit"], order=p["order"], out_col=out_name)  # noqa: E501,E731
+            fn = lambda s, p=p, d=date_col, g=groups, v=value, o=out_name: TS.delta_feature(s, d, g, v, p["n"], p["unit"], order=p["order"], out_col=o)  # noqa: E501,E731
         elif kind == "roll_vol":
-            fn = lambda s, p=p: TS.rolling_volatility(s, date_col, groups, value, p["n"], p["unit"], out_col=out_name)  # noqa: E501,E731
+            fn = lambda s, p=p, d=date_col, g=groups, v=value, o=out_name: TS.rolling_volatility(s, d, g, v, p["n"], p["unit"], out_col=o)  # noqa: E501,E731
         elif kind == "vol_ratio":
-            fn = lambda s, p=p: TS.volatility_ratio(s, date_col, groups, value, p["short"], p["long"], p["unit"], out_col=out_name)  # noqa: E501,E731
+            fn = lambda s, p=p, d=date_col, g=groups, v=value, o=out_name: TS.volatility_ratio(s, d, g, v, p["short"], p["long"], p["unit"], out_col=o)  # noqa: E501,E731
         elif kind == "ewma_vol":
             fn = lambda s, p=p: TS.ewma_volatility(s, date_col, groups, value, p["span"], out_col=out_name)  # noqa: E501,E731
         elif kind == "trend_coef":
-            fn = lambda s, p=p: TS.trend_coefficient(s, date_col, groups, value, out_col=out_name)  # noqa: E501,E731
+            fn = lambda s, p=p, d=date_col, g=groups, v=value, o=out_name: TS.trend_coefficient(s, d, g, v, out_col=o)  # noqa: E501,E731
         elif kind == "cross":
             # children: (date, descriptor columns..., value); descriptor
             # VALUES selecting the two series come from the fit params
@@ -437,8 +438,21 @@ def compile_features(
             )
         else:
             raise ValueError(kind)
-        out = TS.ts_feature_parity(
-            out, date_col, groups, value, fn, out_name,
+        # window-native kinds sharing (date, groups, value, offset) batch
+        # into ONE slim pass + ONE join-back (ts_features_parity); the
+        # kernel/reshaping kinds (ewma Arrow kernel, cross-series pivot)
+        # keep their own stage
+        if kind in ("lag", "roll", "delta", "roll_vol", "vol_ratio", "trend_coef"):
+            bucket_key = (date_col, tuple(groups), value, offset)
+            batched.setdefault(bucket_key, []).append((out_name, fn))
+        else:
+            out = TS.ts_feature_parity(
+                out, date_col, groups, value, fn, out_name,
+                order_col=order_col, offset=offset,
+            )
+    for (date_col, groups_t, value, offset), fns in batched.items():
+        out = TS.ts_features_parity(
+            out, date_col, list(groups_t), value, fns,
             order_col=order_col, offset=offset,
         )
     return out
