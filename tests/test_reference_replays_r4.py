@@ -131,3 +131,19 @@ def test_postal_detector_reference_cases(spark):
     assert not detected("pstlcd")
     for name in ("zip", "zipcode", "zip_code", "postal_code", "postalcode"):
         assert detected(name), name
+
+
+# -- autofe/test_operator_registry.py ---------------------------------------
+
+def test_parametrized_operator_registry_roundtrip():
+    """The reference's registry round-trip: parse 'roll_3d_mean' into its
+    parts, re-emit the formula, resolve it again (operator.py:38-49)."""
+    from upgini_spark.plans.feature_dag import parse_ts_op
+
+    kind, p = parse_ts_op("roll_3d_mean")
+    assert kind == "roll"
+    assert p == {"n": 3, "unit": "d", "agg": "mean"}
+    formula = f"roll_{p['n']}{p['unit']}_{p['agg']}"
+    assert formula == "roll_3d_mean"
+    kind2, p2 = parse_ts_op(formula)
+    assert (kind2, p2) == (kind, p)
