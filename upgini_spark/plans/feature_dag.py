@@ -415,7 +415,7 @@ def compile_features(
         elif kind == "vol_ratio":
             fn = lambda s, p=p, d=date_col, g=groups, v=value, o=out_name: TS.volatility_ratio(s, d, g, v, p["short"], p["long"], p["unit"], out_col=o)  # noqa: E501,E731
         elif kind == "ewma_vol":
-            fn = lambda s, p=p: TS.ewma_volatility(s, date_col, groups, value, p["span"], out_col=out_name)  # noqa: E501,E731
+            fn = lambda s, p=p, d=date_col, g=groups, v=value, o=out_name: TS.ewma_volatility(s, d, g, v, p["span"], out_col=o)  # noqa: E501,E731
         elif kind == "trend_coef":
             fn = lambda s, p=p, d=date_col, g=groups, v=value, o=out_name: TS.trend_coefficient(s, d, g, v, out_col=o)  # noqa: E501,E731
         elif kind == "cross":
@@ -431,10 +431,10 @@ def compile_features(
             op_fn = _CROSS_OPS.get(p["op"])
             if op_fn is None:
                 raise ValueError(f"unsupported cross interaction op {p['op']!r}")
-            fn = lambda s, p=p, op_fn=op_fn: TS.cross_series_interaction(  # noqa: E731
-                s, date_col, groups,
-                _p("left_descriptor"), _p("right_descriptor"),
-                value, op_fn, out_col=out_name,
+            fn = lambda s, p=p, op_fn=op_fn, d=date_col, g=groups, v=value, o=out_name, _pp=_p: TS.cross_series_interaction(  # noqa: E501,E731
+                s, d, g,
+                _pp("left_descriptor"), _pp("right_descriptor"),
+                v, op_fn, out_col=o,
             )
         else:
             raise ValueError(kind)
