@@ -63,8 +63,11 @@ HEADLINE = [
     "dedup_components",
     "mix_sources_sample",
     "cluster_assign",
-    # round 4: benchmark decontamination (shingle explode + semi-join)
+    # round 4: benchmark decontamination (shingle explode + semi-join),
+    # plus the two re-staged text fingerprints (track the 40x/13x fixes)
     "decontaminate_overlap",
+    "simhash_32",
+    "repetition_share",
 ]
 
 
