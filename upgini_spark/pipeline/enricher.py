@@ -231,8 +231,16 @@ class SparkFeaturesEnricher:
         st = self.state
         if st is None:
             raise RuntimeError("calculate_metrics called before fit")
-        enriched = self.transform(df)
-        task = define_task(df, target_col, has_date=True)
+        # metrics never read the payload columns (token arrays!) — drop
+        # them BEFORE the as-of enrichment so they never ride the union
+        # + window shuffle (~500 int32/row at the reference scale)
+        has_eval_pre = eval_set_index_col in df.columns
+        needed = dict.fromkeys(
+            [st.entity_col, st.ts_col, target_col, *st.feature_cols]
+            + ([eval_set_index_col] if has_eval_pre else [])
+        )
+        enriched = self.transform(df.select(*[c for c in needed if c in df.columns]))
+        task = define_task(df.select(target_col), target_col, has_date=True)
 
         dtypes = dict(enriched.dtypes)
         baseline_cols = [c for c in st.feature_cols if c in dtypes]
