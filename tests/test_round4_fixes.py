@@ -352,3 +352,40 @@ def test_select_stable_features_decision(spark):
     # no qualifying eval set -> empty decision, like the reference
     assert select_stable_features(train, [ev_small], "d", ["f_stable"], []) \
         == ([], {}, None)
+
+
+# -- formula parser round-trip property -------------------------------------
+
+def test_formula_parser_roundtrip_property():
+    """Random formula trees emit → parse → emit to a fixed point, and
+    malformed inputs raise ValueError (never IndexError/crash)."""
+    import random
+
+    from upgini_spark.plans.feature_dag import Col, Op, parse_formula
+
+    rng = random.Random(404)
+    ops = ["GroupByThenMean", "GroupByThenFreq", "Combine", "sim", "min", "max"]
+    unary = ["abs", "log", "sqrt", "sigmoid", "freq"]
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return Col(rng.choice(["a", "b", "col3", "f_x"]))
+        r = rng.random()
+        if r < 0.3:
+            return Op(rng.choice(list("+-*/")), [tree(depth - 1), tree(depth - 1)])
+        if r < 0.6:
+            return Op(rng.choice(unary), [tree(depth - 1)])
+        return Op(rng.choice(ops), [tree(depth - 1), tree(depth - 1)])
+
+    for _ in range(200):
+        t = tree(3)
+        if isinstance(t, Col):
+            continue
+        f = t.formula()
+        f2 = parse_formula(f).formula()
+        assert f2 == f, (f, f2)
+
+    import pytest as _pytest
+    for bad in ["", "(", "a+", "f(a,", "a)b", "f(,a)", "((a)", "a++b"]:
+        with _pytest.raises(ValueError):
+            parse_formula(bad)
