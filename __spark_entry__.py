@@ -532,7 +532,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R04_DRIVER_WINDOW = [
     # 1. never driver-verified + new this round
     "decontaminate_overlap", "define_task_decisions", "cv_group_kfold",
-    "rank_auc_by_type", "imbalance_decisions",
+    "rank_auc_by_type", "imbalance_decisions", "media_decode_real",
     # 2. code changed in r4
     "embedding_near_dup", "knn_cosine_lsh", "embedding_near_dup_auto",
     "knn_cosine_lsh_auto", "key_converters", "phone_prefix_converters",
@@ -550,7 +550,9 @@ _R04_DRIVER_WINDOW = [
     "cv_stratified_folds", "unnest_multi_keys", "one_hot_decode",
     "cross_series_click_vs_purchase", "psi_quantile_halves",
     "date_distribution_check", "is_time_series_stats", "multimodal_meta",
-    "rolling_volatility_7d", "volatility_ratio_7_to_14", "rolling_volatility2_7d",
+    "rolling_volatility_7d", "volatility_ratio_7_to_14",
+    # (rolling_volatility2_7d yields its slot to media_decode_real — new
+    # real-decode query outranks a two-round-stale green; r05 rotation)
 ]
 
 
@@ -2266,6 +2268,63 @@ def multimodal_features(spark, sf_dir):
         "media_id",
         F.col("dim").cast("int").alias("dim"),
         F.col("fv").cast("double").alias("feat_value"),
+    )
+
+
+@_q(
+    "media_decode_real",
+    """
+    WITH ids AS (SELECT range AS id FROM range(0, 400)),
+    wav AS (
+      SELECT 'm' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+             'wav' AS format,
+             CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+             8000 AS sample_rate, 1 AS n_channels,
+             CAST((400 + (id % 5) * 80) // 8 AS INT) AS duration_ms,
+             round((1000 + (id % 7) * 1000) / 32768.0, 6) AS f0,
+             round((1000 + (id % 7) * 1000) / 32768.0, 6) AS f1,
+             round((1000 + (id % 7) * 1000) / 32768.0, 6) AS f2,
+             CAST(NULL AS DOUBLE) AS f3
+      FROM ids WHERE id % 2 = 0
+    ), ppm AS (
+      SELECT 'm' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+             'ppm' AS format,
+             CAST(4 + id % 5 AS INT) AS width, CAST(3 + id % 4 AS INT) AS height,
+             CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_channels,
+             CAST(NULL AS INT) AS duration_ms,
+             round((id % 256) / 255.0, 6) AS f0,
+             round(((id * 7) % 256) / 255.0, 6) AS f1,
+             round(((id * 13) % 256) / 255.0, 6) AS f2,
+             round(0.2126 * ((id % 256) / 255.0)
+                   + 0.7152 * (((id * 7) % 256) / 255.0)
+                   + 0.0722 * (((id * 13) % 256) / 255.0), 6) AS f3
+      FROM ids WHERE id % 2 = 1
+    )
+    SELECT * FROM wav UNION ALL SELECT * FROM ppm
+    """,
+)
+def media_decode_real(spark, sf_dir):
+    """REAL media decode (r4): the payloads are genuine WAV (stdlib wave)
+    and binary-PPM files synthesized per id inside an Arrow kernel, the
+    decode stage sniffs magic bytes and parses them with stdlib-only
+    decoders (multimodal.decode_media), and the oracle replays the
+    CLOSED-FORM ground truth of every decoded field — duration from the
+    frame count, square-wave RMS == amplitude/32768, solid-color channel
+    means — so a wrong byte anywhere in the encode→decode round-trip
+    hash-fails. Decode math is exact in f64 (integer sums, power-of-two
+    divisors, n-cancelling means), so round(·, 6) is boundary-safe."""
+    from upgini_spark.functions.multimodal import decode_media, synthetic_real_media
+
+    out = decode_media(synthetic_real_media(spark, 400))
+
+    def fe(i):
+        return F.round(F.try_element_at("features", F.lit(i)), 6)
+
+    return out.select(
+        "media_id", "format", "width", "height", "sample_rate",
+        "n_channels", "duration_ms",
+        fe(1).alias("f0"), fe(2).alias("f1"), fe(3).alias("f2"),
+        fe(4).alias("f3"),
     )
 
 

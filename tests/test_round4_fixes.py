@@ -389,3 +389,54 @@ def test_formula_parser_roundtrip_property():
     for bad in ["", "(", "a+", "f(a,", "a)b", "f(,a)", "((a)", "a++b"]:
         with _pytest.raises(ValueError):
             parse_formula(bad)
+
+
+# -- real stdlib media decode (WAV + PPM) -----------------------------------
+
+def test_media_decode_real_ground_truth(spark):
+    from upgini_spark.functions.multimodal import decode_media, synthetic_real_media
+
+    out = {r["media_id"]: r for r in decode_media(synthetic_real_media(spark, 40)).collect()}
+    assert len(out) == 40
+    for i in range(40):
+        r = out[f"m{i:09d}"]
+        if i % 2 == 0:  # WAV: square wave — rms == mean_abs == peak == amp/32768
+            amp = 1000 + (i % 7) * 1000
+            assert r["format"] == "wav"
+            assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+            assert r["duration_ms"] == (400 + (i % 5) * 80) // 8
+            assert r["features"] == [amp / 32768.0] * 3
+        else:  # PPM: solid color — exact channel means
+            assert r["format"] == "ppm", (i, r["format"])
+            assert (r["width"], r["height"]) == (4 + i % 5, 3 + i % 4)
+            rgb = [(i % 256) / 255.0, ((i * 7) % 256) / 255.0, ((i * 13) % 256) / 255.0]
+            assert r["features"][:3] == rgb
+            lum = 0.2126 * rgb[0] + 0.7152 * rgb[1] + 0.0722 * rgb[2]
+            assert r["features"][3] == lum
+
+
+def test_media_decode_whitespace_first_pixel(spark):
+    """Regression: PPM whose FIRST pixel byte is whitespace (0x0a) must
+    decode — the split-based header parse ate pixel bytes."""
+    from upgini_spark.functions.multimodal import _decode_ppm
+
+    content = b"P6\n2 1\n255\n" + bytes([0x0A, 0x20, 0x09, 200, 100, 50])
+    w, h, feats = _decode_ppm(content)
+    assert (w, h) == (2, 1)
+    assert feats[0] == (0x0A + 200) / 2 / 255.0
+
+
+def test_media_decode_corrupt_and_unknown(spark):
+    from upgini_spark.functions.multimodal import MEDIA_SCHEMA, decode_media
+
+    rows = [
+        ("a", "image", b"P6\n9 9\n255\n" + b"xy", None, None, None, None),  # truncated
+        ("b", "video", b"\x00\x01\x02lol", None, None, None, None),         # unknown
+        ("c", "audio", None, None, None, None, None),                        # null payload
+    ]
+    out = {r["media_id"]: r for r in decode_media(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()}
+    assert out["a"]["format"] == "corrupt"
+    assert out["b"]["format"] == "unknown" and out["b"]["n_bytes"] == 6
+    assert out["c"]["format"] == "unknown" and out["c"]["n_bytes"] is None

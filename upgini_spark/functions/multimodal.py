@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     StringType,
@@ -117,3 +118,182 @@ def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
         (h % 1080 + 1).cast("int").alias("height"),
         (h % 60000).cast("int").alias("duration_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL decoders for dependency-free formats (round 4): WAV audio via the
+# stdlib `wave` module, binary PPM (P6) images by direct header+pixel
+# parsing. Heavy-codec formats (JPEG/PNG/MP3/MP4) remain behind the
+# documented stub — but the decode STAGE itself is now real: sniffed by
+# magic bytes, executed in the same Arrow mapInPandas kernel, tested
+# end-to-end on synthesized real files.
+# --------------------------------------------------------------------------
+
+_DECODED_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("format", StringType(), True),      # wav | ppm | unknown
+    StructField("n_bytes", IntegerType(), True),
+    StructField("width", IntegerType(), True),       # ppm
+    StructField("height", IntegerType(), True),      # ppm
+    StructField("sample_rate", IntegerType(), True),  # wav
+    StructField("n_channels", IntegerType(), True),   # wav
+    StructField("duration_ms", IntegerType(), True),  # wav
+    # float64: the decode math (integer sums, power-of-two divisors,
+    # n-cancelling means) is EXACT in f64, so a SQL oracle can replay the
+    # closed-form ground truth bit-identically; f32 storage would make
+    # 6dp rounding flaky at the f32 precision boundary
+    StructField("features", ArrayType(DoubleType()), True),
+])
+
+
+def _decode_wav(content: bytes):
+    """PCM16 WAV stats via stdlib wave: (rate, channels, duration_ms,
+    [rms, mean_abs, peak] normalized to [-1, 1])."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate = w.getframerate()
+        ch = w.getnchannels()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    dur_ms = int(n * 1000 / rate) if rate else None
+    if width != 2 or not raw:
+        return rate, ch, dur_ms, [0.0, 0.0, 0.0]
+    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    k = len(samples)
+    rms = (sum(s * s for s in samples) / k) ** 0.5 / 32768.0
+    mean_abs = sum(abs(s) for s in samples) / k / 32768.0
+    peak = max(abs(s) for s in samples) / 32768.0
+    return rate, ch, dur_ms, [float(rms), float(mean_abs), float(peak)]
+
+
+def _decode_ppm(content: bytes):
+    """Binary PPM (P6): (width, height, [mean_r, mean_g, mean_b,
+    luminance] normalized to [0, 1]). Header parsed byte-precisely —
+    a whitespace-split would eat PIXEL bytes whenever the first pixel
+    value happens to be 0x09-0x0d/0x20 (a real bug this parser had:
+    6/200 synthetic images decoded 'corrupt')."""
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment line
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(content[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates header from pixels
+    w, h, maxval = vals
+    pixels = content[pos : pos + w * h * 3]
+    if len(pixels) < w * h * 3:
+        raise ValueError("truncated ppm")
+    sums = [0, 0, 0]
+    for i in range(0, len(pixels), 3):
+        sums[0] += pixels[i]
+        sums[1] += pixels[i + 1]
+        sums[2] += pixels[i + 2]
+    n = w * h
+    means = [s / n / maxval for s in sums]
+    lum = 0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2]
+    return w, h, [float(means[0]), float(means[1]), float(means[2]), float(lum)]
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Real decode stage: sniff the payload's magic bytes and parse WAV /
+    PPM with stdlib-only decoders inside one Arrow ``mapInPandas``
+    kernel; unknown formats yield format='unknown' with byte stats only
+    (the documented stub boundary for heavy codecs). One row out per
+    media row in; batch bytes ≈ records × media size, so cap
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` for big media."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rec = {
+                    "media_id": mid, "format": "unknown",
+                    "n_bytes": len(content) if content is not None else None,
+                    "width": None, "height": None, "sample_rate": None,
+                    "n_channels": None, "duration_ms": None, "features": None,
+                }
+                try:
+                    if content is None:
+                        pass
+                    elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+                        rate, ch, dur, feats = _decode_wav(bytes(content))
+                        rec.update(format="wav", sample_rate=rate,
+                                   n_channels=ch, duration_ms=dur,
+                                   features=feats)
+                    elif content[:2] == b"P6":
+                        w, h, feats = _decode_ppm(bytes(content))
+                        rec.update(format="ppm", width=w, height=h,
+                                   features=feats)
+                except Exception:
+                    rec["format"] = "corrupt"  # keep the row, flag it
+                rows.append(rec)
+            out = pd.DataFrame(rows, columns=[f.name for f in _DECODED_SCHEMA.fields])
+            for c in ("n_bytes", "width", "height", "sample_rate",
+                      "n_channels", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.mapInPandas(kernel, schema=_DECODED_SCHEMA)
+
+
+def synthetic_real_media(spark, n_rows: int) -> DataFrame:
+    """Rows of REAL WAV and PPM payloads, deterministically synthesized
+    per id inside an Arrow kernel (no driver-side byte building): even
+    ids → 16-bit mono WAV of a constant-amplitude square wave, odd ids →
+    solid-color P6 PPM. Ground truth for every decoded field is a closed
+    form of the id, so tests verify the decode END TO END."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    rate = 8000
+                    n = 400 + (i % 5) * 80    # 50-90 ms
+                    amp = 1000 + (i % 7) * 1000
+                    frames = struct.pack(
+                        f"<{n}h", *[amp if j % 2 == 0 else -amp for j in range(n)]
+                    )
+                    buf = io.BytesIO()
+                    with wave_mod.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(rate)
+                        w.writeframes(frames)
+                    content = buf.getvalue()
+                    mtype = "audio"
+                else:
+                    w_px, h_px = 4 + i % 5, 3 + i % 4
+                    r, g, b = i % 256, (i * 7) % 256, (i * 13) % 256
+                    content = (
+                        f"P6\n{w_px} {h_px}\n255\n".encode()
+                        + bytes([r, g, b]) * (w_px * h_px)
+                    )
+                    mtype = "image"
+                recs.append({
+                    "media_id": f"m{i:09d}", "media_type": mtype,
+                    "content": content, "mime": None, "width": None,
+                    "height": None, "duration_ms": None,
+                })
+            out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+            for c in ("width", "height", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return spark.range(n_rows).mapInPandas(kernel, schema=MEDIA_SCHEMA)
