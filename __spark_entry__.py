@@ -533,6 +533,7 @@ _R04_DRIVER_WINDOW = [
     # 1. never driver-verified + new this round
     "decontaminate_overlap", "define_task_decisions", "cv_group_kfold",
     "rank_auc_by_type", "imbalance_decisions", "media_decode_real",
+    "media_frame_sample",
     # 2. code changed in r4
     "embedding_near_dup", "knn_cosine_lsh", "embedding_near_dup_auto",
     "knn_cosine_lsh_auto", "key_converters", "phone_prefix_converters",
@@ -550,9 +551,10 @@ _R04_DRIVER_WINDOW = [
     "cv_stratified_folds", "unnest_multi_keys", "one_hot_decode",
     "cross_series_click_vs_purchase", "psi_quantile_halves",
     "date_distribution_check", "is_time_series_stats", "multimodal_meta",
-    "rolling_volatility_7d", "volatility_ratio_7_to_14",
-    # (rolling_volatility2_7d yields its slot to media_decode_real — new
-    # real-decode query outranks a two-round-stale green; r05 rotation)
+    "rolling_volatility_7d",
+    # (rolling_volatility2_7d and volatility_ratio_7_to_14 yield their
+    # slots to the two new real-decode queries — new queries outrank
+    # two-round-stale greens; both rotate in r05)
 ]
 
 
@@ -2325,6 +2327,39 @@ def media_decode_real(spark, sf_dir):
         "n_channels", "duration_ms",
         fe(1).alias("f0"), fe(2).alias("f1"), fe(3).alias("f2"),
         fe(4).alias("f3"),
+    )
+
+
+@_q(
+    "media_frame_sample",
+    """
+    WITH ids AS (SELECT range AS id FROM range(0, 300)),
+    frames AS (SELECT range AS f FROM range(0, 11))
+    SELECT 'v' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+           'y4m' AS format,
+           CAST(4 + id % 3 AS INT) AS width,
+           CAST(2 + id % 3 AS INT) AS height,
+           CAST(6 + id % 5 AS INT) AS n_frames,
+           CAST(f AS INT) AS frame_idx,
+           round(((id * 5 + f * 11) % 256) / 255.0, 6) AS luma_mean
+    FROM ids, frames
+    WHERE f < 6 + id % 5 AND f % 2 = 0
+    """,
+)
+def media_frame_sample(spark, sf_dir):
+    """Video frame sampling over REAL uncompressed Y4M payloads (r4,
+    multimodal.sample_video_frames): every 2nd frame of each synthesized
+    Cmono stream is decoded — only sampled frames' pixel bytes are read,
+    the rest skip by offset arithmetic — and the per-frame luma mean is
+    hash-checked against the closed-form ground truth (frame f of video
+    i is solid gray (5i+11f) mod 256). Completes the image/audio/VIDEO
+    decode triple with stdlib-only parsers."""
+    from upgini_spark.functions.multimodal import sample_video_frames, synthetic_y4m
+
+    out = sample_video_frames(synthetic_y4m(spark, 300), stride=2)
+    return out.select(
+        "media_id", "format", "width", "height", "n_frames", "frame_idx",
+        F.round("luma_mean", 6).alias("luma_mean"),
     )
 
 

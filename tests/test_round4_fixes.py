@@ -440,3 +440,30 @@ def test_media_decode_corrupt_and_unknown(spark):
     assert out["a"]["format"] == "corrupt"
     assert out["b"]["format"] == "unknown" and out["b"]["n_bytes"] == 6
     assert out["c"]["format"] == "unknown" and out["c"]["n_bytes"] is None
+
+
+def test_video_frame_sampling_ground_truth(spark):
+    from upgini_spark.functions.multimodal import sample_video_frames, synthetic_y4m
+
+    rows = sample_video_frames(synthetic_y4m(spark, 12), stride=3).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert len(by_vid) == 12
+    for i in range(12):
+        vid = sorted(by_vid[f"v{i:09d}"], key=lambda r: r["frame_idx"])
+        nf = 6 + i % 5
+        assert [r["frame_idx"] for r in vid] == list(range(0, nf, 3))
+        for r in vid:
+            assert r["format"] == "y4m"
+            assert (r["width"], r["height"], r["n_frames"]) == (4 + i % 3, 2 + i % 3, nf)
+            assert r["luma_mean"] == ((i * 5 + r["frame_idx"] * 11) % 256) / 255.0
+    # corrupt stream flagged, not crashed
+    from upgini_spark.functions.multimodal import MEDIA_SCHEMA
+
+    bad = spark.createDataFrame(
+        [("x", "video", b"YUV4MPEG2 W4 H4 Cmono\nFRAME\nxy", None, None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    out = sample_video_frames(bad).collect()
+    assert len(out) == 1 and out[0]["format"] == "corrupt"

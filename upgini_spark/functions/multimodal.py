@@ -297,3 +297,115 @@ def synthetic_real_media(spark, n_rows: int) -> DataFrame:
             yield out
 
     return spark.range(n_rows).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video: uncompressed Y4M (YUV4MPEG2, Cmono) + frame sampling — the third
+# real stdlib decode. Frame-sample = decode every ``stride``-th frame
+# only, the standard video feature-extraction access pattern (no codec
+# needed for Y4M: header line + "FRAME\n" + raw luma planes).
+# --------------------------------------------------------------------------
+
+_FRAME_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("format", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("frame_idx", IntegerType(), True),
+    StructField("luma_mean", DoubleType(), True),
+])
+
+
+def _decode_y4m(content: bytes, stride: int = 1):
+    """Parse a Cmono YUV4MPEG2 stream: returns (width, height, n_frames,
+    [(frame_idx, luma_mean)]) for frames 0, stride, 2·stride, … Only the
+    SAMPLED frames' pixel bytes are touched — the others are skipped by
+    offset arithmetic, which is the point of frame sampling."""
+    nl = content.index(b"\n")
+    header = content[:nl].split()
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a y4m stream")
+    w = h = None
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    if not w or not h:
+        raise ValueError("y4m missing W/H")
+    frame_bytes = w * h  # Cmono: luma plane only
+    pos, idx, out = nl + 1, 0, []
+    marker = b"FRAME"
+    while pos < len(content):
+        fnl = content.index(b"\n", pos)
+        if content[pos : pos + 5] != marker:
+            raise ValueError("bad FRAME marker")
+        pix_start = fnl + 1
+        if pix_start + frame_bytes > len(content):
+            raise ValueError("truncated y4m frame")
+        if idx % stride == 0:
+            plane = content[pix_start : pix_start + frame_bytes]
+            out.append((idx, sum(plane) / frame_bytes / 255.0))
+        pos = pix_start + frame_bytes
+        idx += 1
+    return w, h, idx, out
+
+
+def sample_video_frames(df: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame-sampling decode stage: one output row per SAMPLED frame of
+    every Y4M payload (Arrow mapInPandas; non-y4m rows yield a single
+    format='unknown'/'corrupt' row with null frame fields)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                base = {"media_id": mid, "format": "unknown", "width": None,
+                        "height": None, "n_frames": None, "frame_idx": None,
+                        "luma_mean": None}
+                try:
+                    if content is not None and bytes(content[:9]) == b"YUV4MPEG2":
+                        w, h, n, frames = _decode_y4m(bytes(content), stride)
+                        for idx, mean in frames:
+                            rows.append({**base, "format": "y4m", "width": w,
+                                         "height": h, "n_frames": n,
+                                         "frame_idx": idx, "luma_mean": mean})
+                        continue
+                except Exception:
+                    base["format"] = "corrupt"
+                rows.append(base)
+            out = pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+            for c in ("width", "height", "n_frames", "frame_idx"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.mapInPandas(kernel, schema=_FRAME_SCHEMA)
+
+
+def synthetic_y4m(spark, n_rows: int) -> DataFrame:
+    """REAL Cmono Y4M payloads, closed-form per id: video i has
+    w=4+i%3, h=2+i%3, 6+i%5 frames; frame f is solid gray
+    (i·5 + f·11) mod 256 — every decoded field is analytically known."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h, nf = 4 + i % 3, 2 + i % 3, 6 + i % 5
+                buf = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n".encode())
+                for f in range(nf):
+                    buf += b"FRAME\n"
+                    buf += bytes([(i * 5 + f * 11) % 256]) * (w * h)
+                recs.append({
+                    "media_id": f"v{i:09d}", "media_type": "video",
+                    "content": bytes(buf), "mime": None, "width": None,
+                    "height": None, "duration_ms": None,
+                })
+            out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+            for c in ("width", "height", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return spark.range(n_rows).mapInPandas(kernel, schema=MEDIA_SCHEMA)
