@@ -192,6 +192,23 @@ def main() -> None:
     metrics_e2e()  # warm-up
     per_query["metrics_e2e"] = round(min(metrics_e2e() for _ in range(2)), 3)
 
+    # real media decode throughput (r4): 20k genuine WAV/PPM payloads
+    # synthesized + parsed with the stdlib decoders in one Arrow kernel
+    def media_decode() -> float:
+        from upgini_spark.functions.multimodal import (
+            decode_media,
+            synthetic_real_media,
+        )
+
+        t0 = time.time()
+        decode_media(synthetic_real_media(spark, 20_000)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    media_decode()  # warm-up
+    per_query["media_decode_20k"] = round(min(media_decode() for _ in range(2)), 3)
+
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
         "metric": "headline suite wall time (flagship as-of enrich + operator queries)",
