@@ -380,3 +380,32 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
     ).toPandas()
     assert len(out) == base.select("doc_id").distinct().count()
     assert out["doc_id"].is_unique
+
+
+def test_media_decode_streams_batch_equivalent(spark, tmp_path):
+    """The real media decode stage is stateless mapInPandas, so it runs
+    unchanged on a stream: parquet-source readStream through decode_media
+    equals the batch decode row-for-row (multimodal columns are
+    first-class in the streaming path too)."""
+    from upgini_spark.functions.multimodal import decode_media, synthetic_real_media
+
+    path = str(tmp_path / "media")
+    synthetic_real_media(spark, 60).write.parquet(path)
+    batch = decode_media(spark.read.parquet(path))
+    stream = decode_media(
+        spark.readStream.schema(
+            spark.read.parquet(path).schema
+        ).parquet(path)
+    )
+    got = _run_stream(spark, stream, "media_decode_stream")
+
+    def canon(df):
+        return {
+            tuple(
+                tuple(v) if isinstance(v, list) else v for v in r
+            )
+            for r in df.collect()
+        }
+
+    b, g = canon(batch), canon(got)
+    assert b == g and len(b) == 60
