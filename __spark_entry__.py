@@ -533,7 +533,7 @@ _R04_DRIVER_WINDOW = [
     # 1. never driver-verified + new this round
     "decontaminate_overlap", "define_task_decisions", "cv_group_kfold",
     "rank_auc_by_type", "imbalance_decisions", "media_decode_real",
-    "media_frame_sample",
+    "media_frame_sample", "media_resize",
     # 2. code changed in r4
     "embedding_near_dup", "knn_cosine_lsh", "embedding_near_dup_auto",
     "knn_cosine_lsh_auto", "key_converters", "phone_prefix_converters",
@@ -551,10 +551,10 @@ _R04_DRIVER_WINDOW = [
     "cv_stratified_folds", "unnest_multi_keys", "one_hot_decode",
     "cross_series_click_vs_purchase", "psi_quantile_halves",
     "date_distribution_check", "is_time_series_stats", "multimodal_meta",
-    "rolling_volatility_7d",
-    # (rolling_volatility2_7d and volatility_ratio_7_to_14 yield their
-    # slots to the two new real-decode queries — new queries outrank
-    # two-round-stale greens; both rotate in r05)
+    # (rolling_volatility_7d, rolling_volatility2_7d and
+    # volatility_ratio_7_to_14 yield their slots to the three new
+    # real-media queries — new queries outrank two-round-stale greens;
+    # all three rotate in r05)
 ]
 
 
@@ -2325,6 +2325,51 @@ def media_decode_real(spark, sf_dir):
     return out.select(
         "media_id", "format", "width", "height", "sample_rate",
         "n_channels", "duration_ms",
+        fe(1).alias("f0"), fe(2).alias("f1"), fe(3).alias("f2"),
+        fe(4).alias("f3"),
+    )
+
+
+@_q(
+    "media_resize",
+    """
+    WITH ids AS (SELECT range AS id FROM range(0, 400))
+    SELECT 'm' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+           'ppm' AS format,
+           CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           round((id % 256) / 255.0, 6) AS f0,
+           round(((id * 7) % 256) / 255.0, 6) AS f1,
+           round(((id * 13) % 256) / 255.0, 6) AS f2,
+           round(0.2126 * ((id % 256) / 255.0)
+                 + 0.7152 * (((id * 7) % 256) / 255.0)
+                 + 0.0722 * (((id * 13) % 256) / 255.0), 6) AS f3
+    FROM ids WHERE id % 2 = 1
+    """,
+)
+def media_resize(spark, sf_dir):
+    """Image resize round-trip (r4, multimodal.resize_images): real PPM
+    payloads → nearest-neighbor resize to 8×6 → re-encode → decode. The
+    sources are solid-color, so the resized channel means must equal the
+    originals EXACTLY while the decoded dims become (8, 6) — a wrong
+    pixel map, header, or byte offset anywhere in parse→resize→emit→
+    parse hash-fails. (Exact non-uniform pixel maps are unit-tested in
+    test_round4_fixes.)"""
+    from upgini_spark.functions.multimodal import (
+        decode_media,
+        resize_images,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, 400).filter(
+        F.col("media_type") == "image"
+    )
+    out = decode_media(resize_images(media, 8, 6))
+
+    def fe(i):
+        return F.round(F.try_element_at("features", F.lit(i)), 6)
+
+    return out.select(
+        "media_id", "format", "width", "height",
         fe(1).alias("f0"), fe(2).alias("f1"), fe(3).alias("f2"),
         fe(4).alias("f3"),
     )

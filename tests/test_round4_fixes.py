@@ -467,3 +467,29 @@ def test_video_frame_sampling_ground_truth(spark):
     )
     out = sample_video_frames(bad).collect()
     assert len(out) == 1 and out[0]["format"] == "corrupt"
+
+
+def test_resize_images_exact_pixels(spark):
+    from upgini_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_ppm,
+        resize_images,
+    )
+
+    checker = b"P6\n2 2\n255\n" + bytes([0, 0, 0, 255, 255, 255,
+                                          255, 255, 255, 0, 0, 0])
+    rows = [
+        ("img", "image", checker, None, 2, 2, None),
+        ("wav", "audio", b"RIFFxxxxWAVE", None, None, None, None),  # untouched
+    ]
+    out = {r["media_id"]: r for r in resize_images(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), 4, 4
+    ).collect()}
+    w, h, _mv, px = _parse_ppm(bytes(out["img"]["content"]))
+    assert (w, h) == (4, 4) == (out["img"]["width"], out["img"]["height"])
+    # 2x2 checker upsampled to 2x2 blocks, nearest neighbor
+    grid = [list(px[r * 12 : (r + 1) * 12 : 3]) for r in range(4)]
+    assert grid == [[0, 0, 255, 255], [0, 0, 255, 255],
+                    [255, 255, 0, 0], [255, 255, 0, 0]]
+    # non-ppm payload passes through byte-identical
+    assert bytes(out["wav"]["content"]) == b"RIFFxxxxWAVE"

@@ -409,3 +409,78 @@ def synthetic_y4m(spark, n_rows: int) -> DataFrame:
             yield out
 
     return spark.range(n_rows).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Image resize (r4): nearest-neighbor over real P6 PPM payloads — the
+# "resize" stage of the brief's decode / feature-extract / resize /
+# frame-sample quartet, as a pure-Python Arrow kernel (no image libs).
+# --------------------------------------------------------------------------
+
+
+def _parse_ppm(content: bytes):
+    """Byte-precise P6 header parse → (w, h, maxval, pixel bytes)."""
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(content[start:pos]))
+    pos += 1
+    w, h, maxval = vals
+    pixels = content[pos : pos + w * h * 3]
+    if len(pixels) < w * h * 3:
+        raise ValueError("truncated ppm")
+    return w, h, maxval, pixels
+
+
+def _resize_ppm_nn(content: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resize, src index = floor(dst · src/dst) (the
+    classic integer NN map); emits a fresh P6 payload."""
+    w, h, maxval, pixels = _parse_ppm(content)
+    out = bytearray(f"P6\n{tw} {th}\n{maxval}\n".encode())
+    for y in range(th):
+        sy = y * h // th
+        row = sy * w * 3
+        for x in range(tw):
+            sx = x * w // tw
+            off = row + sx * 3
+            out += pixels[off : off + 3]
+    return bytes(out)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize every P6 PPM payload to (target_w, target_h); rows whose
+    payload isn't PPM pass through with content untouched and their
+    original width/height metadata (same MEDIA_SCHEMA out — resize is a
+    payload-preserving stage in the media pipeline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                rec = {c: row[c] for c in pdf.columns}
+                content = row["content"]
+                try:
+                    if content is not None and bytes(content[:2]) == b"P6":
+                        rec["content"] = _resize_ppm_nn(
+                            bytes(content), target_w, target_h
+                        )
+                        rec["width"], rec["height"] = target_w, target_h
+                except Exception:
+                    pass  # non-resizable payloads pass through unchanged
+                recs.append(rec)
+            out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+            for c in ("width", "height", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.mapInPandas(kernel, schema=MEDIA_SCHEMA)
