@@ -1,11 +1,17 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as opaque binary payloads.
 
-The Spark-side machinery is real — typed metadata schema, Arrow-batched
-``mapInPandas`` kernels, partition sizing — while the actual media decode
-is stubbed: the container has no image/audio libraries, so decoders
-either raise ``NotImplementedError`` (strict mode) or produce a
-deterministic fake derived from the bytes (test mode). Swapping in a real
-decoder is a one-function change; schemas and batch shapes don't move.
+The full quartet — decode, feature-extract, resize, frame-sample — runs
+as Arrow ``mapInPandas`` kernels. Since round 4 the decode is REAL for
+every dependency-free format: PCM WAV (stdlib ``wave``), binary P6 PPM
+(byte-precise header parser), and uncompressed Cmono Y4M video (with
+every-k-th-frame sampling); nearest-neighbor PPM resize re-emits valid
+payloads. Each stage is verified against closed-form ground truth of
+synthesized real files (see the media_* oracles in __spark_entry__.py).
+Heavy-codec formats (JPEG/PNG/MP3/MP4 — no codec libraries in this
+container) remain behind the clearly marked stub: ``decode_media`` tags
+them format='unknown', and ``extract_media_features(strict=True)``
+raises at the stub boundary. The sha256 fake-embedding path stays as the
+engine-portable determinism oracle for the Arrow plumbing itself.
 """
 
 from __future__ import annotations
