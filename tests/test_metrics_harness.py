@@ -328,7 +328,9 @@ def test_baseline_score_column_gini_no_fit():
     """features_enricher.py:1104-1118 / metrics.py:475-481: with a
     baseline_score_column and GINI, the baseline metric is roc_auc of
     that column (×2−1), no model fit, no std; eval frames score the
-    same column directly."""
+    same column directly — but the reference's EVAL-side path
+    (metrics.py:549-551) returns RAW roc_auc with NO GINI post-process
+    (an asymmetry we replay exactly, r5 ADVICE item)."""
     from upgini_spark.pipeline.metrics import (
         CVMetricsHarness,
         calculate_metrics_report,
@@ -346,7 +348,8 @@ def test_baseline_score_column_gini_no_fit():
     assert res.get_display_metric() == f"{expect:.3f}"  # no ± suffix
     assert h.estimators == []
     ev = h.calculate_metric(pdf, "target")
-    assert ev.metric == expect
+    raw_auc = roc_auc_score(pdf["target"].to_numpy(), pdf["ext_score"].to_numpy())
+    assert ev.metric == raw_auc  # raw, NOT 2*auc-1 (reference parity)
     # report path: baseline column present, enriched still CV-fit
     report = calculate_metrics_report(
         pdf, "target", baseline_cols=["f"], enriched_cols=["f", "noise"],

@@ -1,0 +1,283 @@
+"""Round-5 regression tests: psi_monthly_report single-pass rewrite
+(job count independent of feature count, no cache leak), deterministic
+rank_feature_columns sampling, metrics-harness reference asymmetries,
+and the multimodal P6 hardening from ADVICE r4."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# psi_monthly_report: batched rewrite
+# ---------------------------------------------------------------------------
+
+
+def _psi_frame(spark, n=3000):
+    rows = []
+    for i in range(n):
+        d = dt.datetime(2024, 1 + (i % 12), 1 + (i % 27))
+        rows.append((
+            d,
+            float(i % 97) + (i % 12) * 0.5,          # numerical, drifts
+            float((i * 7) % 51),                      # numerical
+            f"k{i % 5}",                              # categorical
+            f"m{(i * 3) % 7}" if i % 11 else None,    # categorical w/ nulls
+            float(i % 13),                            # low-card numeric → cat path
+            None if i % 3 else float(i % 29),         # numeric w/ nulls
+        ))
+    return spark.createDataFrame(
+        rows, "d timestamp, x double, y double, c string, m string, "
+              "lc double, xn double"
+    )
+
+
+def _run_report(spark, df, feats, cats):
+    from upgini_spark.functions.stats import psi_monthly_report
+
+    sc = spark.sparkContext
+    group = f"psi_jobcount_{len(feats)}"
+    sc.setJobGroup(group, "psi job-count probe")
+    try:
+        rows = psi_monthly_report(df, feats, cats, "d", min_intervals=4)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    return rows, len(jobs)
+
+
+def test_psi_monthly_job_count_independent_of_feature_count(spark):
+    """The r4 version issued ~3 Spark jobs PER feature; the r5 rewrite
+    batches decisions, edges, and counts, so the job count is identical
+    for 2 features and 6 features."""
+    df = _psi_frame(spark).localCheckpoint(eager=True)
+    rows_small, jobs_small = _run_report(spark, df, ["x", "c"], ["c"])
+    rows_big, jobs_big = _run_report(
+        spark, df, ["x", "y", "c", "m", "lc", "xn"], ["c", "m"]
+    )
+    # AQE may add a stage-job or two for the bigger melt; the old
+    # per-feature loop added ~3 jobs PER extra feature (≥12 here)
+    assert jobs_big - jobs_small <= 4, (jobs_small, jobs_big)
+    assert len(rows_small) == 2 and len(rows_big) == 6
+    # same features → same values regardless of batch composition
+    d_small, d_big = dict(rows_small), dict(rows_big)
+    assert d_small["x"] == pytest.approx(d_big["x"], abs=1e-12)
+    assert d_small["c"] == pytest.approx(d_big["c"], abs=1e-12)
+
+
+def test_psi_monthly_matches_pandas_reference_math(spark):
+    """Replay of the reference per-feature math (psi.py:72-151) in plain
+    pandas against the batched Spark result, numerical + categorical +
+    null-bearing features."""
+    from upgini_spark.functions.stats import (
+        _fill_zeroes,
+        _psi_value,
+        psi_monthly_report,
+    )
+
+    df = _psi_frame(spark, 2000)
+    feats, cats = ["x", "c", "m", "lc", "xn"], ["c", "m"]
+    got = dict(psi_monthly_report(df, feats, cats, "d", min_intervals=4))
+
+    pdf = df.toPandas()
+    # interval index: date quantile bins, right-inclusive (qcut-style)
+    us = pdf["d"].astype("int64") / 1000.0  # ns → µs; monotone, same bins
+    n_itv = max(4, pdf["d"].dt.month.nunique())
+    edges = sorted(set(np.percentile(us, [100 * i / n_itv for i in range(1, n_itv)])))
+    itv = np.zeros(len(pdf), dtype=int)
+    for e in edges:
+        itv += (us > e).astype(int).to_numpy()
+    pdf["__itv__"] = itv
+    itvs = sorted(pdf["__itv__"].unique())
+    totals = pdf.groupby("__itv__").size().to_dict()
+    expected = {}
+    for feat in feats:
+        ref = pdf[pdf["__itv__"] == itvs[0]]
+        s_all = pdf[feat]
+        is_num = feat not in cats and pd.api.types.is_numeric_dtype(s_all)
+        if is_num and ref[feat].dropna().nunique() > 20:
+            vals = ref[feat].dropna()
+            qedges = np.percentile(vals, [100 * i / 10 for i in range(11)])
+            interior = qedges[1:-1]
+            b = np.zeros(len(pdf), dtype=int)
+            for e in interior:
+                b += (s_all >= e).fillna(False).astype(int).to_numpy()
+            b[s_all.isna().to_numpy()] = 10
+            bins = list(range(11))
+            key = pd.Series(b)
+        else:
+            counts_by_key = s_all.dropna().astype(str).value_counts()
+            srt = pd.Series(counts_by_key)
+            keys = list(srt.index[srt.rank(pct=True) >= 0.7]) if len(srt) else []
+            key = s_all.astype(str).where(s_all.notna(), "__null__")
+            key = key.where(key.isin(keys + ["__null__"]))
+            bins = keys + ["__null__"]
+        cnt = pd.crosstab(key, pdf["__itv__"])
+        ref_pct = _fill_zeroes(
+            [int(cnt.loc[b, itvs[0]]) if b in cnt.index and itvs[0] in cnt.columns
+             else 0 for b in bins]
+        )
+        ref_pct = _fill_zeroes([
+            (int(cnt.loc[b, itvs[0]]) if b in cnt.index and itvs[0] in cnt.columns else 0)
+            / totals[itvs[0]]
+            for b in bins
+        ])
+        psis = []
+        for t in itvs[1:]:
+            cur = _fill_zeroes([
+                (int(cnt.loc[b, t]) if b in cnt.index and t in cnt.columns else 0)
+                / totals[t]
+                for b in bins
+            ])
+            psis.append(_psi_value(ref_pct, cur))
+        expected[feat] = max(psis)
+    for feat in feats:
+        assert got[feat] == pytest.approx(expected[feat], rel=1e-9), feat
+
+
+def test_psi_monthly_no_cache_leak(spark):
+    """The rewrite uses eager localCheckpoint, never persist — no
+    CacheManager entry may remain after a run (r4 verdict hygiene)."""
+    from upgini_spark.functions.stats import psi_monthly_report
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getRDDStorageInfo()
+    df = _psi_frame(spark, 500)
+    psi_monthly_report(df, ["x", "c"], ["c"], "d", min_intervals=3)
+    cached_tables = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert cached_tables, "psi_monthly_report left a CacheManager entry"
+    del before
+
+
+def test_psi_monthly_all_keys_tied_keeps_null_bin(spark):
+    """All categorical keys tied → pandas rank pct = ~0.5 < 0.7 → NO key
+    retained; the report must still count the '__null__' bin instead of
+    dropping the feature (r5 edge case found in review)."""
+    from upgini_spark.functions.stats import psi_monthly_report
+
+    rows = []
+    for i in range(400):
+        d = dt.datetime(2024, 1 + (i % 4), 1 + (i % 27))
+        # 8 keys, all equal frequency; nulls drift across months
+        rows.append((d, f"k{i % 8}" if (i % 5 != 0 or i % 2) else None))
+    df = spark.createDataFrame(rows, "d timestamp, c string")
+    got = dict(psi_monthly_report(df, ["c"], ["c"], "d", min_intervals=4))
+    assert got["c"] is not None and got["c"] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# rank_feature_columns: deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_rank_feature_columns_partition_invariant_sample(spark):
+    """Above the sample cap the ranking must be computed on a
+    deterministic hash sample — identical ranking for 1-partition and
+    16-partition layouts of the same data (the old bare limit() was
+    layout-dependent)."""
+    from upgini_spark.pipeline.sort import rank_feature_columns
+
+    n = 4000
+    pdf = pd.DataFrame({
+        "a": np.sin(np.arange(n) * 0.37),
+        "b": (np.arange(n) * 17 % 91).astype(float),
+        "s": [f"v{i % 13}" for i in range(n)],
+        "t": (np.arange(n) % 7 < 3).astype(float),
+    })
+    df = spark.createDataFrame(pdf)
+    r1 = rank_feature_columns(
+        df.coalesce(1), ["a", "b", "s"], "t", sample_rows=1500
+    )
+    r16 = rank_feature_columns(
+        df.repartition(16), ["a", "b", "s"], "t", sample_rows=1500
+    )
+    assert r1 == r16
+
+
+# ---------------------------------------------------------------------------
+# metrics harness: reference asymmetries (ADVICE r4)
+# ---------------------------------------------------------------------------
+
+
+def test_multiclass_proba_scorer_raises():
+    """roc_auc-family proba scorers are binary-only: proba.max(axis=1)
+    into roc_auc_score is a meaningless statistic, so the harness raises
+    instead of returning a bogus metric."""
+    from upgini_spark.pipeline.metrics import CVMetricsHarness
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame({
+        "f": rng.randn(300),
+        "g": rng.randn(300),
+        "target": rng.randint(0, 3, 300),
+        "fold_id": np.arange(300) % 3,
+    })
+    h = CVMetricsHarness("MULTICLASS", scoring="roc_auc")
+    with pytest.raises(ValueError, match="binary"):
+        h.cross_val_predict(pdf, ["f", "g"], "target", "fold_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal: P6 hardening (ADVICE r4)
+# ---------------------------------------------------------------------------
+
+
+def _ppm(w, h, maxval, px):
+    return f"P6\n{w} {h}\n{maxval}\n".encode() + px
+
+
+def test_16bit_ppm_rejected_as_corrupt(spark):
+    """maxval > 255 means 2 bytes/sample; a 1-byte parse would silently
+    decode garbage — such payloads must surface as format='corrupt'."""
+    from upgini_spark.functions.multimodal import decode_media
+
+    good = _ppm(2, 2, 255, bytes(range(12)))
+    wide = _ppm(2, 2, 65535, bytes(24))  # valid 16-bit P6
+    df = spark.createDataFrame(
+        [("a", good), ("b", wide)], "media_id string, content binary"
+    )
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert out["a"]["format"] == "ppm"
+    assert out["b"]["format"] == "corrupt"
+
+
+def test_resize_corrupt_p6_nulls_geometry(spark):
+    """A payload that sniffs as P6 but fails to parse (truncated /
+    16-bit) keeps its bytes but gets NULL width/height, so it is
+    distinguishable from a deliberately skipped non-PPM row."""
+    from upgini_spark.functions.multimodal import MEDIA_SCHEMA, resize_images
+
+    good = _ppm(4, 4, 255, bytes(48))
+    trunc = _ppm(4, 4, 255, bytes(10))
+    wav = b"RIFFxxxxWAVEdata"
+    rows = [
+        ("g", "image", good, None, 4, 4, None),
+        ("t", "image", trunc, None, 4, 4, None),
+        ("w", "audio", wav, None, 7, 7, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert (out["g"]["width"], out["g"]["height"]) == (2, 2)
+    assert out["g"]["content"][:2] == b"P6"
+    assert out["t"]["width"] is None and out["t"]["height"] is None
+    assert bytes(out["t"]["content"]) == trunc  # payload untouched
+    assert (out["w"]["width"], out["w"]["height"]) == (7, 7)  # non-PPM skipped
+
+
+def test_decode_ppm_delegates_to_parse_ppm():
+    """_decode_ppm must compute stats from _parse_ppm (one header parser
+    repo-wide — the r4 duplicate drifted once already)."""
+    import inspect
+
+    from upgini_spark.functions import multimodal as M
+
+    src = inspect.getsource(M._decode_ppm)
+    assert "_parse_ppm(" in src
+    # and the math still agrees with the closed form on a solid color
+    w, h, (r, g, b, lum) = M._decode_ppm(_ppm(3, 2, 255, bytes([10, 20, 30]) * 6))
+    assert (w, h) == (3, 2)
+    assert r == pytest.approx(10 / 255) and g == pytest.approx(20 / 255)
+    assert lum == pytest.approx(0.2126 * 10 / 255 + 0.7152 * 20 / 255 + 0.0722 * 30 / 255)

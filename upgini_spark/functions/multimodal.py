@@ -178,29 +178,12 @@ def _decode_wav(content: bytes):
 
 def _decode_ppm(content: bytes):
     """Binary PPM (P6): (width, height, [mean_r, mean_g, mean_b,
-    luminance] normalized to [0, 1]). Header parsed byte-precisely —
-    a whitespace-split would eat PIXEL bytes whenever the first pixel
-    value happens to be 0x09-0x0d/0x20 (a real bug this parser had:
-    6/200 synthetic images decoded 'corrupt')."""
-    if content[:2] != b"P6":
-        raise ValueError("not a P6 ppm")
-    pos, vals = 2, []
-    while len(vals) < 3:
-        while pos < len(content) and content[pos : pos + 1].isspace():
-            pos += 1
-        if content[pos : pos + 1] == b"#":  # comment line
-            while pos < len(content) and content[pos] != 0x0A:
-                pos += 1
-            continue
-        start = pos
-        while pos < len(content) and not content[pos : pos + 1].isspace():
-            pos += 1
-        vals.append(int(content[start:pos]))
-    pos += 1  # exactly ONE whitespace byte separates header from pixels
-    w, h, maxval = vals
-    pixels = content[pos : pos + w * h * 3]
-    if len(pixels) < w * h * 3:
-        raise ValueError("truncated ppm")
+    luminance] normalized to [0, 1]). Header parsing delegated to
+    ``_parse_ppm`` (byte-precise — a whitespace-split would eat PIXEL
+    bytes whenever the first pixel value happens to be 0x09-0x0d/0x20,
+    a real bug this parser had: 6/200 synthetic images decoded
+    'corrupt')."""
+    w, h, maxval, pixels = _parse_ppm(content)
     sums = [0, 0, 0]
     for i in range(0, len(pixels), 3):
         sums[0] += pixels[i]
@@ -425,7 +408,11 @@ def synthetic_y4m(spark, n_rows: int) -> DataFrame:
 
 
 def _parse_ppm(content: bytes):
-    """Byte-precise P6 header parse → (w, h, maxval, pixel bytes)."""
+    """Byte-precise P6 header parse → (w, h, maxval, pixel bytes).
+
+    Only 8-bit P6 is supported: maxval > 255 means 2 bytes/sample
+    (big-endian) and a 1-byte slice would silently decode garbage, so
+    such payloads raise and surface as format='corrupt' downstream."""
     if content[:2] != b"P6":
         raise ValueError("not a P6 ppm")
     pos, vals = 2, []
@@ -442,6 +429,8 @@ def _parse_ppm(content: bytes):
         vals.append(int(content[start:pos]))
     pos += 1
     w, h, maxval = vals
+    if maxval > 255 or maxval <= 0:
+        raise ValueError(f"unsupported P6 maxval {maxval} (8-bit only)")
     pixels = content[pos : pos + w * h * 3]
     if len(pixels) < w * h * 3:
         raise ValueError("truncated ppm")
@@ -481,8 +470,11 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                             bytes(content), target_w, target_h
                         )
                         rec["width"], rec["height"] = target_w, target_h
-                except Exception:
-                    pass  # non-resizable payloads pass through unchanged
+                except ValueError:
+                    # sniffed as P6 but unparseable (truncated / 16-bit):
+                    # keep the payload, null the geometry so the row is
+                    # distinguishable from a deliberately skipped non-PPM
+                    rec["width"] = rec["height"] = None
                 recs.append(rec)
             out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
             for c in ("width", "height", "duration_ms"):

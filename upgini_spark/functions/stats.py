@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as PWindow
 from pyspark.sql import functions as F
 
 EPS = 1e-6
@@ -295,6 +296,7 @@ def psi_monthly_report(
     max_intervals: int | None = None,
     cat_top_pct: float = PSI_CAT_TOP_PCT,
     agg: str = "max",
+    max_cat_keys: int = 100_000,
 ) -> list[tuple[str, float]]:
     """calculate_features_psi parity (psi.py:72-151): intervals =
     max(min_intervals, #distinct months) date quantiles; per feature the
@@ -307,14 +309,25 @@ def psi_monthly_report(
     FULL row count (reference convention), zeros filled per
     psi.py:283-293.
 
-    All heavy work is aggregations; only per-(interval, bin) count tables
-    (≤ intervals × (bins+1) rows per feature) reach the driver.
+    Job count is INDEPENDENT of feature count (r5 rewrite; the r4 version
+    looped per feature — ~10k sequential jobs at the reference's 3,500
+    feature cap): one distinct-count agg + one multi-column percentile agg
+    decide and bin every numerical feature, an ``F.stack`` melt feeds one
+    (feature, interval, bin) count pass, and the categorical top keys are
+    derived from a per-feature COUNT-FREQUENCY histogram (small: one row
+    per distinct frequency) so the driver never holds the full key set;
+    the retained-key collect is additionally capped at ``max_cat_keys``
+    per feature (deterministic: by count desc, key asc — a deviation from
+    reference only above the cap, where pandas would OOM first).
+
+    Only per-(feature, interval, bin) count tables reach the driver.
     """
     n_intervals = max(min_intervals, n_months_in(df, date_col))
     if max_intervals is not None:
         n_intervals = min(n_intervals, max_intervals)
-    d = date_interval_index(df, date_col, n_intervals)
-    d = d.persist()
+    # eager localCheckpoint, not persist: no CacheManager entry to leak on
+    # an exception between persist/unpersist (r4 verdict hygiene item)
+    d = date_interval_index(df, date_col, n_intervals).localCheckpoint(eager=True)
     itv_totals = {
         r["__itv__"]: r["count"] for r in d.groupBy("__itv__").count().collect()
     }
@@ -323,80 +336,163 @@ def psi_monthly_report(
     if agg_fn is None:
         raise ValueError(f"unsupported agg {agg!r}")
 
-    out: list[tuple[str, float]] = []
-    for feat in feature_cols:
-        v = F.col(feat)
-        ref = d.filter(F.col("__itv__") == itvs[0])
-        is_numerical = feat not in cat_features and dict(df.dtypes)[feat] not in (
-            "string", "boolean", "binary"
-        )
-        n_vals = ref.select(feat).filter(v.isNotNull()).distinct().count()
-        if is_numerical and n_vals > 20:
-            qs = [i / n_bins for i in range(0, n_bins + 1)]
-            # NaN is excluded from the edge quantiles too (Spark percentile
-            # would sort it above every double; np.histogram never sees it)
-            edges = ref.filter(
-                v.isNotNull() & ~F.isnan(v.cast("double"))
-            ).agg(
-                F.percentile(v.cast("double"), F.array(*[F.lit(q) for q in qs]))
-                .alias("e")
-            ).collect()[0]["e"]
-            interior = [float(e) for e in edges[1:-1]]  # outer edges → ±inf
+    def q(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    dtypes = dict(df.dtypes)
+    ref = d.filter(F.col("__itv__") == itvs[0])
+
+    # ---- decide numerical vs categorical treatment: ONE agg ------------
+    num_candidates = [
+        f for f in feature_cols
+        if f not in cat_features
+        and dtypes[f] not in ("string", "boolean", "binary")
+    ]
+    num_feats: list[str] = []
+    if num_candidates:
+        # exact countDistinct on the NATIVE column type (reference does
+        # ref[feat].nunique() — a double cast could collide big longs)
+        nvals = ref.agg(
+            *[F.countDistinct(q(f)).alias(f"n{i}") for i, f in enumerate(num_candidates)]
+        ).collect()[0]
+        num_feats = [f for i, f in enumerate(num_candidates) if nvals[f"n{i}"] > 20]
+    num_set = set(num_feats)
+    cat_feats = [f for f in feature_cols if f not in num_set]
+
+    # ---- numerical: ONE percentile agg + ONE melted count pass ---------
+    num_counts: dict = {}
+    if num_feats:
+        qs_arr = F.array(*[F.lit(i / n_bins) for i in range(n_bins + 1)])
+        # NaN is excluded from the edge quantiles (Spark percentile would
+        # sort it above every double; np.histogram never sees it) — the
+        # when() guard nulls NaN out and percentile ignores nulls
+        edges_row = ref.agg(*[
+            F.percentile(
+                F.when(~F.isnan(q(f).cast("double")), q(f).cast("double")), qs_arr
+            ).alias(f"e{i}")
+            for i, f in enumerate(num_feats)
+        ]).collect()[0]
+        pairs = []
+        for i, f in enumerate(num_feats):
+            v = q(f)
+            interior = [float(e) for e in edges_row[f"e{i}"][1:-1]]  # outer → ±inf
             bin_expr = F.lit(0)
             for e in interior:
-                # np.histogram: right-open bins except the last; with -inf/
-                # +inf outer edges, index = #interior edges <= x
-                bin_expr = bin_expr + F.when(v.cast("double") >= F.lit(e), 1).otherwise(0)
+                # np.histogram: right-open bins except the last; with
+                # -inf/+inf outer edges, index = #interior edges <= x
+                bin_expr = bin_expr + F.when(
+                    v.cast("double") >= F.lit(e), 1
+                ).otherwise(0)
             # NaN joins null in the overflow bin: Spark orders NaN above
-            # every double (it would land in the top quantile bin), while
-            # the reference np.histogram excludes NaN and counts it with
-            # the nulls.
-            binned = d.withColumn(
-                "__bin__",
+            # every double, while np.histogram excludes NaN and the
+            # reference counts it with the nulls.
+            pairs += [
+                F.lit(f),
                 F.when(
                     v.isNull() | F.isnan(v.cast("double")), F.lit(n_bins)
                 ).otherwise(bin_expr).cast("int"),
-            )
-            counts = {
-                (r["__itv__"], r["__bin__"]): r["count"]
-                for r in binned.groupBy("__itv__", "__bin__").count().collect()
-            }
-            bins = list(range(n_bins + 1))
-        else:
-            totals_by_key = (
-                d.filter(v.isNotNull())
-                .groupBy(v.cast("string").alias("k"))
-                .count()
-                .collect()
-            )
-            # pandas rank(pct=True, method='average') ≥ cat_top_pct
-            import pandas as _pd
+            ]
+        melted = d.select(
+            "__itv__",
+            F.stack(F.lit(len(num_feats)), *pairs).alias("__feat__", "__bin__"),
+        )
+        num_counts = {
+            (r["__feat__"], r["__itv__"], r["__bin__"]): r["count"]
+            for r in melted.groupBy("__feat__", "__itv__", "__bin__").count().collect()
+        }
 
-            s = _pd.Series({r["k"]: r["count"] for r in totals_by_key})
-            keys = list(s.index[s.rank(pct=True) >= cat_top_pct]) if len(s) else []
-            key_set = set(keys)
-            kdf = d.withColumn(
-                "__bin__",
-                F.when(v.isNull(), F.lit("__null__")).otherwise(v.cast("string")),
-            ).filter(
-                F.col("__bin__").isin(list(key_set) + ["__null__"])
-            )
-            counts = {
-                (r["__itv__"], r["__bin__"]): r["count"]
-                for r in kdf.groupBy("__itv__", "__bin__").count().collect()
-            }
-            bins = keys + ["__null__"]
+    # ---- categorical: histogram-derived top keys + ONE count pass ------
+    cat_counts: dict = {}
+    cat_keys_by_feat: dict[str, list] = {f: [] for f in cat_feats}
+    if cat_feats:
+        cpairs = []
+        for f in cat_feats:
+            cpairs += [F.lit(f), q(f).cast("string")]
+        mc = d.select(
+            "__itv__",
+            F.stack(F.lit(len(cat_feats)), *cpairs).alias("__feat__", "__key__"),
+        )
+        key_counts = (
+            mc.filter(F.col("__key__").isNotNull())
+            .groupBy("__feat__", "__key__")
+            .count()
+        )
+        # pandas rank(pct=True, method='average') ≥ cat_top_pct, replayed
+        # from the count-frequency histogram: keys with equal counts share
+        # an average rank, so the pass/fail boundary is a count cutoff
+        hist_rows = (
+            key_counts.groupBy("__feat__", F.col("count").alias("__c__"))
+            .agg(F.count("*").alias("__n__"))
+            .collect()
+        )
+        hist: dict[str, list] = {}
+        for r in hist_rows:
+            hist.setdefault(r["__feat__"], []).append((r["__c__"], r["__n__"]))
+        cutoffs: dict[str, int] = {}
+        for f, pairs_h in hist.items():
+            pairs_h.sort()
+            n_keys = sum(n for _, n in pairs_h)
+            below = 0
+            for c, n in pairs_h:
+                avg_rank_pct = (below + (n + 1) / 2) / n_keys
+                if avg_rank_pct >= cat_top_pct:
+                    cutoffs[f] = int(c)
+                    break
+                below += n
+        # a feature can legitimately have NO cutoff (all keys tied → every
+        # avg rank 0.5 < cat_top_pct → pandas retains nothing); its
+        # '__null__' bin must still be counted, so the count pass is
+        # unconditional and cut_df may be empty
+        spark = df.sparkSession
+        cut_df = spark.createDataFrame(
+            list(cutoffs.items()), schema="__feat__ string, __cut__ long"
+        )
+        retained = (
+            key_counts.join(F.broadcast(cut_df), "__feat__")
+            .filter(F.col("count") >= F.col("__cut__"))
+        )
+        w = PWindow.partitionBy("__feat__").orderBy(
+            F.col("count").desc(), F.col("__key__")
+        )
+        retained = (
+            retained.withColumn("__rk__", F.row_number().over(w))
+            .filter(F.col("__rk__") <= max_cat_keys)
+            .select("__feat__", F.col("__key__").alias("__bin__"))
+            .withColumn("__keep__", F.lit(True))
+        )
+        binned = mc.withColumn(
+            "__bin__",
+            F.when(F.col("__key__").isNull(), F.lit("__null__"))
+            .otherwise(F.col("__key__")),
+        )
+        sel = binned.join(retained, ["__feat__", "__bin__"], "left").filter(
+            F.col("__keep__").isNotNull() | (F.col("__bin__") == "__null__")
+        )
+        for r in sel.groupBy("__feat__", "__itv__", "__bin__").count().collect():
+            cat_counts[(r["__feat__"], r["__itv__"], r["__bin__"])] = r["count"]
+        for (f, _itv, b) in cat_counts:
+            if b != "__null__" and b not in cat_keys_by_feat[f]:
+                cat_keys_by_feat[f].append(b)
+
+    # ---- driver-side PSI assembly (tiny count tables) ------------------
+    out: list[tuple[str, float]] = []
+    for feat in feature_cols:
+        if feat in num_set:
+            bins: list = list(range(n_bins + 1))
+            counts, src = num_counts, feat
+        else:
+            bins = cat_keys_by_feat.get(feat, []) + ["__null__"]
+            counts, src = cat_counts, feat
         ref_pct = _fill_zeroes(
-            [counts.get((itvs[0], b), 0) / itv_totals[itvs[0]] for b in bins]
+            [counts.get((src, itvs[0], b), 0) / itv_totals[itvs[0]] for b in bins]
         )
         psis = []
         for itv in itvs[1:]:
             cur_pct = _fill_zeroes(
-                [counts.get((itv, b), 0) / itv_totals[itv] for b in bins]
+                [counts.get((src, itv, b), 0) / itv_totals[itv] for b in bins]
             )
             psis.append(_psi_value(ref_pct, cur_pct))
         out.append((feat, float(agg_fn(psis)) if psis else None))
-    d.unpersist()
     return out
 
 

@@ -303,7 +303,15 @@ class CVMetricsHarness:
     def _score(self, est, x: pd.DataFrame, y: np.ndarray) -> float:
         if self.scorer.needs_proba:
             proba = est.predict_proba(x)
-            pred = proba[:, 1] if proba.shape[1] == 2 else proba.max(axis=1)
+            if proba.shape[1] != 2:
+                # proba.max(axis=1) into roc_auc would be a meaningless
+                # statistic — fail loudly rather than return a bogus metric
+                raise ValueError(
+                    f"probability scorer '{self.scorer.metric_name}' supports "
+                    f"binary targets only, got {proba.shape[1]} classes "
+                    "(use a multiclass-aware scoring instead)"
+                )
+            pred = proba[:, 1]
         else:
             pred = est.predict(x)
         return self.scorer.fn(np.asarray(y), pred)
@@ -387,10 +395,12 @@ class CVMetricsHarness:
         the pre-scored column directly, no estimators."""
         bsc = getattr(self, "_baseline_score_col", None)
         if bsc is not None and self.scorer.metric_name == "GINI":
+            # Reference asymmetry, replayed exactly (metrics.py:549-551):
+            # the EVAL-side baseline path returns RAW roc_auc — no GINI
+            # post-process, no multiplier — while the train-side path
+            # (cross_val_predict, metrics.py:475-481) post-processes.
             m = roc_auc_score(pdf[target_col].to_numpy(), pdf[bsc].to_numpy())
-            return CrossValResult(
-                _post_process(m, "GINI") * self.scorer.multiplier, None
-            )
+            return CrossValResult(float(m), None)
         if not self.estimators:
             return CrossValResult(None, None)
         raw = [

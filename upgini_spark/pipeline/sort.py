@@ -35,14 +35,21 @@ def rank_feature_columns(
 ) -> list[str]:
     """Order features by max(|Spearman|, |Pearson|) vs target desc,
     truncated at 7 dp, ties broken by sha256(column name) — the exact
-    reference tie discipline (sort.py:100-155)."""
+    reference tie discipline (sort.py:100-155).
+
+    The sample is a deterministic ``hash_sample_exact`` over the selected
+    columns, NOT a bare ``limit`` (r4 verdict item: an unordered limit
+    takes whichever partitions answer first, so at scale the correlation
+    ranking would be partition-biased and layout-dependent; the hash
+    sample returns the same rows on any cluster size)."""
     if not feature_cols:
         return []
-    pdf = (
-        df.select(*feature_cols, target_col)
-        .limit(sample_rows)
-        .toPandas()
-    )
+    from upgini_spark.functions.sampling import hash_sample_exact
+
+    sel = df.select(*feature_cols, target_col)
+    pdf = hash_sample_exact(
+        sel, sample_rows, [*feature_cols, target_col]
+    ).toPandas()
     y = pd.to_numeric(pdf[target_col], errors="coerce")
     scores: dict[str, float] = {}
     for c in feature_cols:
