@@ -2331,6 +2331,69 @@ def media_decode_real(spark, sf_dir):
 
 
 @_q(
+    "media_decode_png",
+    """
+    WITH ids AS (SELECT range AS id FROM range(0, 400)),
+    dims AS (
+      SELECT id, 4 + id % 5 AS w, 3 + id % 4 AS h FROM ids
+    ), means AS (
+      SELECT id, w, h,
+        CASE id % 3
+          WHEN 0 THEN (id % 256) / 255.0
+          WHEN 1 THEN CAST(h * (SELECT CAST(sum((id + 17 * x.range) % 256) AS BIGINT)
+                                FROM range(0, 9) x WHERE x.range < w) AS DOUBLE) / (w * h) / 255.0
+          ELSE CAST(h * (SELECT CAST(sum((id + 11 * x.range) % 256) AS BIGINT)
+                         FROM range(0, 9) x WHERE x.range < w) AS DOUBLE) / (w * h) / 255.0
+        END AS f0,
+        CASE id % 3
+          WHEN 0 THEN ((id * 7) % 256) / 255.0
+          WHEN 1 THEN ((id * 7) % 256) / 255.0
+          ELSE CAST(h * (SELECT CAST(sum((id + 11 * x.range) % 256) AS BIGINT)
+                         FROM range(0, 9) x WHERE x.range < w) AS DOUBLE) / (w * h) / 255.0
+        END AS f1,
+        CASE id % 3
+          WHEN 0 THEN ((id * 13) % 256) / 255.0
+          WHEN 1 THEN CAST(w * (SELECT CAST(sum((id + 29 * y.range) % 256) AS BIGINT)
+                                FROM range(0, 9) y WHERE y.range < h) AS DOUBLE) / (w * h) / 255.0
+          ELSE CAST(h * (SELECT CAST(sum((id + 11 * x.range) % 256) AS BIGINT)
+                         FROM range(0, 9) x WHERE x.range < w) AS DOUBLE) / (w * h) / 255.0
+        END AS f2
+      FROM dims
+    )
+    SELECT 'p' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+           'png' AS format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(f0, 6) AS f0, round(f1, 6) AS f1, round(f2, 6) AS f2,
+           round(0.2126 * f0 + 0.7152 * f1 + 0.0722 * f2, 6) AS f3
+    FROM means
+    """,
+)
+def media_decode_png(spark, sf_dir):
+    """Pure-stdlib PNG decode (r5, multimodal._decode_png): the payloads
+    are genuine PNG files — IHDR/IDAT/IEND chunk stream, CRC32, zlib
+    deflate — synthesized per id inside an Arrow kernel with every
+    scanline FILTER TYPE cycled per row ((id+y) % 5), across grayscale /
+    RGB / RGBA color types. The oracle replays the closed-form channel
+    means (solid colors and modular x/y gradients) with the decoder's
+    exact division sequence (sum / n / 255.0), so a wrong unfilter
+    branch, chunk walk, stride, or alpha handling hash-fails. No
+    reference counterpart (upgini has no media surface) — semantics
+    defined here, like the r4 WAV/PPM/Y4M work."""
+    from upgini_spark.functions.multimodal import decode_media, synthetic_png_media
+
+    out = decode_media(synthetic_png_media(spark, 400))
+
+    def fe(i):
+        return F.round(F.try_element_at("features", F.lit(i)), 6)
+
+    return out.select(
+        "media_id", "format", "width", "height",
+        fe(1).alias("f0"), fe(2).alias("f1"), fe(3).alias("f2"),
+        fe(4).alias("f3"),
+    )
+
+
+@_q(
     "media_resize",
     """
     WITH ids AS (SELECT range AS id FROM range(0, 400))

@@ -267,6 +267,68 @@ def test_resize_corrupt_p6_nulls_geometry(spark):
     assert (out["w"]["width"], out["w"]["height"]) == (7, 7)  # non-PPM skipped
 
 
+def test_png_decode_all_filters_and_color_types():
+    """Round-trip through the stdlib PNG codec: every scanline filter ×
+    every supported color type reproduces exact closed-form channel
+    means; unsupported shapes raise."""
+    import struct
+    import zlib
+
+    from upgini_spark.functions.multimodal import _decode_png, _encode_png
+
+    w, h = 7, 5
+    rgb_rows = []
+    for y in range(h):
+        r = bytearray()
+        for x in range(w):
+            r += bytes([(x * 31 + y * 57) % 256, (x * 3 + y) % 256, (y * 91 + x * 5) % 256])
+        rgb_rows.append(bytes(r))
+    exp_r = sum((x * 31 + y * 57) % 256 for x in range(w) for y in range(h)) / (w * h) / 255.0
+    for filters in ([0], [1], [2], [3], [4], [3, 4, 1, 2, 0]):
+        dw, dh, feats = _decode_png(_encode_png(w, h, rgb_rows, 2, filters))
+        assert (dw, dh) == (w, h)
+        assert feats[0] == pytest.approx(exp_r, abs=1e-15), filters
+    # RGBA: alpha ignored; grayscale: r == g == b
+    rgba = [bytes(b for x in range(w) for b in ((x * 9 + y) % 256, 10, (y * 13) % 256, 7))
+            for y in range(h)]
+    _, _, f4 = _decode_png(_encode_png(w, h, rgba, 6, [4, 3, 2, 1, 0]))
+    assert f4[1] == pytest.approx(10 / 255, abs=1e-15)
+    gray = [bytes((x + y * 3) % 256 for x in range(w)) for y in range(h)]
+    _, _, fg = _decode_png(_encode_png(w, h, gray, 0, [1, 2, 3, 4]))
+    assert fg[0] == fg[1] == fg[2]
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    for ihdr in (
+        struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),  # 16-bit
+        struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0),   # palette
+        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1),   # interlaced
+    ):
+        bad = sig + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", zlib.compress(bytes(64))) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError):
+            _decode_png(bad)
+
+
+def test_decode_media_sniffs_png(spark):
+    """decode_media routes PNG by its 8-byte signature alongside WAV/P6,
+    and a truncated PNG surfaces as 'corrupt'."""
+    from upgini_spark.functions.multimodal import _encode_png, decode_media
+
+    png = _encode_png(3, 2, [bytes([5, 6, 7]) * 3] * 2, 2, [4])
+    rows = [("p", png), ("c", png[:24]), ("x", b"\x00\x01nothing")]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert out["p"]["format"] == "png"
+    assert (out["p"]["width"], out["p"]["height"]) == (3, 2)
+    assert out["p"]["features"][0] == pytest.approx(5 / 255, abs=1e-15)
+    assert out["c"]["format"] == "corrupt"
+    assert out["x"]["format"] == "unknown"
+
+
 def test_decode_ppm_delegates_to_parse_ppm():
     """_decode_ppm must compute stats from _parse_ppm (one header parser
     repo-wide — the r4 duplicate drifted once already)."""

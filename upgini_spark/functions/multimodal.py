@@ -4,11 +4,14 @@ The full quartet — decode, feature-extract, resize, frame-sample — runs
 as Arrow ``mapInPandas`` kernels. Since round 4 the decode is REAL for
 every dependency-free format: PCM WAV (stdlib ``wave``), binary P6 PPM
 (byte-precise header parser), and uncompressed Cmono Y4M video (with
-every-k-th-frame sampling); nearest-neighbor PPM resize re-emits valid
-payloads. Each stage is verified against closed-form ground truth of
-synthesized real files (see the media_* oracles in __spark_entry__.py).
-Heavy-codec formats (JPEG/PNG/MP3/MP4 — no codec libraries in this
-container) remain behind the clearly marked stub: ``decode_media`` tags
+every-k-th-frame sampling); round 5 adds full PNG (zlib inflate + all
+five scanline filters, gray/RGB/RGBA) — the single most common image
+format a real pipeline ingests; nearest-neighbor PPM resize re-emits
+valid payloads. Each stage is verified against closed-form ground truth
+of synthesized real files (see the media_* oracles in
+__spark_entry__.py). Heavy-codec formats (JPEG/MP3/MP4 — no codec
+libraries in this container) remain behind the clearly marked stub:
+``decode_media`` tags
 them format='unknown', and ``extract_media_features(strict=True)``
 raises at the stub boundary. The sha256 fake-embedding path stays as the
 engine-portable determinism oracle for the Arrow plumbing itself.
@@ -195,6 +198,161 @@ def _decode_ppm(content: bytes):
     return w, h, [float(means[0]), float(means[1]), float(means[2]), float(lum)]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(content: bytes):
+    """Pure-stdlib PNG decode (r5): IHDR parse + concatenated-IDAT zlib
+    inflate + the five scanline filters (None/Sub/Up/Average/Paeth),
+    per the PNG spec. Supports non-interlaced 8-bit grayscale (color
+    type 0), RGB (2), and RGBA (6) — alpha is ignored by the features;
+    palette/16-bit/interlaced raise so the row is tagged 'corrupt'.
+    Returns (width, height, [mean_r, mean_g, mean_b, luminance]) in
+    [0, 1], the same feature contract as the P6 path.
+
+    Per-pixel Python is fine here because images arrive pre-batched via
+    Arrow and the synthetic fixtures are small; a numpy unfilter (row-
+    vectorized for Up/Average, scalar-scan for Sub/Paeth) is the drop-in
+    hot-path upgrade if real volumes ever hit this kernel."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a png")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos:pos + 4]), content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"unsupported png (depth={depth}, interlace={interlace})")
+    bpp = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if bpp is None:
+        raise ValueError(f"unsupported color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated png data")
+    prev = bytearray(stride)
+    sums = [0, 0, 0]
+    off = 0
+    for _y in range(h):
+        ft = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        off += stride + 1
+        if ft == 1:    # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up_left = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter type {ft}")
+        if color_type == 0:
+            s = sum(line)
+            sums[0] += s
+            sums[1] += s
+            sums[2] += s
+        else:
+            for i in range(0, stride, bpp):
+                sums[0] += line[i]
+                sums[1] += line[i + 1]
+                sums[2] += line[i + 2]
+        prev = line
+    n = w * h
+    means = [s / n / 255.0 for s in sums]
+    lum = 0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2]
+    return w, h, [float(means[0]), float(means[1]), float(means[2]), float(lum)]
+
+
+def _encode_png(
+    w: int, h: int, rows: list[bytes], color_type: int = 2,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Minimal valid PNG encoder (fixture-side): unfiltered pixel rows in,
+    spec-correct chunk stream out (CRC32 per chunk). ``row_filters``
+    applies a real scanline filter per row, so round-trip fixtures can
+    exercise every decoder filter branch with closed-form pixel truth."""
+    import struct
+    import zlib
+
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * bpp
+    filtered = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        ft = row_filters[y % len(row_filters)] if row_filters else 0
+        filtered.append(ft)
+        if ft == 0:
+            filtered += row
+        elif ft == 1:
+            filtered += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:
+            filtered += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:
+            filtered += bytes(
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 4:
+            filtered += bytes(
+                (row[i] - _paeth(
+                    row[i - bpp] if i >= bpp else 0,
+                    prev[i],
+                    prev[i - bpp] if i >= bpp else 0,
+                )) & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"bad filter {ft}")
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Real decode stage: sniff the payload's magic bytes and parse WAV /
     PPM with stdlib-only decoders inside one Arrow ``mapInPandas``
@@ -224,6 +382,10 @@ def decode_media(df: DataFrame) -> DataFrame:
                     elif content[:2] == b"P6":
                         w, h, feats = _decode_ppm(bytes(content))
                         rec.update(format="ppm", width=w, height=h,
+                                   features=feats)
+                    elif content[:8] == _PNG_SIG:
+                        w, h, feats = _decode_png(bytes(content))
+                        rec.update(format="png", width=w, height=h,
                                    features=feats)
                 except Exception:
                     rec["format"] = "corrupt"  # keep the row, flag it
@@ -390,6 +552,63 @@ def synthetic_y4m(spark, n_rows: int) -> DataFrame:
                 recs.append({
                     "media_id": f"v{i:09d}", "media_type": "video",
                     "content": bytes(buf), "mime": None, "width": None,
+                    "height": None, "duration_ms": None,
+                })
+            out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+            for c in ("width", "height", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return spark.range(n_rows).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthetic_png_media(spark, n_rows: int) -> DataFrame:
+    """Rows of REAL PNG payloads, deterministically synthesized per id
+    inside an Arrow kernel. Three variants by id % 3 — solid RGB,
+    gradient RGBA, gradient grayscale — and every row cycles through the
+    five scanline filters ((id + y) % 5), so decode exercises each
+    unfilter branch while every channel mean stays a CLOSED FORM of the
+    id (replayable in oracle SQL):
+
+    - id%3==0: solid RGB (id%256, id*7%256, id*13%256)
+    - id%3==1: RGBA, r = (id+17x)%256 (x-gradient), g = id*7%256 solid,
+      b = (id+29y)%256 (y-gradient), alpha 255 (ignored by features)
+    - id%3==2: grayscale v = (id+11x)%256 (x-gradient)
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                filters = [(i + y) % 5 for y in range(h)]
+                if i % 3 == 0:
+                    px = bytes([i % 256, (i * 7) % 256, (i * 13) % 256]) * w
+                    content = _encode_png(
+                        w, h, [px] * h, color_type=2, row_filters=filters
+                    )
+                elif i % 3 == 1:
+                    rows = []
+                    for y in range(h):
+                        row = bytearray()
+                        for x in range(w):
+                            row += bytes([
+                                (i + 17 * x) % 256, (i * 7) % 256,
+                                (i + 29 * y) % 256, 255,
+                            ])
+                        rows.append(bytes(row))
+                    content = _encode_png(
+                        w, h, rows, color_type=6, row_filters=filters
+                    )
+                else:
+                    row = bytes((i + 11 * x) % 256 for x in range(w))
+                    content = _encode_png(
+                        w, h, [row] * h, color_type=0, row_filters=filters
+                    )
+                recs.append({
+                    "media_id": f"p{i:09d}", "media_type": "image",
+                    "content": content, "mime": "image/png", "width": None,
                     "height": None, "duration_ms": None,
                 })
             out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
