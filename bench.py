@@ -139,6 +139,48 @@ def main() -> None:
         per_query[name] = round(_steady_time(lambda n=name: qs[n](spark, SF_DIR)), 3)
     per_query["flagship_enrich"] = round(t_flagship, 3)
 
+    # --- co-bucketed zero-exchange flagship variant (r5) ------------------
+    # Both sides written bucketed on the join key (fixed 64 buckets so the
+    # 8-core and 32-core runs read the SAME layout): the as-of plans as a
+    # bucket-to-bucket sort-merge join and every window reuses the left
+    # table's clustering — the token payload never crosses an Exchange.
+    # The one-time layout write is reported separately (amortized cost).
+    from upgini_spark.joins.asof import asof_join_hist, build_asof_hist
+    from upgini_spark.sources.io import write_bucketed
+
+    sf_tag = sf_name.replace(".", "_")
+    lb_name, hb_name = f"bench_seq_bkt_{sf_tag}", f"bench_hist_bkt_{sf_tag}"
+    if not spark.catalog.tableExists(lb_name) or not spark.catalog.tableExists(hb_name):
+        t0 = time.time()
+        write_bucketed(left, lb_name, ["doc_id"], 64,
+                       sort_cols=["doc_id", "event_time"])
+        write_bucketed(build_asof_hist(right, "feature_ts", ["entity_id"]),
+                       hb_name, ["entity_id"], 64)
+        per_query["bucketed_layout_write_once"] = round(time.time() - t0, 3)
+    bl, bh = spark.table(lb_name), spark.table(hb_name)
+
+    def flagship_bucketed():
+        enriched = asof_join_hist(
+            bl, bh, "event_time", ["doc_id"], ["entity_id"], keep_match_ts=True,
+        )
+        feat = roll_features(
+            enriched, "event_time", ["doc_id"], "f_ext_num_1",
+            [(7, "D", "mean"), (7, "D", "std"), (30, "D", "max"), (1, "D", "count")],
+        )
+        return sessionize(feat, "event_time", ["doc_id"], gap_seconds=86400,
+                          tie_cols=["n_tok"])
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_exchanges = flagship_bucketed()._jdf.queryExecution().executedPlan(
+        ).toString().count("Exchange")
+        flagship_bucketed().write.format("noop").mode("overwrite").save()  # warm-up
+        t_bucketed = _steady_time(flagship_bucketed, runs=5)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    per_query["flagship_bucketed"] = round(t_bucketed, 3)
+    bucketed_seq_per_sec = n_rows / t_bucketed
+
     # --- pipeline-level composite: normalize → validate → dedup →
     # record-ids → as-of enrich over the events table (the fit lifecycle,
     # tests/test_lifecycle_e2e.py shape, at benchmark scale). Timed END TO
@@ -217,6 +259,8 @@ def main() -> None:
         "queries": per_query,
         "sf": sf_name,
         "sequences_per_sec": round(sequences_per_sec, 1),
+        "bucketed_sequences_per_sec": round(bucketed_seq_per_sec, 1),
+        "flagship_bucketed_exchanges": n_exchanges,
         "seq_rows": n_rows,
         "cpus": CPUS,
     }))

@@ -277,48 +277,71 @@ def _asof_arrow(
     )
 
 
-def _asof_broadcast(
-    left: DataFrame,
-    right: DataFrame,
-    left_on: str,
-    right_on: str,
-    by_left: list[str],
-    by_right: list[str],
-    direction: str,
-    tolerance_seconds: float | None,
-    keep_match_ts: bool,
+def build_asof_hist(
+    right: DataFrame, right_on: str, by_right: list[str]
 ) -> DataFrame:
-    """Broadcast engine: right side collapsed to one row per entity holding
-    its time-sorted history array, then broadcast-joined — the LEFT side is
-    never shuffled. This is the 100TB plan whenever the feature source is
-    dimension-sized (the common feature-store case): per-row work is a scan
-    of that entity's (small) history with higher-order functions; zero
-    exchanges on the event stream."""
+    """Collapse the feature source to one row per entity holding its
+    time-sorted history array (``__hist__``: array<struct<__t__, vcols>>).
+    The reusable half of the broadcast/co-bucketed engines: build once,
+    join many — and ``sources.io.write_bucketed`` this frame (bucketed by
+    the entity keys) to make every later as-of join exchange-free."""
     vcols = _value_cols(right, right_on, by_right)
+    return right.groupBy(*by_right).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(right_on).alias("__t__"), *vcols)),
+            asc=True,
+        ).alias("__hist__")
+    )
+
+
+def asof_join_hist(
+    left: DataFrame,
+    hist: DataFrame,
+    left_on: str,
+    by_left: list[str] | str,
+    by_hist: list[str] | str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    keep_match_ts: bool = False,
+    broadcast: bool = False,
+) -> DataFrame:
+    """As-of join against a pre-built :func:`build_asof_hist` frame.
+
+    With ``broadcast=True`` the hist side ships to every task (the
+    dimension-sized feature-store case — zero exchanges on the event
+    stream). With ``broadcast=False`` the join plans as a sort-merge
+    join: when BOTH sides are read from tables bucketed on the join keys
+    with the same bucket count (``write_bucketed``), the plan has ZERO
+    Exchange anywhere — the token payload never crosses a shuffle, and
+    downstream windows partitioned by the same keys reuse the bucketed
+    clustering (the flagship_bucketed bench plan asserts this)."""
+    by_left = [by_left] if isinstance(by_left, str) else list(by_left)
+    by_hist = by_left if by_hist is None else (
+        [by_hist] if isinstance(by_hist, str) else list(by_hist)
+    )
+    vcols = [
+        f.name
+        for f in hist.schema["__hist__"].dataType.elementType.fields
+        if f.name != "__t__"
+    ]
     clash = set(vcols) & set(left.columns)
     if clash:
-        raise ValueError(f"right value columns clash with left: {sorted(clash)}")
+        raise ValueError(f"hist value columns clash with left: {sorted(clash)}")
 
     # Alias the hist-side keys to temp names BEFORE the join: when
-    # by_right == by_left (the default) the raw join would leave duplicate
+    # by_hist == by_left (the default) the raw join would leave duplicate
     # same-named key columns and the final select-by-name hits
-    # AMBIGUOUS_REFERENCE.
-    tmp_keys = [f"__asof_k{i}__" for i in range(len(by_right))]
-    hist = (
-        right.groupBy(*by_right)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(right_on).alias("__t__"), *vcols)),
-                asc=True,
-            ).alias("__hist__")
-        )
-        .select(
-            *[F.col(rb).alias(tk) for rb, tk in zip(by_right, tmp_keys)],
-            "__hist__",
-        )
+    # AMBIGUOUS_REFERENCE. Plain aliases — project is alias-aware, so the
+    # hist table's bucketed output partitioning survives the rename.
+    tmp_keys = [f"__asof_k{i}__" for i in range(len(by_hist))]
+    hist_sel = hist.select(
+        *[F.col(rb).alias(tk) for rb, tk in zip(by_hist, tmp_keys)],
+        "__hist__",
     )
+    if broadcast:
+        hist_sel = F.broadcast(hist_sel)
     cond = [left[lb] == F.col(tk) for lb, tk in zip(by_left, tmp_keys)]
-    joined = left.join(F.broadcast(hist), on=cond, how="left").drop(*tmp_keys)
+    joined = left.join(hist_sel, on=cond, how="left").drop(*tmp_keys)
 
     t = F.col(left_on)
     if direction == "backward":
@@ -340,3 +363,28 @@ def _asof_broadcast(
         out_cols.append(picked["__t__"].alias("matched_ts"))
     out_cols.extend(picked[c].alias(c) for c in vcols)
     return joined.select(*out_cols)
+
+
+def _asof_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by_left: list[str],
+    by_right: list[str],
+    direction: str,
+    tolerance_seconds: float | None,
+    keep_match_ts: bool,
+) -> DataFrame:
+    """Broadcast engine: right side collapsed to one row per entity holding
+    its time-sorted history array, then broadcast-joined — the LEFT side is
+    never shuffled. This is the 100TB plan whenever the feature source is
+    dimension-sized (the common feature-store case): per-row work is a scan
+    of that entity's (small) history with higher-order functions; zero
+    exchanges on the event stream."""
+    hist = build_asof_hist(right, right_on, by_right)
+    return asof_join_hist(
+        left, hist, left_on, by_left, by_right,
+        direction=direction, tolerance_seconds=tolerance_seconds,
+        keep_match_ts=keep_match_ts, broadcast=True,
+    )
