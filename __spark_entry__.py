@@ -513,53 +513,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates exactly the FIRST 50 registered queries per round, so
-# registration order is the coverage lever. Round-4 window (VERDICT r03 item
-# 1 — pay down the rotation debt; priority order):
-#   1. never driver-verified (r3 late additions) + queries NEW in r4
-#      (rank AUC, imbalance decisions);
-#   2. queries whose CODE changed in r4: LSH plane literals, phone
-#      float-overflow path, TS-split guards, single-job fintech gates,
-#      bigint running-sum consumers, staged simhash/shingle builders;
-#   3. the 9 r01-stale rows that yielded their slots in r3;
-#   4. the OLDEST r02-stale rows (20 of 39).
-# Remaining r02-stale rows (trend_coefficient_daily, eval_set_combine,
-# target_correction, enrichment_hit_rate, outlier_dist_per_class,
-# asof_join_broadcast, ip_range_join, cyclical_intraday, psi_sparsity_halves,
-# formula_compiled_features, country_full_map, ip_v6_converters,
-# forced_downsample_binary, ts_modal_unit, psi_categorical, knn_cosine_ivf,
-# normalize_types_q, key_validity_filter) rotate in r05 — their code is
-# unchanged since r2 and the strict local oracle covers them.
-_R04_DRIVER_WINDOW = [
-    # 1. never driver-verified + new this round
-    "decontaminate_overlap", "define_task_decisions", "cv_group_kfold",
-    "rank_auc_by_type", "imbalance_decisions", "media_decode_real",
-    "media_frame_sample", "media_resize",
-    # 2. code changed in r4
-    "embedding_near_dup", "knn_cosine_lsh", "embedding_near_dup_auto",
-    "knn_cosine_lsh_auto", "key_converters", "phone_prefix_converters",
-    "cv_time_series_folds", "cv_blocked_folds", "ts_decisions",
-    "fintech_dedup_gated", "fintech_dedup_1h", "pack_sequences_512",
-    "pack_by_source_256", "ts_id_priority_sample", "simhash_32",
-    "repetition_share", "doc_fingerprints", "ngram_jaccard_pairs",
-    # 3. r01-stale (yielded in r3)
-    "binary_scalars", "vector_rowwise", "norm_and_bin", "dedup_full_rows",
-    "dedup_key_conflicts", "lang_id_heuristic", "ts_truncate_trailing_7d",
-    # 4. oldest r02-stale
-    "ewma_volatility_span10", "string_similarity_jw", "date_diff_ops",
-    "cyclical_date_features", "minhash_lsh_pairs", "undersample_imbalanced",
-    "undersample_multiclass", "date_percentile_bucket", "date_percentile_offset",
-    "cv_stratified_folds", "unnest_multi_keys", "one_hot_decode",
-    "cross_series_click_vs_purchase", "psi_quantile_halves",
-    "date_distribution_check", "is_time_series_stats", "multimodal_meta",
-    # (rolling_volatility_7d, rolling_volatility2_7d and
-    # volatility_ratio_7_to_14 yield their slots to the three new
-    # real-media queries — new queries outrank two-round-stale greens;
-    # all three rotate in r05)
+# registration order is the coverage lever. Round-5 window (VERDICT r04 item
+# 1 — finish the rotation debt; priority order):
+#   1. ALL 21 rows whose last driver attestation is round 2 (the full
+#      r02-stale backlog — after r05 no query is more than one round
+#      stale);
+#   2. queries NEW in r5 (media_decode_png);
+#   3. queries whose CODE changed in r5: psi_monthly (batched single-pass
+#      rewrite), system_record_ids (hash-sample ranking), the P6/PNG
+#      decode-path queries (media_decode_real, media_resize,
+#      multimodal_features);
+#   4. the oldest r03-stale rows (23 of 36), as-of family first (the
+#      broadcast-engine refactor touched the module).
+# Remaining r03-stale rows deferred to r06 (all golden-/property-covered
+# and unchanged since r3): unary_scalars, freq_operators, date_anniversary,
+# date_list_bounded, string_similarity, row_lag_delta, cross_series_ratio,
+# class_balance, quality_filter_decisions, pii_redaction_stats, text_stats,
+# time_lag_1d, trend_per_user.
+_R05_DRIVER_WINDOW = [
+    # 1. the full r02-stale backlog
+    "trend_coefficient_daily", "eval_set_combine", "target_correction",
+    "enrichment_hit_rate", "outlier_dist_per_class", "asof_join_broadcast",
+    "ip_range_join", "cyclical_intraday", "psi_sparsity_halves",
+    "formula_compiled_features", "country_full_map", "ip_v6_converters",
+    "forced_downsample_binary", "ts_modal_unit", "psi_categorical",
+    "knn_cosine_ivf", "normalize_types_q", "key_validity_filter",
+    "rolling_volatility_7d", "rolling_volatility2_7d",
+    "volatility_ratio_7_to_14",
+    # 2. new in r5
+    "media_decode_png",
+    # 3. code changed in r5
+    "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
+    "multimodal_features",
+    # 4. oldest r03-stale (as-of family first)
+    "asof_join_backward", "asof_join_forward", "asof_join_arrow",
+    "asof_join_tolerance", "cluster_assign", "cv_hash_kfold",
+    "date_list_aggs", "date_multiformat_parse", "dedup_components",
+    "enrich_entity_join", "feature_validator_stats", "groupby_then_ops",
+    "hash_sample_exact_1000", "ip_converters", "knn_cosine_ivf_kmeans",
+    "knn_cosine_top3", "minhash_signatures", "mix_sources_sample",
+    "psi_halves", "roll_quantiles_7d", "roll_windows_7d", "session_stats",
+    "sessionize_30m",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {k: _QUERIES[k] for k in _R04_DRIVER_WINDOW if k in _QUERIES}
+    out = {k: _QUERIES[k] for k in _R05_DRIVER_WINDOW if k in _QUERIES}
     out.update({k: v for k, v in _QUERIES.items() if k not in out})
     return out
 

@@ -68,6 +68,8 @@ HEADLINE = [
     "decontaminate_overlap",
     "simhash_32",
     "repetition_share",
+    # round 5: batched monthly-PSI report (track the per-feature-loop fix)
+    "psi_monthly",
 ]
 
 

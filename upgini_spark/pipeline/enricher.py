@@ -307,7 +307,53 @@ class SparkFeaturesEnricher:
         self.feature_importances_ = enriched_h.permutation_importance(
             train_pdf, target_col, "fold_id"
         )
+        # kept for the features-info report (≤ max_rows, already local —
+        # the reference also previews from the metrics sample frame)
+        self._metrics_train_pdf = train_pdf
         return report
+
+    def get_features_info(self):
+        """The post-fit features report (reference features_enricher.py:
+        4707-4836 __prepare_feature_importances + utils/feature_info.py):
+        one row per important feature — SHAP (display-rounded), PSI (when
+        :meth:`check_stability` ran), Coverage %, deterministic value
+        preview, provider/source resolution — ordered by (-shap, name),
+        zero-importance features skipped, drift column dropped when
+        empty. Returns the with-links frame and stores
+        ``features_info`` / ``_features_info_without_links`` like the
+        reference. Requires :meth:`calculate_metrics` first (importances
+        come from its CV harness)."""
+        from upgini_spark.pipeline.feature_info import (
+            FeatureMeta,
+            build_features_info,
+        )
+
+        imps = getattr(self, "feature_importances_", None)
+        if imps is None:
+            raise RuntimeError("get_features_info requires calculate_metrics first")
+        st = self.state
+        pdf = self._metrics_train_pdf
+        client = set(st.feature_cols)
+        generated = set(st.generated_formulas)
+        psi = getattr(self, "psi_values_", None) or {}
+        metas = [
+            FeatureMeta(
+                name=c,
+                shap_value=float(v),
+                hit_rate=(
+                    round(float(pdf[c].notna().mean()) * 100.0, 2)
+                    if c in pdf.columns else None
+                ),
+                psi_value=psi.get(c),
+            )
+            for c, v in imps.items()
+        ]
+        info, nolinks, _internal = build_features_info(
+            metas, pdf, client_features=client, generated_features=generated
+        )
+        self.features_info = info
+        self._features_info_without_links = nolinks
+        return info
 
     def check_stability(
         self,
