@@ -148,16 +148,18 @@ def main() -> None:
     # table's clustering — the token payload never crosses an Exchange.
     # The one-time layout write is reported separately (amortized cost).
     from upgini_spark.joins.asof import asof_join_hist, build_asof_hist
-    from upgini_spark.sources.io import write_bucketed
+    from upgini_spark.sources.io import ensure_bucketed
 
     sf_tag = sf_name.replace(".", "_")
     lb_name, hb_name = f"bench_seq_bkt_{sf_tag}", f"bench_hist_bkt_{sf_tag}"
-    if not spark.catalog.tableExists(lb_name) or not spark.catalog.tableExists(hb_name):
-        t0 = time.time()
-        write_bucketed(left, lb_name, ["doc_id"], 64,
-                       sort_cols=["doc_id", "event_time"])
-        write_bucketed(build_asof_hist(right, "feature_ts", ["entity_id"]),
-                       hb_name, ["entity_id"], 64)
+    t0 = time.time()
+    ensure_bucketed(spark, lambda: left, lb_name, ["doc_id"], 64,
+                    sort_cols=["doc_id", "event_time"])
+    ensure_bucketed(
+        spark, lambda: build_asof_hist(right, "feature_ts", ["entity_id"]),
+        hb_name, ["entity_id"], 64,
+    )
+    if time.time() - t0 > 1.0:  # a real write happened, not a re-register
         per_query["bucketed_layout_write_once"] = round(time.time() - t0, 3)
     bl, bh = spark.table(lb_name), spark.table(hb_name)
 

@@ -257,6 +257,45 @@ def test_cobucketed_flagship_zero_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_hist_r5")
 
 
+def test_register_bucketed_restores_shuffle_free_plan(spark, tmp_path):
+    """A bucketed layout written in one session can be re-registered in a
+    fresh catalog (register_bucketed DDL over the existing files) and
+    still joins shuffle-free — ephemeral in-memory catalogs forget
+    managed tables between sessions while the bucket-suffixed files
+    survive."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from upgini_spark.sources.io import register_bucketed, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(500).select(
+            (F.col("id") % 40).alias("k"), F.col("id").alias("x")
+        )
+        write_bucketed(df, "bkt_orig_r5", ["k"], 8, sort_cols=["k", "x"])
+        src_loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED bkt_orig_r5")
+            .filter(F.col("col_name") == "Location").collect()[0]["data_type"]
+        ).removeprefix("file:")
+        # simulate "files survive, catalog forgot": copy layout elsewhere
+        dst = str(tmp_path / "bkt_copy_r5")
+        shutil.copytree(src_loc, dst)
+        register_bucketed(spark, "bkt_copy_r5", dst, ["k"], 8, sort_cols=["k", "x"])
+        a, b = spark.table("bkt_orig_r5"), spark.table("bkt_copy_r5")
+        joined = a.join(b.withColumnRenamed("x", "y"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        # k = id % 40 over 500 ids: keys 0-19 have 13 rows, 20-39 have 12
+        assert joined.count() == 20 * 13 * 13 + 20 * 12 * 12
+        # content parity
+        assert sorted(r["x"] for r in b.collect()) == list(range(500))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_orig_r5")
+        spark.sql("DROP TABLE IF EXISTS bkt_copy_r5")
+
+
 # ---------------------------------------------------------------------------
 # metrics harness: reference asymmetries (ADVICE r4)
 # ---------------------------------------------------------------------------

@@ -70,14 +70,16 @@ def main() -> None:
 
     if BUCKETED:
         from upgini_spark.joins.asof import asof_join_hist, build_asof_hist
-        from upgini_spark.sources.io import write_bucketed
+        from upgini_spark.sources.io import ensure_bucketed
 
         lb, hb = f"scaling_seq_bkt_{N_ROWS}", f"scaling_hist_bkt_{N_ROWS}"
-        if not spark.catalog.tableExists(lb) or not spark.catalog.tableExists(hb):
-            write_bucketed(left, lb, ["doc_id"], SHUFFLE_PARTITIONS,
-                           sort_cols=["doc_id", "event_time"])
-            write_bucketed(build_asof_hist(right, "feature_ts", ["entity_id"]),
-                           hb, ["entity_id"], SHUFFLE_PARTITIONS)
+        ensure_bucketed(spark, lambda: left, lb, ["doc_id"],
+                        SHUFFLE_PARTITIONS, sort_cols=["doc_id", "event_time"])
+        ensure_bucketed(
+            spark,
+            lambda: build_asof_hist(right, "feature_ts", ["entity_id"]),
+            hb, ["entity_id"], SHUFFLE_PARTITIONS,
+        )
         left, hist = spark.table(lb), spark.table(hb)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 

@@ -133,3 +133,60 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table_name)
+
+
+def register_bucketed(
+    spark,
+    table_name: str,
+    location: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Re-register an existing :func:`write_bucketed` layout in a fresh
+    session's catalog as an EXTERNAL bucketed table. An ephemeral
+    in-memory catalog forgets managed tables between sessions while the
+    bucket-suffixed parquet files stay on disk — re-creating the table
+    would fail with LOCATION_ALREADY_EXISTS, and reading the files as
+    plain parquet would lose the bucket spec (and the shuffle-free
+    plans). The bucket/sort spec passed here must match the original
+    write."""
+    schema = spark.read.parquet(location).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    bcols = ", ".join(f"`{c}`" for c in bucket_cols)
+    sort_clause = (
+        " SORTED BY (" + ", ".join(f"`{c}`" for c in sort_cols) + ")"
+        if sort_cols else ""
+    )
+    spark.sql(
+        f"CREATE TABLE `{table_name}` ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({bcols}){sort_clause} INTO {n_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+
+
+def ensure_bucketed(
+    spark,
+    df_build,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Idempotent bucketed layout: already in the catalog → no-op; files
+    on disk from an earlier session → re-register; otherwise build the
+    DataFrame via ``df_build()`` and write it."""
+    import os
+
+    if spark.catalog.tableExists(table_name):
+        return
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.abspath("spark-warehouse")
+    ).removeprefix("file:")
+    location = os.path.join(warehouse, table_name)
+    if os.path.isdir(location):
+        register_bucketed(
+            spark, table_name, location, bucket_cols, n_buckets, sort_cols
+        )
+    else:
+        write_bucketed(df_build(), table_name, bucket_cols, n_buckets, sort_cols)
