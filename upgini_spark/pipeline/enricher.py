@@ -160,17 +160,37 @@ class SparkFeaturesEnricher:
             cyc = cyclical_features(F.col(st.ts_col))
             out = out.select("*", *[e.alias(name) for name, e in cyc.items()])
 
-        out = asof_join(
-            out,
-            self.feature_source,
-            left_on=st.ts_col,
-            right_on=self.source_ts_col,
-            by_left=st.entity_col,
-            by_right=self.source_entity_col,
-            engine=self.asof_engine,
-            salt=self.salt,
-            keep_match_ts=True,
-        )
+        if self.asof_engine in ("hist", "hist_broadcast"):
+            # collapse the feature source ONCE per enricher (r5): repeated
+            # transform() calls (train + eval segments + OOT) reuse the
+            # same per-entity history frame instead of re-running the
+            # groupBy + sort_array collapse each time. 'hist' sort-merge
+            # joins (shuffle-free when the hist rides a bucketed table —
+            # see sources/io.write_bucketed); 'hist_broadcast' ships it.
+            from upgini_spark.joins.asof import asof_join_hist, build_asof_hist
+
+            if getattr(self, "_hist", None) is None:
+                self._hist = build_asof_hist(
+                    self.feature_source, self.source_ts_col,
+                    [self.source_entity_col],
+                ).localCheckpoint(eager=True)
+            out = asof_join_hist(
+                out, self._hist, st.ts_col, [st.entity_col],
+                [self.source_entity_col], keep_match_ts=True,
+                broadcast=(self.asof_engine == "hist_broadcast"),
+            )
+        else:
+            out = asof_join(
+                out,
+                self.feature_source,
+                left_on=st.ts_col,
+                right_on=self.source_ts_col,
+                by_left=st.entity_col,
+                by_right=self.source_entity_col,
+                engine=self.asof_engine,
+                salt=self.salt,
+                keep_match_ts=True,
+            )
         if st.generated_formulas:
             out = compile_features(out, st.generated_formulas, ts_col=st.ts_col)
         return out
