@@ -529,7 +529,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # and unchanged since r3): unary_scalars, freq_operators, date_anniversary,
 # date_list_bounded, string_similarity, row_lag_delta, cross_series_ratio,
 # class_balance, quality_filter_decisions, pii_redaction_stats, text_stats,
-# time_lag_1d, trend_per_user.
+# time_lag_1d, trend_per_user, sessionize_30m (yielded its fill slot to
+# the new search_key_autodetect — new queries outrank one-round-stale
+# greens; session_stats still covers the sessionize operator this round).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -541,7 +543,7 @@ _R05_DRIVER_WINDOW = [
     "rolling_volatility_7d", "rolling_volatility2_7d",
     "volatility_ratio_7_to_14",
     # 2. new in r5
-    "media_decode_png",
+    "media_decode_png", "search_key_autodetect",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
@@ -553,7 +555,6 @@ _R05_DRIVER_WINDOW = [
     "hash_sample_exact_1000", "ip_converters", "knn_cosine_ivf_kmeans",
     "knn_cosine_top3", "minhash_signatures", "mix_sources_sample",
     "psi_halves", "roll_quantiles_7d", "roll_windows_7d", "session_stats",
-    "sessionize_30m",
 ]
 
 
@@ -3613,6 +3614,105 @@ def key_validity_filter(spark, sf_dir):
     filtered, _stats = filter_invalid_keys(c, flags)
     return filtered.select(
         "c_custkey", K.clean_old_dates(F.col("dt")).alias("clean_dt")
+    )
+
+
+@_q(
+    "search_key_autodetect",
+    """
+    WITH r AS (SELECT range AS i FROM range(0, 80)),
+    shares AS (
+      SELECT
+        sum(CASE WHEN regexp_full_match(
+              CASE WHEN i % 10 < 6
+                   THEN '2023-01-' || lpad(CAST(i % 27 + 1 AS VARCHAR), 2, '0')
+                   ELSE 'x' || CAST(i AS VARCHAR) END,
+              '\\d{4}-\\d{2}-\\d{2}([ T].*)?') THEN 1 ELSE 0 END) * 1.0
+          / count(*) AS event_date_share,
+        sum(CASE WHEN regexp_full_match(
+              CASE WHEN i % 20 != 0 THEN CAST(20230000 + i AS VARCHAR)
+                   ELSE 'abc' END,
+              '\\d{8}') THEN 1 ELSE 0 END) * 1.0 / count(*) AS ref_code_share,
+        sum(CASE WHEN regexp_full_match(
+              CASE WHEN i % 5 = 0 THEN 'u' || CAST(i AS VARCHAR) || '@mail.com'
+                   ELSE 'note ' || CAST(i AS VARCHAR) END,
+              '[^@ ]+@[^@ ]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) * 1.0
+          / count(*) AS contact_share,
+        sum(CASE WHEN regexp_full_match(
+              CASE WHEN i % 5 != 0 THEN '+49 30 ' || CAST(1000000 + i AS VARCHAR)
+                   ELSE 'n/a' END,
+              '\\+?[0-9 ()\\-.]{8,20}') THEN 1 ELSE 0 END) * 1.0
+          / count(*) AS mobile_share,
+        sum(CASE WHEN upper(regexp_replace(
+              CASE WHEN i % 3 = 0
+                   THEN CASE (i // 3) % 3 WHEN 0 THEN 'Germany'
+                        WHEN 1 THEN 'France' ELSE 'Brazil' END
+                   ELSE 'zone ' || CAST(i AS VARCHAR) END,
+              '[^A-Za-z]', '', 'g'))
+              IN ('GERMANY', 'FRANCE', 'BRAZIL') THEN 1 ELSE 0 END) * 1.0
+          / count(*) AS origin_share,
+        sum(CASE WHEN regexp_full_match(
+              CASE WHEN i % 4 != 0 THEN CAST(10000 + i AS VARCHAR)
+                   ELSE 'B1' END,
+              '[0-9]{4,6}|[A-Za-z][0-9][A-Za-z] ?[0-9][A-Za-z][0-9]')
+              THEN 1 ELSE 0 END) * 1.0 / count(*) AS post_box_share
+      FROM r
+    )
+    SELECT column_name, key_type FROM (
+      SELECT 'email' AS column_name, 'EMAIL' AS key_type, TRUE AS keep
+      UNION ALL SELECT 'stamp', 'DATE', TRUE
+      UNION ALL SELECT 'country', 'COUNTRY', TRUE
+      UNION ALL SELECT 'zip_code', 'POSTAL_CODE', TRUE
+      UNION ALL SELECT 'event_date', 'DATE', event_date_share >= 0.5 FROM shares
+      UNION ALL SELECT 'ref_code', 'DATE', ref_code_share >= 0.9 FROM shares
+      UNION ALL SELECT 'contact', 'EMAIL', contact_share > 0.1 FROM shares
+      UNION ALL SELECT 'mobile_line', 'PHONE', mobile_share > 0.5 FROM shares
+      UNION ALL SELECT 'origin', 'COUNTRY', origin_share > 0.1 FROM shares
+      UNION ALL SELECT 'post_box', 'POSTAL_CODE', post_box_share > 0.5 FROM shares
+    ) WHERE keep
+    """,
+)
+def search_key_autodetect(spark, sf_dir):
+    """Search-key autodetection as an oracle query (r5; reference
+    features_enricher.py:5198-5265 + utils/*_utils.py detectors, lowered
+    in pipeline/autodetect.py): a deterministic 80-row frame hits every
+    ladder branch — name rules (email/country/zip), dtype rule
+    (timestamp), name-hint+0.5 and bare-0.9 date-share rules, the >0.1
+    email/country value shares, the phone name-hint+shape rule, and the
+    'post'+shape postal rule — plus a noise column that must be OMITTED.
+    The oracle recomputes every share with the same regexes over the
+    same generated values (name/dtype rules are data-independent
+    constants there, as in the reference), so a threshold, regex, or
+    normalization drift on either side breaks the hash."""
+    import datetime as _dt
+
+    from upgini_spark.pipeline.autodetect import detect_search_keys
+
+    rows = []
+    countries = ["Germany", "France", "Brazil"]
+    for i in range(80):
+        rows.append((
+            f"e{i}",                                                   # email (name rule)
+            _dt.datetime(2024, 1 + i % 12, 1 + i % 27),                # stamp (dtype)
+            f"c{i}",                                                   # country (name rule)
+            f"z{i}",                                                   # zip_code (name rule)
+            f"2023-01-{i % 27 + 1:02d}" if i % 10 < 6 else f"x{i}",    # event_date
+            f"{20230000 + i}" if i % 20 != 0 else "abc",               # ref_code
+            f"u{i}@mail.com" if i % 5 == 0 else f"note {i}",           # contact
+            f"+49 30 {1000000 + i}" if i % 5 != 0 else "n/a",          # mobile_line
+            countries[(i // 3) % 3] if i % 3 == 0 else f"zone {i}",    # origin
+            f"{10000 + i}" if i % 4 != 0 else "B1",                    # post_box
+            f"text {i}",                                               # comment (omitted)
+        ))
+    df = spark.createDataFrame(
+        rows,
+        "email string, stamp timestamp, country string, zip_code string, "
+        "event_date string, ref_code string, contact string, "
+        "mobile_line string, origin string, post_box string, comment string",
+    ).coalesce(1)
+    detected = detect_search_keys(df, head_rows=100)
+    return spark.createDataFrame(
+        sorted(detected.items()), "column_name string, key_type string"
     )
 
 
