@@ -529,7 +529,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # and unchanged since r3): unary_scalars, freq_operators, date_anniversary,
 # date_list_bounded, string_similarity, row_lag_delta, cross_series_ratio,
 # class_balance, quality_filter_decisions, pii_redaction_stats, text_stats,
-# time_lag_1d, trend_per_user, sessionize_30m (yielded its fill slot to
+# time_lag_1d, trend_per_user, psi_halves (four other PSI queries are in
+# this window), sessionize_30m (yielded its fill slot to
 # the new search_key_autodetect — new queries outrank one-round-stale
 # greens; session_stats still covers the sessionize operator this round).
 _R05_DRIVER_WINDOW = [
@@ -543,7 +544,7 @@ _R05_DRIVER_WINDOW = [
     "rolling_volatility_7d", "rolling_volatility2_7d",
     "volatility_ratio_7_to_14",
     # 2. new in r5
-    "media_decode_png", "search_key_autodetect",
+    "media_decode_png", "search_key_autodetect", "stream_window_counts",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
@@ -554,7 +555,7 @@ _R05_DRIVER_WINDOW = [
     "enrich_entity_join", "feature_validator_stats", "groupby_then_ops",
     "hash_sample_exact_1000", "ip_converters", "knn_cosine_ivf_kmeans",
     "knn_cosine_top3", "minhash_signatures", "mix_sources_sample",
-    "psi_halves", "roll_quantiles_7d", "roll_windows_7d", "session_stats",
+    "roll_quantiles_7d", "roll_windows_7d", "session_stats",
 ]
 
 
@@ -3614,6 +3615,73 @@ def key_validity_filter(spark, sf_dir):
     filtered, _stats = filter_invalid_keys(c, flags)
     return filtered.select(
         "c_custkey", K.clean_old_dates(F.col("dt")).alias("clean_dt")
+    )
+
+
+@_q(
+    "stream_window_counts",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    w AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 DAY, ts) AS ws,
+             count(*) AS n_events,
+             round(avg(value), 6) AS mean_value,
+             round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           epoch_us(ws) AS win_start_us,
+           CAST(n_events AS BIGINT) AS n_events, mean_value, sum_value
+    FROM w, mx
+    WHERE epoch_ms(ws + INTERVAL 1 DAY) <= epoch_ms(m) - 86400000
+    """,
+)
+def stream_window_counts(spark, sf_dir):
+    """STRUCTURED STREAMING with an exact SQL oracle (r5): events.parquet
+    replayed as a file stream (availableNow), 1-day tumbling windows with
+    a 1-day watermark in APPEND mode — so only windows the watermark has
+    CLOSED are ever emitted. The oracle recomputes the same windowed
+    aggregates in DuckDB and replays the closure rule exactly:
+    window_end <= max(event_ts) − 1 day, compared at Spark's millisecond
+    watermark granularity (epoch_ms — DuckDB epoch_ms truncates µs just
+    like Spark's watermark tracker). Hash-equality therefore verifies the
+    watermark semantics themselves, not just the arithmetic. (The last
+    day's window is legitimately withheld — unemittable until later data
+    advances the watermark.)"""
+    import tempfile
+
+    from upgini_spark.streaming.stream_features import windowed_agg_stream
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks require TIMESTAMP (testdata is NTZ; session tz is
+        # UTC so the cast is value-preserving)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_agg_stream(
+        sdf, "ts", ["event_type"], "value",
+        window_duration="1 day", watermark="1 day",
+    )
+    sink = "stream_window_counts_sink"
+    spark.catalog.dropTempView(sink)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+    return spark.table(sink).select(
+        "event_type",
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias("win_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "mean_value", "sum_value",
     )
 
 
