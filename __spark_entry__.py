@@ -529,7 +529,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # and unchanged since r3): unary_scalars, freq_operators, date_anniversary,
 # date_list_bounded, string_similarity, row_lag_delta, cross_series_ratio,
 # class_balance, quality_filter_decisions, pii_redaction_stats, text_stats,
-# time_lag_1d, trend_per_user, psi_halves (four other PSI queries are in
+# time_lag_1d, trend_per_user, mix_sources_sample (hash-uniform filter,
+# property-tested), psi_halves (four other PSI queries are in
 # this window), sessionize_30m (yielded its fill slot to
 # the new search_key_autodetect — new queries outrank one-round-stale
 # greens; session_stats still covers the sessionize operator this round).
@@ -545,6 +546,7 @@ _R05_DRIVER_WINDOW = [
     "volatility_ratio_7_to_14",
     # 2. new in r5
     "media_decode_png", "search_key_autodetect", "stream_window_counts",
+    "stream_session_windows",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
@@ -554,7 +556,7 @@ _R05_DRIVER_WINDOW = [
     "date_list_aggs", "date_multiformat_parse", "dedup_components",
     "enrich_entity_join", "feature_validator_stats", "groupby_then_ops",
     "hash_sample_exact_1000", "ip_converters", "knn_cosine_ivf_kmeans",
-    "knn_cosine_top3", "minhash_signatures", "mix_sources_sample",
+    "knn_cosine_top3", "minhash_signatures",
     "roll_quantiles_7d", "roll_windows_7d", "session_stats",
 ]
 
@@ -3682,6 +3684,83 @@ def stream_window_counts(spark, sf_dir):
         F.unix_micros(F.col("window_start").cast("timestamp")).alias("win_start_us"),
         F.col("n_events").cast("long").alias("n_events"),
         "mean_value", "sum_value",
+    )
+
+
+@_q(
+    "stream_session_windows",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT *, sum(brk) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+      ) AS sid FROM s
+    ),
+    agg AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             round(sum(value), 6) AS sum_value
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           epoch_us(session_start) AS sess_start_us,
+           epoch_us(session_end) AS sess_end_us,
+           CAST(n_events AS BIGINT) AS n_events, sum_value
+    FROM agg, mx
+    WHERE epoch_us(session_end) <= (epoch_ms(m) - 86400000) * 1000
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """STATEFUL session-window streaming with an exact SQL oracle (r5):
+    gap-based ``session_window`` (the north rule's sessions-keyed-by-gaps,
+    streaming side) over the events file stream, append mode with a 1-day
+    watermark. The oracle rebuilds the sessions in SQL (island detection:
+    new session iff ts − prev ≥ gap — the strict-< merge rule of Spark's
+    [start, last+gap) windows) and replays the closure rule at the right
+    granularity: session_end carries MICROSECONDS (last event + gap)
+    while the watermark ticks in truncated MILLISECONDS, so the emit
+    filter is epoch_us(end) <= (epoch_ms(max_ts) − delay_ms) · 1000.
+    Hash equality verifies merge semantics, closure, and aggregates."""
+    import tempfile
+
+    from upgini_spark.streaming.stream_features import session_agg_stream
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = session_agg_stream(
+        sdf, "ts", ["user_id"], "value", gap="30 minutes", watermark="1 day",
+    )
+    sink = "stream_session_windows_sink"
+    spark.catalog.dropTempView(sink)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("sess_start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("sess_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
     )
 
 
