@@ -529,7 +529,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # and unchanged since r3): unary_scalars, freq_operators, date_anniversary,
 # date_list_bounded, string_similarity, row_lag_delta, cross_series_ratio,
 # class_balance, quality_filter_decisions, pii_redaction_stats, text_stats,
-# time_lag_1d, trend_per_user, mix_sources_sample (hash-uniform filter,
+# time_lag_1d, trend_per_user, knn_cosine_top3 (the by-design brute
+# baseline; ivf_kmeans in-window exercises the cosine machinery),
+# mix_sources_sample (hash-uniform filter,
 # property-tested), psi_halves (four other PSI queries are in
 # this window), sessionize_30m (yielded its fill slot to
 # the new search_key_autodetect — new queries outrank one-round-stale
@@ -546,7 +548,7 @@ _R05_DRIVER_WINDOW = [
     "volatility_ratio_7_to_14",
     # 2. new in r5
     "media_decode_png", "search_key_autodetect", "stream_window_counts",
-    "stream_session_windows",
+    "stream_session_windows", "stream_pit_enrich",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
@@ -556,7 +558,7 @@ _R05_DRIVER_WINDOW = [
     "date_list_aggs", "date_multiformat_parse", "dedup_components",
     "enrich_entity_join", "feature_validator_stats", "groupby_then_ops",
     "hash_sample_exact_1000", "ip_converters", "knn_cosine_ivf_kmeans",
-    "knn_cosine_top3", "minhash_signatures",
+    "minhash_signatures",
     "roll_quantiles_7d", "roll_windows_7d", "session_stats",
 ]
 
@@ -3684,6 +3686,55 @@ def stream_window_counts(spark, sf_dir):
         F.unix_micros(F.col("window_start").cast("timestamp")).alias("win_start_us"),
         F.col("n_events").cast("long").alias("n_events"),
         "mean_value", "sum_value",
+    )
+
+
+@_q(
+    "stream_pit_enrich",
+    f"""
+    SELECT l.event_id, l.user_id, l.ts, r.r_ts AS matched_ts, r.click_value
+    FROM events l
+    ASOF LEFT JOIN ({_CLICKS_SQL}) r
+      ON l.user_id = r.r_user AND l.ts >= r.r_ts
+    """,
+)
+def stream_pit_enrich(spark, sf_dir):
+    """Point-in-time STREAM enrichment against a static feature snapshot
+    (r5): the events file stream enriched row-by-row with the
+    most-recent click at or before each event time
+    (streaming/enrich_stream_static — collapsed per-entity history
+    array, stream-static join, higher-order prefix pick). Stateless, so
+    append mode emits every row and the SAME DuckDB ASOF JOIN oracle as
+    the batch engines applies verbatim — the streaming path must produce
+    byte-identical matches to the three batch as-of engines."""
+    import tempfile
+
+    from upgini_spark.streaming.stream_features import enrich_stream_static
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", "user_id", "ts")
+    )
+    out = enrich_stream_static(
+        sdf, _clicks(spark, sf_dir), "user_id", "ts",
+        source_entity_col="r_user", source_ts_col="r_ts",
+    )
+    sink = "stream_pit_enrich_sink"
+    spark.catalog.dropTempView(sink)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+    return spark.table(sink).select(
+        "event_id", "user_id", "ts", F.col("matched_ts"), "click_value"
     )
 
 
