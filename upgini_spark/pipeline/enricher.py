@@ -311,9 +311,17 @@ class SparkFeaturesEnricher:
                 if r[0] not in (None, 0)
             )
             for s in segs:
-                eval_frames.append(
-                    narrow.filter(seg == s).drop(eval_set_index_col).toPandas()
-                )
+                ev_sdf = narrow.filter(seg == s).drop(eval_set_index_col)
+                # the reference samples EVAL sets too (features_enricher
+                # eval_set_sampled_dict, :1880/:2043) — and an uncapped
+                # collect of a large eval segment would be unbounded
+                # driver memory (r5 scale audit; same deterministic
+                # hash-sample regime as the train side)
+                if ev_sdf.count() > max_rows:
+                    ev_sdf = hash_sample_exact(
+                        ev_sdf, max_rows, [st.entity_col, st.ts_col]
+                    )
+                eval_frames.append(ev_sdf.toPandas())
         report, _baseline_h, enriched_h = calculate_metrics_report(
             train_pdf, target_col,
             baseline_cols=baseline_cols, enriched_cols=enriched_cols,
