@@ -30,6 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BUCKETED = "--bucketed" in sys.argv
+ARROW = "--arrow" in sys.argv  # salted groupBy.applyInPandas merge_asof engine
 _args = [a for a in sys.argv[1:] if not a.startswith("--")]
 CPUS = int(_args[0]) if len(_args) > 0 else 32
 N_ROWS = int(_args[1]) if len(_args) > 1 else 4_000_000
@@ -106,6 +107,7 @@ def main() -> None:
             enriched = asof_join(
                 left, right, left_on="event_time", right_on="feature_ts",
                 by_left="doc_id", by_right="entity_id", keep_match_ts=True,
+                **({"engine": "arrow", "salt": 2} if ARROW else {}),
             )
             feat = roll_features(
                 enriched, "event_time", ["doc_id"], "f_ext_num_1",
@@ -125,7 +127,7 @@ def main() -> None:
     print(json.dumps({
         "cpus": CPUS,
         "n_rows": N_ROWS,
-        "mode": "bucketed" if BUCKETED else "shuffled",
+        "mode": "bucketed" if BUCKETED else ("arrow" if ARROW else "shuffled"),
         "shuffle_partitions": SHUFFLE_PARTITIONS,
         "times_sec": [round(t, 2) for t in times],
         "median_sec": round(med, 2),
