@@ -289,6 +289,74 @@ def test_enricher_hist_engines_match_native(spark):
         assert enr._hist is h1  # collapse reused, not rebuilt
 
 
+def test_pipeline_crash_resume_e2e(spark, tmp_path):
+    """North-rule resumability, end to end: the flagship pipeline staged
+    through StageLedger crashes after stage 1, resumes in a fresh ledger
+    WITHOUT recomputing stage 1, and the final output is content-
+    identical (digest) to an uninterrupted run — with per-partition
+    row/skew metrics recorded for every stage."""
+    import json
+    import os
+
+    from upgini_spark.fixtures import feature_source, tokenized_sequences
+    from upgini_spark.joins.asof import asof_join
+    from upgini_spark.operators.timeseries import roll_features, sessionize
+    from upgini_spark.pipeline.lineage import StageLedger, content_digest
+
+    left = tokenized_sequences(spark, 1500)
+    right = feature_source(spark, 1500, points_per_entity=3)
+    builds = {"enrich": 0, "features": 0, "sessions": 0}
+
+    def run_pipeline(ledger, crash_after_enrich=False):
+        def b_enrich():
+            builds["enrich"] += 1
+            return asof_join(
+                left, right, left_on="event_time", right_on="feature_ts",
+                by_left="doc_id", by_right="entity_id", keep_match_ts=True,
+            )
+
+        s1 = ledger.run("enrich", b_enrich)
+        if crash_after_enrich:
+            raise RuntimeError("simulated mid-pipeline crash")
+
+        def b_feat():
+            builds["features"] += 1
+            return roll_features(
+                s1, "event_time", ["doc_id"], "f_ext_num_1",
+                [(7, "D", "mean"), (1, "D", "count")],
+            )
+
+        s2 = ledger.run("features", b_feat)
+
+        def b_sess():
+            builds["sessions"] += 1
+            return sessionize(s2, "event_time", ["doc_id"],
+                              gap_seconds=86400, tie_cols=["n_tok"])
+
+        return ledger.run("sessions", b_sess, digest=True)
+
+    root = str(tmp_path / "run")
+    with pytest.raises(RuntimeError, match="simulated"):
+        run_pipeline(StageLedger(spark, root), crash_after_enrich=True)
+    assert builds == {"enrich": 1, "features": 0, "sessions": 0}
+
+    out = run_pipeline(StageLedger(spark, root))  # resume in a NEW ledger
+    assert builds["enrich"] == 1  # stage 1 came from the snapshot
+    assert builds["features"] == 1 and builds["sessions"] == 1
+
+    clean = run_pipeline(StageLedger(spark, str(tmp_path / "clean")))
+    assert content_digest(out) == content_digest(clean)
+
+    ledger_json = json.load(open(os.path.join(root, "ledger.json")))
+    assert set(ledger_json) == {"enrich", "features", "sessions"}
+    for stage, entry in ledger_json.items():
+        assert entry["status"] == "done"
+        m = entry["metrics"]
+        assert m["rows"] > 0 and m["partitions"] >= 1
+        assert "skew_max_over_mean" in m and "per_partition" in m
+    assert "digest" in ledger_json["sessions"]
+
+
 def test_register_bucketed_restores_shuffle_free_plan(spark, tmp_path):
     """A bucketed layout written in one session can be re-registered in a
     fresh catalog (register_bucketed DDL over the existing files) and
