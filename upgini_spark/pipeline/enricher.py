@@ -147,6 +147,71 @@ class SparkFeaturesEnricher:
         self.state = state
         return self
 
+    def materialize_source_bucketed(
+        self, table_name: str, n_buckets: int = 64
+    ) -> "SparkFeaturesEnricher":
+        """Persist the per-entity history collapse as a BUCKETED table
+        (bucketed on the entity key) and switch the enricher to the
+        'hist' engine reading from it. When the input frame passed to
+        :meth:`transform` is itself read from a table bucketed on the
+        entity key with the SAME bucket count (see
+        :meth:`bucketize_input`), the as-of join plans bucket-to-bucket
+        (zero Exchange on either side) and every downstream window
+        keyed by the entity reuses the scan's clustering — the token
+        payload never crosses a shuffle. This is the table-backed
+        feature-store deployment shape: the collapse + layout cost is
+        paid once at write time, then every fit/transform/eval replay
+        is exchange-free (the 100 TB lever; reference enrichment
+        re-joins the same feature store on every transform,
+        features_enricher.py:4630-4698). Idempotent across sessions via
+        ``ensure_bucketed`` (re-registers an existing layout)."""
+        from upgini_spark.joins.asof import build_asof_hist
+        from upgini_spark.sources.io import ensure_bucketed
+
+        spark = self.feature_source.sparkSession
+        ensure_bucketed(
+            spark,
+            lambda: build_asof_hist(
+                self.feature_source, self.source_ts_col, [self.source_entity_col]
+            ),
+            table_name,
+            [self.source_entity_col],
+            n_buckets,
+        )
+        # the table scan carries the bucketed output partitioning — do NOT
+        # localCheckpoint it (that would erase the partitioning and
+        # reintroduce the exchange transform() exists to avoid)
+        self._hist = spark.table(table_name)
+        # the generated-feature join-back keys on (entity, ts); both sides
+        # are clustered by entity alone, which co-partitions the join only
+        # when Spark is allowed to accept a subset of the join keys as the
+        # hash keys (default requires ALL keys → it reshuffles both sides
+        # by (entity, ts)). Relaxing is plan-only — never changes results.
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        if self.asof_engine not in ("hist", "hist_broadcast"):
+            self.asof_engine = "hist"
+        return self
+
+    @staticmethod
+    def bucketize_input(
+        df: DataFrame,
+        table_name: str,
+        entity_col: str,
+        ts_col: str,
+        n_buckets: int = 64,
+    ) -> DataFrame:
+        """Write (once) and read back the event frame as a bucketed table
+        co-located with :meth:`materialize_source_bucketed`'s layout:
+        bucketed on the entity key, sorted within buckets by
+        (entity, ts) so as-of/window stages start from sorted runs."""
+        from upgini_spark.sources.io import ensure_bucketed
+
+        ensure_bucketed(
+            df.sparkSession, lambda: df, table_name, [entity_col], n_buckets,
+            sort_cols=[entity_col, ts_col],
+        )
+        return df.sparkSession.table(table_name)
+
     def transform(self, df: DataFrame, keep_cyclical: bool = True) -> DataFrame:
         """Replay the frozen plan: drop fit-dropped features → cyclical date
         features → as-of enrichment → generated features."""
