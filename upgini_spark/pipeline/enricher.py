@@ -297,6 +297,8 @@ class SparkFeaturesEnricher:
         max_rows: int = 100_000,
         eval_set_index_col: str = "eval_set_index",
         n_splits: int = 5,
+        estimator: str = "linear",
+        loss: str | None = None,
     ):
         """The `calculate_metrics` lifecycle step (features_enricher.py:
         926-1300): enrich distributed → deterministic ≤``max_rows``
@@ -304,7 +306,17 @@ class SparkFeaturesEnricher:
         model fitting never touches the full table) → distributed fold
         assignment (pipeline/cv.py) → ONE collect → driver-side CV
         harness (pipeline/metrics.py). Returns the reference-layout
-        report DataFrame (pandas)."""
+        report DataFrame (pandas).
+
+        ``estimator='gbdt'`` swaps the linear stand-ins for the
+        histogram-GBDT twin of the reference's CatBoost estimators
+        (pipeline/gbdt.py) and derives ``feature_importances_`` from
+        exact TreeSHAP instead of permutation — the reference's actual
+        importance statistic (metrics.py calculate_shap). ``loss`` is a
+        reference custom-loss string lowered through
+        get_additional_params_custom_loss into the estimator's
+        loss_function (gbdt only; the linear stand-ins ignore it, with
+        the same warning the reference logs for unsupported pairs)."""
         from upgini_spark.functions.sampling import hash_sample_exact
         from upgini_spark.functions.stats import define_task
         from upgini_spark.pipeline.cv import (
@@ -387,19 +399,33 @@ class SparkFeaturesEnricher:
                         ev_sdf, max_rows, [st.entity_col, st.ts_col]
                     )
                 eval_frames.append(ev_sdf.toPandas())
+        estimator_params = None
+        if loss is not None:
+            from upgini_spark.pipeline.custom_loss import (
+                get_additional_params_custom_loss,
+            )
+
+            estimator_params = get_additional_params_custom_loss(loss, task) or None
         report, _baseline_h, enriched_h = calculate_metrics_report(
             train_pdf, target_col,
             baseline_cols=baseline_cols, enriched_cols=enriched_cols,
             fold_col="fold_id", task_type=task,
             eval_frames=eval_frames, scoring=scoring,
             return_harnesses=True,
+            estimator=estimator, estimator_params=estimator_params,
         )
         # the reference's _update_shap_values step: per-fold importances
-        # averaged into a feature ranking (deterministic permutation
-        # stand-in; reference uses CatBoost SHAP)
-        self.feature_importances_ = enriched_h.permutation_importance(
-            train_pdf, target_col, "fold_id"
-        )
+        # averaged into a feature ranking — exact TreeSHAP when the gbdt
+        # estimator is in play (the reference's CatBoost-SHAP statistic),
+        # deterministic permutation stand-in for the linear estimators
+        if estimator == "gbdt":
+            self.feature_importances_ = enriched_h.shap_importance(
+                train_pdf, "fold_id"
+            )
+        else:
+            self.feature_importances_ = enriched_h.permutation_importance(
+                train_pdf, target_col, "fold_id"
+            )
         # kept for the features-info report (≤ max_rows, already local —
         # the reference also previews from the metrics sample frame)
         self._metrics_train_pdf = train_pdf

@@ -233,7 +233,23 @@ class LogisticEstimator:
         return np.array([self.classes[i] for i in idx])
 
 
-def _make_estimator(task_type: str):
+def _make_estimator(
+    task_type: str, estimator: str = "linear",
+    estimator_params: dict | None = None,
+):
+    """'linear' = the closed-form/GD stand-ins above; 'gbdt' = the
+    histogram-GBDT twin of the reference's CatBoost metric estimators
+    (pipeline/gbdt.py — real trees + exact TreeSHAP).
+    ``estimator_params`` carries the custom-loss resolution output
+    (e.g. {'loss_function': 'MAPE'} from
+    custom_loss.get_additional_params_custom_loss)."""
+    if estimator == "gbdt":
+        from upgini_spark.pipeline.gbdt import GBDTClassifier, GBDTRegressor
+
+        params = dict(estimator_params or {})
+        if task_type == "REGRESSION":
+            return GBDTRegressor(**params)
+        return GBDTClassifier(**params)
     return RidgeEstimator() if task_type == "REGRESSION" else LogisticEstimator()
 
 
@@ -271,6 +287,8 @@ class CVMetricsHarness:
     scoring: str | None = None
     cv_scheme: str = "kfold"  # kfold | time_series | blocked
     role_col: str = "cv_role"
+    estimator: str = "linear"  # linear | gbdt
+    estimator_params: dict | None = None
     estimators: list = field(default_factory=list)
     fold_feature_cols: list = field(default_factory=list)
 
@@ -348,7 +366,9 @@ class CVMetricsHarness:
         self.estimators = []
         raw = []
         for train, test in self._splits(pdf, fold_col):
-            est = _make_estimator(self.task_type).fit(
+            est = _make_estimator(
+                self.task_type, self.estimator, self.estimator_params
+            ).fit(
                 train[feature_cols], train[target_col].to_numpy()
             )
             self.estimators.append(est)
@@ -387,6 +407,29 @@ class CVMetricsHarness:
         if not n_folds:
             return {}
         return {f: s / n_folds for f, s in sums.items()}
+
+    def shap_importance(
+        self, pdf: pd.DataFrame, fold_col: str
+    ) -> dict[str, float]:
+        """The reference's calculate_shap statistic (metrics.py:
+        np.mean(np.abs(shap_values), axis=0)) from the REAL trees: exact
+        TreeSHAP on each fold's validation slice, mean |phi| per feature,
+        averaged over folds. Only the gbdt estimator exposes SHAP; call
+        after :meth:`cross_val_predict`."""
+        if not self.estimators or self.estimator != "gbdt":
+            return {}
+        from upgini_spark.pipeline.gbdt import shap_importances
+
+        sums = np.zeros(len(self.fold_feature_cols))
+        n_folds = 0
+        for (train, test), est in zip(self._splits(pdf, fold_col), self.estimators):
+            if not len(test):
+                continue
+            sums += shap_importances(est, test[self.fold_feature_cols])
+            n_folds += 1
+        if not n_folds:
+            return {}
+        return dict(zip(self.fold_feature_cols, sums / n_folds))
 
     def calculate_metric(self, pdf: pd.DataFrame, target_col: str) -> CrossValResult:
         """Eval-segment scoring: every fold estimator re-scored on the
@@ -438,6 +481,8 @@ def calculate_metrics_report(
     role_col: str = "cv_role",
     baseline_score_column: str | None = None,
     return_harnesses: bool = False,
+    estimator: str = "linear",
+    estimator_params: dict | None = None,
 ):
     """The `calculate_metrics` report frame, reference layout exactly:
     one Train row (CV mean ± std), one row per eval frame (per-fold
@@ -447,13 +492,17 @@ def calculate_metrics_report(
     scorer = define_scorer(task_type, scoring)
     metric = scorer.metric_name
 
-    baseline_h = CVMetricsHarness(task_type, scoring, cv_scheme, role_col)
+    baseline_h = CVMetricsHarness(
+        task_type, scoring, cv_scheme, role_col, estimator, estimator_params
+    )
     baseline_res = baseline_h.cross_val_predict(
         train, baseline_cols, target_col, fold_col,
         baseline_score_column=baseline_score_column,
     )
     enriched_res = CrossValResult(None, None)
-    enriched_h = CVMetricsHarness(task_type, scoring, cv_scheme, role_col)
+    enriched_h = CVMetricsHarness(
+        task_type, scoring, cv_scheme, role_col, estimator, estimator_params
+    )
     if set(enriched_cols) != set(baseline_cols):
         enriched_res = enriched_h.cross_val_predict(train, enriched_cols, target_col, fold_col)
 
