@@ -535,7 +535,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # property-tested), psi_halves (four other PSI queries are in
 # this window), sessionize_30m (yielded its fill slot to
 # the new search_key_autodetect — new queries outrank one-round-stale
-# greens; session_stats still covers the sessionize operator this round).
+# greens; session_stats still covers the sessionize operator this round),
+# roll_quantiles_7d + roll_windows_7d (yielded their fill slots to the
+# new text_bm25_topk and media_decode_gif_bmp, same new-outranks-stale
+# rule; the rolling-window operator family stays covered this round by
+# rolling_volatility_7d / rolling_volatility2_7d / volatility_ratio_7_to_14
+# in section 1).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -548,7 +553,8 @@ _R05_DRIVER_WINDOW = [
     "volatility_ratio_7_to_14",
     # 2. new in r5
     "media_decode_png", "search_key_autodetect", "stream_window_counts",
-    "stream_session_windows", "stream_pit_enrich",
+    "stream_session_windows", "stream_pit_enrich", "text_bm25_topk",
+    "media_decode_gif_bmp",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
@@ -558,8 +564,7 @@ _R05_DRIVER_WINDOW = [
     "date_list_aggs", "date_multiformat_parse", "dedup_components",
     "enrich_entity_join", "feature_validator_stats", "groupby_then_ops",
     "hash_sample_exact_1000", "ip_converters", "knn_cosine_ivf_kmeans",
-    "minhash_signatures",
-    "roll_quantiles_7d", "roll_windows_7d", "session_stats",
+    "minhash_signatures", "session_stats",
 ]
 
 
@@ -1403,6 +1408,71 @@ def text_stats(spark, sf_dir):
         TX.token_count_bpe_ish(t).alias("n_tokens_bpe"),
         F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(TX.mean_word_length(t), 6).alias("mean_word_len"),
+    )
+
+
+@_q(
+    "text_bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> len(t) > 0) AS toks
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, t -> t = 'spark')) AS tf0,
+             len(list_filter(toks, t -> t = 'window')) AS tf1,
+             len(list_filter(toks, t -> t = 'dup')) AS tf2
+      FROM tok
+    ), st AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM tf
+    )
+    SELECT doc_id, CAST(dl AS INT) AS n_tok,
+           round(0.0
+             + CASE WHEN tf0 > 0 THEN
+                 floor(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                                / (CAST(df0 AS DOUBLE) + 0.5)) * 1e10) / 1e10
+                 * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+                 / (CAST(tf0 AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               ELSE 0.0 END
+             + CASE WHEN tf1 > 0 THEN
+                 floor(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                                / (CAST(df1 AS DOUBLE) + 0.5)) * 1e10) / 1e10
+                 * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+                 / (CAST(tf1 AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               ELSE 0.0 END
+             + CASE WHEN tf2 > 0 THEN
+                 floor(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                                / (CAST(df2 AS DOUBLE) + 0.5)) * 1e10) / 1e10
+                 * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+                 / (CAST(tf2 AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               ELSE 0.0 END, 6) AS bm25
+    FROM tf, st
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for the query {spark, window, dup} (one common,
+    one mid, one rare term — exercises the full idf range). Plan: one
+    corpus scan + one single-row stats agg broadcast back + terminal
+    TakeOrdered — no wide shuffle (see functions/text.py bm25_score)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.bm25_score(docs, "text", ["spark", "window", "dup"])
+    return (
+        scored.select(
+            "doc_id", "n_tok", F.round(F.col("bm25"), 6).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
     )
 
 
@@ -2387,6 +2457,80 @@ def media_decode_png(spark, sf_dir):
     from upgini_spark.functions.multimodal import decode_media, synthetic_png_media
 
     out = decode_media(synthetic_png_media(spark, 400))
+
+    def fe(i):
+        return F.round(F.try_element_at("features", F.lit(i)), 6)
+
+    return out.select(
+        "media_id", "format", "width", "height",
+        fe(1).alias("f0"), fe(2).alias("f1"), fe(3).alias("f2"),
+        fe(4).alias("f3"),
+    )
+
+
+@_q(
+    "media_decode_gif_bmp",
+    """
+    WITH ids AS (SELECT range AS id FROM range(0, 400)),
+    bmp AS (
+      SELECT id, 4 + id % 5 AS w, 3 + id % 4 AS h FROM ids WHERE id % 2 = 0
+    ), bmp_m AS (
+      SELECT id, w, h,
+        CAST(h * (SELECT CAST(sum((id + 17 * x.range) % 256) AS BIGINT)
+                  FROM range(0, 9) x WHERE x.range < w) AS DOUBLE)
+          / (w * h) / 255.0 AS f0,
+        ((id * 7) % 256) / 255.0 AS f1,
+        CAST(w * (SELECT CAST(sum((id + 29 * y.range) % 256) AS BIGINT)
+                  FROM range(0, 9) y WHERE y.range < h) AS DOUBLE)
+          / (w * h) / 255.0 AS f2
+      FROM bmp
+    ), gif AS (
+      SELECT id, 5 + id % 6 AS w, 4 + id % 5 AS h FROM ids WHERE id % 2 = 1
+    ), gif_m AS (
+      SELECT id, w, h,
+        CAST((SELECT CAST(sum((id + 40 * ((x.range + y.range) % 4)) % 256) AS BIGINT)
+              FROM range(0, 11) x, range(0, 9) y
+              WHERE x.range < w AND y.range < h) AS DOUBLE)
+          / (w * h) / 255.0 AS f0,
+        CAST((SELECT CAST(sum((id * 3 + 50 * ((x.range + y.range) % 4)) % 256) AS BIGINT)
+              FROM range(0, 11) x, range(0, 9) y
+              WHERE x.range < w AND y.range < h) AS DOUBLE)
+          / (w * h) / 255.0 AS f1,
+        CAST((SELECT CAST(sum((id * 5 + 60 * ((x.range + y.range) % 4)) % 256) AS BIGINT)
+              FROM range(0, 11) x, range(0, 9) y
+              WHERE x.range < w AND y.range < h) AS DOUBLE)
+          / (w * h) / 255.0 AS f2
+      FROM gif
+    ), both_m AS (
+      SELECT id, 'bmp' AS format, w, h, f0, f1, f2 FROM bmp_m
+      UNION ALL
+      SELECT id, 'gif' AS format, w, h, f0, f1, f2 FROM gif_m
+    )
+    SELECT 'g' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+           format, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(f0, 6) AS f0, round(f1, 6) AS f1, round(f2, 6) AS f2,
+           round(0.2126 * f0 + 0.7152 * f1 + 0.0722 * f2, 6) AS f3
+    FROM both_m
+    """,
+)
+def media_decode_gif_bmp(spark, sf_dir):
+    """Pure-stdlib GIF + BMP decode (r5 continuation, multimodal.
+    _decode_gif/_decode_bmp): the payloads are genuine files — GIF89a
+    with a REAL variable-width LSB-first LZW stream (CLEAR/EOI, width
+    growth, 12-bit cap), BMP with BGR byte order and 4-byte row padding
+    — synthesized per id inside an Arrow kernel. The oracle replays the
+    closed-form channel means (modular gradients for BMP, palette-stripe
+    counting for GIF) with the decoder's exact division sequence
+    (sum / n / 255.0), so a wrong LZW width bump, palette index, BGR
+    swap, or padding byte hash-fails. The LZW decoder is additionally
+    verified against an encoder-independent literal-only stream in
+    tests. No reference counterpart (upgini has no media surface)."""
+    from upgini_spark.functions.multimodal import (
+        decode_media,
+        synthetic_gif_bmp_media,
+    )
+
+    out = decode_media(synthetic_gif_bmp_media(spark, 400))
 
     def fe(i):
         return F.round(F.try_element_at("features", F.lit(i)), 6)

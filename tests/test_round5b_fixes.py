@@ -216,3 +216,188 @@ def test_enricher_calculate_metrics_gbdt_e2e(spark):
     assert "Enriched GINI" in report.columns
     imps = enr.feature_importances_
     assert imps and all(np.isfinite(v) for v in imps.values())
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (functions/text.py bm25_score)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_score_exact_and_plan(spark):
+    """BM25 matches a hand-rolled reference on a tiny corpus, the floored
+    Lucene idf included; the plan has exactly one broadcast (the 1-row
+    stats frame), no explode/Generate, and a single wide shuffle."""
+    import math
+
+    from upgini_spark.functions.text import bm25_score
+
+    corpus = [
+        (0, "spark window spark join"),
+        (1, "window scan scan scan"),
+        (2, "dup dup spark"),
+        (3, "scan join merge sort hash"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_tok"], r["bm25"])
+        for r in bm25_score(df, "text", ["spark", "dup"]).collect()
+    }
+
+    docs = [t.split() for _, t in corpus]
+    n, avgdl = len(docs), sum(len(d) for d in docs) / len(docs)
+
+    def ref_score(toks):
+        s = 0.0
+        for term in ["spark", "dup"]:
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            dfreq = sum(1 for d in docs if term in d)
+            idf = math.floor(
+                math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5)) * 1e10
+            ) / 1e10
+            s += idf * tf * (1.2 + 1.0) / (
+                tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl)
+            )
+        return s
+
+    for i, toks in enumerate(docs):
+        assert out[i][0] == len(toks)
+        assert out[i][1] == pytest.approx(ref_score(toks), abs=1e-12)
+    assert out[3][1] == 0.0  # no query term -> exactly zero, not ~zero
+
+    plan = (
+        bm25_score(df, "text", ["spark", "dup"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastExchange") == 1
+    assert "Generate" not in plan  # tf via higher-order filter, no explode
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) + BMP stdlib decode (functions/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_round_trip_and_independent_stream():
+    """The LZW pair round-trips across code widths, the KwKwK case, and a
+    table overflow forcing a mid-stream CLEAR; the decoder additionally
+    decodes an encoder-INDEPENDENT literal-only stream (the classic
+    'uncompressed GIF' trick), so a symmetric off-by-one in the width
+    bump that round-trip alone would hide gets caught."""
+    import random
+
+    from upgini_spark.functions.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(7)
+    for mcs, n in [(2, 1), (2, 500), (4, 3000), (8, 30000)]:
+        idx = [rng.randrange(1 << mcs) for _ in range(n)]
+        assert list(_lzw_decode(_lzw_encode(idx, mcs), mcs)) == idx
+    for mcs in (2, 3, 8):  # long runs: KwKwK special case on every step
+        idx = [1] * 5000 + [0, 1, 0, 0, 1, 1] * 300
+        assert list(_lzw_decode(_lzw_encode(idx, mcs), mcs)) == idx
+
+    def literal_stream(indices, mcs):
+        clear = 1 << mcs
+        eoi = clear + 1
+        out = bytearray()
+        acc = bits = 0
+        cs = mcs + 1
+        size = eoi + 1
+        first = True
+
+        def emit(c):
+            nonlocal acc, bits
+            acc |= c << bits
+            bits += cs
+            while bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+
+        emit(clear)
+        for px in indices:
+            emit(px)
+            if first:
+                first = False
+            else:
+                size += 1
+            if size == (1 << cs) - 1:  # decoder would bump next append
+                emit(clear)
+                size = eoi + 1
+                first = True
+        emit(eoi)
+        if bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    for mcs in (2, 3, 5):
+        idx = [rng.randrange(1 << mcs) for _ in range(2000)]
+        assert list(_lzw_decode(literal_stream(idx, mcs), mcs)) == idx
+
+
+def test_gif_bmp_decode_closed_form_and_corrupt():
+    from upgini_spark.functions.multimodal import (
+        _decode_bmp,
+        _decode_gif,
+        _encode_bmp,
+        _encode_gif,
+    )
+
+    i = 7
+    w, h = 5 + i % 6, 4 + i % 5
+    pal = [((i + 40 * c) % 256, (i * 3 + 50 * c) % 256,
+            (i * 5 + 60 * c) % 256) for c in range(4)]
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    gw, gh, feats = _decode_gif(_encode_gif(w, h, idx, pal))
+    sums = [sum(pal[k][ch] for k in idx) for ch in range(3)]
+    assert (gw, gh) == (w, h)
+    assert feats[:3] == [s / (w * h) / 255.0 for s in sums]
+
+    i = 4
+    w, h = 4 + i % 5, 3 + i % 4  # w*3 = 24: exercises zero AND real padding
+    rows = [
+        bytes(b for x in range(w)
+              for b in ((i + 17 * x) % 256, (i * 7) % 256, (i + 29 * y) % 256))
+        for y in range(h)
+    ]
+    bw, bh, bf = _decode_bmp(_encode_bmp(w, h, rows))
+    sr = sum((i + 17 * x) % 256 for x in range(w)) * h
+    sg = (i * 7) % 256 * w * h
+    sb = sum((i + 29 * y) % 256 for y in range(h)) * w
+    assert (bw, bh) == (w, h)
+    assert bf[:3] == [sr / (w * h) / 255.0, sg / (w * h) / 255.0,
+                      sb / (w * h) / 255.0]
+
+    with pytest.raises(ValueError):
+        _decode_gif(b"GIF89a" + b"\x00" * 5)  # truncated LSD
+    with pytest.raises(ValueError):
+        _decode_bmp(b"BM" + b"\x00" * 60)  # bpp=0
+    with pytest.raises(ValueError):
+        _decode_bmp(_encode_bmp(2, 2, [b"\x00" * 6] * 2)[:-3])  # truncated px
+    # interlace flag set -> unsupported, not silently wrong
+    good = bytearray(_encode_gif(3, 3, [0] * 9, [(1, 2, 3)]))
+    desc = good.index(0x2C, 13)
+    good[desc + 9] |= 0x40
+    with pytest.raises(ValueError):
+        _decode_gif(bytes(good))
+
+
+def test_decode_media_gif_bmp_e2e(spark):
+    """End-to-end through the Arrow kernel: sniffing routes GIF/BMP to the
+    new decoders and every row decodes (no 'corrupt'/'unknown')."""
+    from upgini_spark.functions.multimodal import (
+        decode_media,
+        synthetic_gif_bmp_media,
+    )
+
+    out = decode_media(synthetic_gif_bmp_media(spark, 60))
+    rows = out.collect()
+    assert len(rows) == 60
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault(r["format"], 0)
+        by_fmt[r["format"]] += 1
+        assert r["width"] is not None and r["features"] is not None
+    assert by_fmt == {"bmp": 30, "gif": 30}

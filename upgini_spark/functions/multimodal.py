@@ -6,8 +6,10 @@ every dependency-free format: PCM WAV (stdlib ``wave``), binary P6 PPM
 (byte-precise header parser), and uncompressed Cmono Y4M video (with
 every-k-th-frame sampling); round 5 adds full PNG (zlib inflate + all
 five scanline filters, gray/RGB/RGBA) — the single most common image
-format a real pipeline ingests; nearest-neighbor PPM resize re-emits
-valid payloads. Each stage is verified against closed-form ground truth
+format a real pipeline ingests — plus GIF (a from-spec variable-width
+LZW decoder: CLEAR/EOI, width growth, 12-bit cap) and 24-bit BMP (BGR,
+4-byte row padding); nearest-neighbor PPM resize re-emits valid
+payloads. Each stage is verified against closed-form ground truth
 of synthesized real files (see the media_* oracles in
 __spark_entry__.py). Heavy-codec formats (JPEG/MP3/MP4 — no codec
 libraries in this container) remain behind the clearly marked stub:
@@ -140,7 +142,7 @@ def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
 
 _DECODED_SCHEMA = StructType([
     StructField("media_id", StringType(), False),
-    StructField("format", StringType(), True),      # wav | ppm | unknown
+    StructField("format", StringType(), True),  # wav|ppm|png|gif|bmp|unknown
     StructField("n_bytes", IntegerType(), True),
     StructField("width", IntegerType(), True),       # ppm
     StructField("height", IntegerType(), True),      # ppm
@@ -353,6 +355,300 @@ def _encode_png(
     )
 
 
+# --------------------------------------------------------------------------
+# GIF (full LZW) + BMP — round-5 continuation: two more dependency-free
+# real decoders. GIF is the first COMPRESSED-bitstream image format here
+# beyond PNG's zlib: variable-width LSB-first LZW with CLEAR/EOI, code
+# width growth and the 12-bit table cap are all implemented from the
+# GIF89a spec. BMP covers the uncompressed 24-bit BI_RGB case (BGR byte
+# order, 4-byte row padding, bottom-up or top-down). Same feature
+# contract as PPM/PNG: (w, h, [mean_r, mean_g, mean_b, luminance]).
+# --------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-flavor LZW: LSB-first variable-width codes. The width bump
+    mirrors the encoder exactly — after processing the code whose table
+    append makes ``len(table) == 2**width`` — and the 12-bit cap stops
+    appends (deferred-clear tolerant) until a CLEAR resets."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[bytes] = []
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    out = bytearray()
+    acc = bits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while bits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]  # the KwKwK special case
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encoder (fixture-side twin of ``_lzw_decode``).
+    Emits CLEAR when the table fills at 4096, so arbitrarily long index
+    streams round-trip; the width bump fires after assigning the code
+    equal to ``2**width`` (one step later than the decoder's append, the
+    classic GIF off-by-one both sides must share)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    buf: tuple[int, ...] = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        buf = (int(px),)
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(content: bytes):
+    """GIF87a/89a decode: logical-screen + color tables + extension-block
+    walk, then full LZW on the first image's sub-block stream. Local
+    color tables override the global one; interlaced images raise (tagged
+    'corrupt', like interlaced PNG). Returns the PPM/PNG feature
+    contract: (w, h, [mean_r, mean_g, mean_b, luminance]) in [0, 1] with
+    the exact division sequence sum / n / 255.0."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a gif")
+    if len(content) < 13:
+        raise ValueError("truncated gif header")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = content[pos:pos + 3 * size]
+        if len(gct) < 3 * size:
+            raise ValueError("truncated global color table")
+        pos += 3 * size
+    while pos < len(content):
+        b0 = content[pos]
+        pos += 1
+        if b0 == 0x3B:
+            raise ValueError("gif has no image data")
+        if b0 == 0x21:  # extension: label byte + data sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(content):
+                    raise ValueError("truncated extension")
+                n = content[pos]
+                pos += 1
+                if n == 0:
+                    break
+                pos += n
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected gif block 0x{b0:02x}")
+        if pos + 9 > len(content):
+            raise ValueError("truncated image descriptor")
+        _ix, _iy, iw, ih, ipk = struct.unpack("<HHHHB", content[pos:pos + 9])
+        pos += 9
+        pal = gct
+        if ipk & 0x80:
+            size = 2 << (ipk & 0x07)
+            pal = content[pos:pos + 3 * size]
+            if len(pal) < 3 * size:
+                raise ValueError("truncated local color table")
+            pos += 3 * size
+        if ipk & 0x40:
+            raise ValueError("interlaced gif unsupported")
+        if pal is None:
+            raise ValueError("gif image has no color table")
+        if iw <= 0 or ih <= 0:
+            raise ValueError("bad gif dims")
+        mcs = content[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(content):
+                raise ValueError("truncated image data")
+            n = content[pos]
+            pos += 1
+            if n == 0:
+                break
+            data += content[pos:pos + n]
+            pos += n
+        idx = _lzw_decode(bytes(data), mcs)
+        if len(idx) < iw * ih:
+            raise ValueError("short gif index stream")
+        npal = len(pal) // 3
+        sums = [0, 0, 0]
+        for i in range(iw * ih):
+            k = idx[i]
+            if k >= npal:
+                raise ValueError("palette index out of range")
+            sums[0] += pal[3 * k]
+            sums[1] += pal[3 * k + 1]
+            sums[2] += pal[3 * k + 2]
+        n = iw * ih
+        means = [s / n / 255.0 for s in sums]
+        lum = 0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2]
+        return iw, ih, [float(means[0]), float(means[1]), float(means[2]),
+                        float(lum)]
+    raise ValueError("truncated gif")
+
+
+def _encode_gif(
+    w: int, h: int, indices, palette: list[tuple[int, int, int]],
+) -> bytes:
+    """Minimal valid single-frame GIF89a encoder (fixture-side): global
+    color table padded to a power of two, real LZW-compressed index
+    stream in ≤255-byte sub-blocks."""
+    import struct
+
+    bits = max(2, (len(palette) - 1).bit_length())
+    table_n = 1 << bits
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((r, g, b))
+    pal += bytes(3 * (table_n - len(palette)))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(bits)
+    comp = _lzw_encode(indices, bits)
+    for i in range(0, len(comp), 255):
+        block = comp[i:i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)
+    out += b"\x3B"
+    return bytes(out)
+
+
+def _decode_bmp(content: bytes):
+    """Uncompressed 24-bit BI_RGB BMP: BITMAPINFOHEADER (or longer) with
+    4-byte-padded BGR rows, bottom-up (h > 0) or top-down (h < 0) — row
+    order cancels in the channel means. Other bit depths / compressions
+    raise → 'corrupt'. Same feature contract as PPM/PNG/GIF."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a bmp")
+    if len(content) < 54:
+        raise ValueError("truncated bmp header")
+    data_off = struct.unpack("<I", content[10:14])[0]
+    hdr_size = struct.unpack("<I", content[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported bmp header")
+    w, h_raw = struct.unpack("<ii", content[18:26])
+    bpp = struct.unpack("<H", content[28:30])[0]
+    comp = struct.unpack("<I", content[30:34])[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported bmp (bpp={bpp}, comp={comp})")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("bad bmp dims")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    px = content[data_off:data_off + stride * h]
+    if len(px) < stride * h:
+        raise ValueError("truncated bmp pixels")
+    sums = [0, 0, 0]
+    for y in range(h):
+        row = px[y * stride:y * stride + w * 3]
+        for i in range(0, w * 3, 3):
+            sums[2] += row[i]       # BMP stores BGR
+            sums[1] += row[i + 1]
+            sums[0] += row[i + 2]
+    n = w * h
+    means = [s / n / 255.0 for s in sums]
+    lum = 0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2]
+    return w, h, [float(means[0]), float(means[1]), float(means[2]),
+                  float(lum)]
+
+
+def _encode_bmp(w: int, h: int, rows: list[bytes]) -> bytes:
+    """Minimal valid 24-bit BMP encoder (fixture-side): top-down RGB rows
+    in, spec-correct bottom-up padded BGR out."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for row in reversed(rows):
+        line = bytearray()
+        for i in range(0, w * 3, 3):
+            line += bytes((row[i + 2], row[i + 1], row[i]))  # RGB -> BGR
+        line += bytes(stride - w * 3)
+        px += line
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+    return hdr + info + bytes(px)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Real decode stage: sniff the payload's magic bytes and parse WAV /
     PPM with stdlib-only decoders inside one Arrow ``mapInPandas``
@@ -386,6 +682,14 @@ def decode_media(df: DataFrame) -> DataFrame:
                     elif content[:8] == _PNG_SIG:
                         w, h, feats = _decode_png(bytes(content))
                         rec.update(format="png", width=w, height=h,
+                                   features=feats)
+                    elif content[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, feats = _decode_gif(bytes(content))
+                        rec.update(format="gif", width=w, height=h,
+                                   features=feats)
+                    elif content[:2] == b"BM":
+                        w, h, feats = _decode_bmp(bytes(content))
+                        rec.update(format="bmp", width=w, height=h,
                                    features=feats)
                 except Exception:
                     rec["format"] = "corrupt"  # keep the row, flag it
@@ -609,6 +913,61 @@ def synthetic_png_media(spark, n_rows: int) -> DataFrame:
                 recs.append({
                     "media_id": f"p{i:09d}", "media_type": "image",
                     "content": content, "mime": "image/png", "width": None,
+                    "height": None, "duration_ms": None,
+                })
+            out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+            for c in ("width", "height", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return spark.range(n_rows).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthetic_gif_bmp_media(spark, n_rows: int) -> DataFrame:
+    """Rows of REAL GIF and BMP payloads, deterministically synthesized
+    per id inside an Arrow kernel; every channel mean is a CLOSED FORM of
+    the id (replayable in oracle SQL):
+
+    - even id → 24-bit BMP, w = 4+id%5, h = 3+id%4 (w·3 mod 4 varies, so
+      row padding is exercised): r = (id+17x)%256 (x-gradient),
+      g = (id·7)%256 solid, b = (id+29y)%256 (y-gradient);
+    - odd id → single-frame GIF89a, w = 5+id%6, h = 4+id%5, 4-color
+      palette c ∈ 0..3 = ((id+40c)%256, (id·3+50c)%256, (id·5+60c)%256),
+      pixel index (x+y)%4 (diagonal stripes — the LZW stream mixes runs
+      and transitions, so real compression paths execute).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h = 4 + i % 5, 3 + i % 4
+                    rows = []
+                    for y in range(h):
+                        row = bytearray()
+                        for x in range(w):
+                            row += bytes([
+                                (i + 17 * x) % 256, (i * 7) % 256,
+                                (i + 29 * y) % 256,
+                            ])
+                        rows.append(bytes(row))
+                    content = _encode_bmp(w, h, rows)
+                    mime = "image/bmp"
+                else:
+                    w, h = 5 + i % 6, 4 + i % 5
+                    palette = [
+                        ((i + 40 * c) % 256, (i * 3 + 50 * c) % 256,
+                         (i * 5 + 60 * c) % 256)
+                        for c in range(4)
+                    ]
+                    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+                    content = _encode_gif(w, h, idx, palette)
+                    mime = "image/gif"
+                recs.append({
+                    "media_id": f"g{i:09d}", "media_type": "image",
+                    "content": content, "mime": mime, "width": None,
                     "height": None, "duration_ms": None,
                 })
             out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])

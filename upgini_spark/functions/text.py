@@ -147,6 +147,77 @@ def redact_pii(c: Column) -> Column:
     return out
 
 
+def bm25_score(
+    df,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "bm25",
+):
+    """Okapi BM25 relevance of every document to a bag-of-words query
+    (Lucene idf formulation: ``ln(1 + (N - df + 0.5) / (df + 0.5))``).
+
+    Scale design — one corpus scan, no wide shuffle:
+
+    - the token array is STAGED once per row, then each query term's tf is
+      a native higher-order ``filter`` over it (whole-stage codegen; no
+      explode, so the 1 KB/row payload never fans out);
+    - corpus stats (N, avgdl, per-term document frequency) come from ONE
+      map-side-combinable aggregate producing a single row that is
+      broadcast back — the only exchange in the plan is that tiny agg;
+    - scoring is a pure row-local expression after the broadcast.
+
+    The idf is floored at 1e-10 grain (same trick as the unary_scalars
+    oracle) so a JVM-vs-libm ULP difference in ``ln`` can never flip a
+    downstream 6-dp round; every other operation is rational arithmetic on
+    exactly-representable doubles, so Spark and DuckDB agree bit-for-bit.
+    """
+    toks = F.transform(tokens_ws(F.col(text_col)), lambda t: F.lower(t))
+    tf_names = [f"__tf_{i}" for i in range(len(query_terms))]
+    staged = df.withColumn("__toks", toks).withColumn(
+        "__dl", F.size(F.col("__toks"))
+    )
+    # single-arg lambda via a per-term closure (a 2-arg lambda would get
+    # (element, index) from F.filter; a default-arg bind hits the same trap)
+    def _tf(term: str) -> Column:
+        lit = F.lit(term)
+        return F.size(F.filter(F.col("__toks"), lambda x: x == lit))
+
+    staged = staged.withColumns(
+        {name: _tf(term) for name, term in zip(tf_names, query_terms)}
+    ).drop("__toks")
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(name) > 0).cast("long")).alias(f"__df_{i}")
+            for i, name in enumerate(tf_names)
+        ],
+    )
+    joined = staged.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, name in enumerate(tf_names):
+        tf = F.col(name).cast("double")
+        dfreq = F.col(f"__df_{i}").cast("double")
+        n = F.col("__n").cast("double")
+        idf = F.floor(
+            F.log(F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)))
+            * 1e10
+        ) / 1e10
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl")
+        )
+        score = score + F.when(
+            tf > 0, idf * tf * F.lit(k1 + 1.0) / denom
+        ).otherwise(F.lit(0.0))
+    out = joined.withColumn(out_col, score)
+    drop = tf_names + [f"__df_{i}" for i in range(len(query_terms))] + [
+        "__n", "__avgdl",
+    ]
+    return out.drop(*drop).withColumnRenamed("__dl", "n_tok")
+
+
 def dup_ngram_share(c: Column, n: int = 3) -> Column:
     """Gopher-style repetition signal: 1 − distinct/total word n-grams —
     0.0 for unrepetitive text, → 1 for loops; null when the doc is
