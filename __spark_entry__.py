@@ -536,11 +536,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # this window), sessionize_30m (yielded its fill slot to
 # the new search_key_autodetect — new queries outrank one-round-stale
 # greens; session_stats still covers the sessionize operator this round),
-# roll_quantiles_7d + roll_windows_7d (yielded their fill slots to the
-# new text_bm25_topk and media_decode_gif_bmp, same new-outranks-stale
-# rule; the rolling-window operator family stays covered this round by
-# rolling_volatility_7d / rolling_volatility2_7d / volatility_ratio_7_to_14
-# in section 1).
+# roll_quantiles_7d + roll_windows_7d + minhash_signatures (yielded their
+# fill slots to the new text_bm25_topk, media_decode_gif_bmp and
+# knn_cosine_pq_adc, same new-outranks-stale rule; rolling windows stay
+# covered this round by the three volatility queries in section 1, and the
+# minhash pipeline by dedup_components in section 4).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -554,7 +554,7 @@ _R05_DRIVER_WINDOW = [
     # 2. new in r5
     "media_decode_png", "search_key_autodetect", "stream_window_counts",
     "stream_session_windows", "stream_pit_enrich", "text_bm25_topk",
-    "media_decode_gif_bmp",
+    "media_decode_gif_bmp", "knn_cosine_pq_adc",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
@@ -564,7 +564,7 @@ _R05_DRIVER_WINDOW = [
     "date_list_aggs", "date_multiformat_parse", "dedup_components",
     "enrich_entity_join", "feature_validator_stats", "groupby_then_ops",
     "hash_sample_exact_1000", "ip_converters", "knn_cosine_ivf_kmeans",
-    "minhash_signatures", "session_stats",
+    "session_stats",
 ]
 
 
@@ -4295,6 +4295,90 @@ def knn_cosine_ivf_kmeans(spark, sf_dir):
         k=3, n_cells=None, n_probe=4, n_iter=2,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
+    "knn_cosine_pq_adc",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    long AS (
+      SELECT vec_id, s.range AS sub,
+             CASE WHEN s.range = 0 THEN v[1:32] ELSE v[33:64] END AS sv
+      FROM e, range(0, 2) s
+    ),
+    seed AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v
+      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+    ),
+    c0 AS (
+      SELECT s.range AS sub, seed.cell,
+             CASE WHEN s.range = 0 THEN v[1:32] ELSE v[33:64] END AS cv
+      FROM seed, range(0, 2) s
+    ),
+    a0 AS (
+      SELECT vec_id, sub, sv, cell FROM (
+        SELECT l.vec_id, l.sub, l.sv, c.cell,
+               row_number() OVER (PARTITION BY l.vec_id, l.sub
+                 ORDER BY list_distance(l.sv, c.cv) ASC, c.cell ASC) AS rn
+        FROM long l JOIN c0 c ON l.sub = c.sub) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT sub, cell, list(mm ORDER BY dim) AS cv FROM (
+        SELECT a0.sub, a0.cell, d.range AS dim,
+               round(avg(a0.sv[CAST(d.range AS INT) + 1]), 9) AS mm
+        FROM a0, range(0, 32) d GROUP BY a0.sub, a0.cell, d.range)
+      GROUP BY sub, cell
+    ),
+    enc AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT l.vec_id, l.sub, c.cell,
+               row_number() OVER (PARTITION BY l.vec_id, l.sub
+                 ORDER BY list_distance(l.sv, c.cv) ASC, c.cell ASC) AS rn
+        FROM long l JOIN c1 c ON l.sub = c.sub) WHERE rn = 1
+    ),
+    tbl AS (
+      SELECT q.vec_id AS q_id, c.sub, c.cell,
+             list_inner_product(
+               CASE WHEN c.sub = 0 THEN q.v[1:32] ELSE q.v[33:64] END,
+               c.cv) AS p
+      FROM e q JOIN c1 c ON true WHERE q.vec_id < 5
+    ),
+    adc AS (
+      SELECT t.q_id, enc.vec_id AS n_id, sum(t.p) AS a
+      FROM enc JOIN tbl t ON t.sub = enc.sub AND t.cell = enc.cell
+      WHERE t.q_id <> enc.vec_id
+      GROUP BY t.q_id, enc.vec_id
+    )
+    SELECT q_id, n_id, adc, rank FROM (
+      SELECT q_id, n_id, round(a, 6) AS adc,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY a DESC, n_id ASC) AS INT) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+)
+def knn_cosine_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-k (similarity.pq_topk_adc): PQ is the
+    memory-scale ANN path the IVF family lacks — d=64 vectors compress
+    to m=2 codebook ids (argmin-L2, deterministic 9dp Lloyd from the
+    md5-ordered seed, same recipe as kmeans_centroids), and queries
+    score every row with m table LOOKUPS instead of d multiplies. The
+    oracle replays train → encode → per-query dot-product table →
+    ADC sum → rank bit-for-bit in SQL (m=2 keeps every float sum
+    2-term-commutative, so no ordering caveats). Approximates the inner
+    product; exact cosine re-rank over the returned ids composes with
+    cosine_topk_bruteforce."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = SIM.pq_topk_adc(
+        q, emb, "vec_id", "vec_id", "v", "v",
+        dim=64, k=5, m=2, k_sub=4, n_iter=1,
+    )
+    return out
 
 
 @_q(

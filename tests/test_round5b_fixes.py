@@ -401,3 +401,122 @@ def test_decode_media_gif_bmp_e2e(spark):
         by_fmt[r["format"]] += 1
         assert r["width"] is not None and r["features"] is not None
     assert by_fmt == {"bmp": 30, "gif": 30}
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (similarity.pq_codebooks / pq_encode / pq_topk_adc)
+# ---------------------------------------------------------------------------
+
+
+def _pq_planted(spark, n, dims=16):
+    i = F.col("id")
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: F.conv(
+            F.substring(F.md5(F.concat(i.cast("string"), F.lit("_"),
+                                       d.cast("string"))), 1, 4), 16, 10,
+        ).cast("double") / 65535.0 * 2 - 1,
+    )
+    return spark.range(n).select(i.alias("vec_id"), v.alias("v"))
+
+
+def test_pq_encode_and_adc_replay(spark):
+    """Codebook shape, code validity, and a full Python replay of the ADC
+    arithmetic: adc(q, x) must equal sum_j dot(q_j, codebook[j][code_j])
+    computed independently from the collected codebooks + codes."""
+    from upgini_spark.functions.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    corp = _pq_planted(spark, 300)
+    m, k_sub, dims = 4, 4, 16
+    cb = pq_codebooks(corp, "vec_id", "v", dims, m=m, k_sub=k_sub, n_iter=1)
+    cb_rows = cb.collect()
+    assert len(cb_rows) <= m * k_sub  # empty cells may drop out
+    book = {(r["sub"], r["cell"]): list(r["cvec"]) for r in cb_rows}
+    assert all(len(v) == dims // m for v in book.values())
+
+    codes = pq_encode(corp, "vec_id", "v", cb, dims, m=m)
+    crows = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert len(crows) == 300
+    assert all(
+        len(cs) == m and all((j, c) in book for j, c in enumerate(cs))
+        for cs in crows.values()
+    )
+
+    q = corp.filter(F.col("vec_id") < 3)
+    out = pq_topk_adc(
+        q, corp, "vec_id", "vec_id", "v", "v", dim=dims,
+        k=4, m=m, k_sub=k_sub, n_iter=1,
+    )
+    got = {(r["q_id"], r["n_id"]): r["adc"] for r in out.collect()}
+    vecs = {r["vec_id"]: list(r["v"]) for r in corp.collect()}
+    dm = dims // m
+    for (qi, ni), adc in got.items():
+        qv = vecs[qi]
+        expect = 0.0
+        for j, c in enumerate(crows[ni]):
+            cv = book[(j, c)]
+            expect += sum(
+                qv[j * dm + t] * cv[t] for t in range(dm)
+            )
+        assert adc == pytest.approx(expect, abs=1e-6)
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """ADC is an approximation; on the deterministic planted corpus its
+    top-5 by inner product must overlap the exact top-5 well above
+    chance (5/300), and the exact-dot of ADC's top-1 must be close to
+    the true best (quantization bounds the regret)."""
+    from upgini_spark.functions.similarity import pq_topk_adc
+    from upgini_spark.operators.binary import _dot
+
+    corp = _pq_planted(spark, 300)
+    q = corp.filter(F.col("vec_id") < 10)
+    approx = pq_topk_adc(
+        q, corp, "vec_id", "vec_id", "v", "v", dim=16,
+        k=5, m=4, k_sub=8, n_iter=1,
+    ).collect()
+
+    qq = q.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    exact = (
+        qq.crossJoin(corp)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("ip", _dot(F.col("qv"), F.col("v")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("ip").desc(), F.col("vec_id").asc()
+    )
+    ex = (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    ex_top = {}
+    best_ip = {}
+    for r in ex:
+        ex_top.setdefault(r["q_id"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            best_ip[r["q_id"]] = r["ip"]
+    ip_of = {(r["q_id"], r["vec_id"]): r["ip"] for r in exact.collect()}
+
+    hits = total = 0
+    for r in approx:
+        total += 1
+        hits += r["n_id"] in ex_top[r["q_id"]]
+    recall = hits / total
+    assert recall >= 0.25, recall  # >> 5/300 chance level
+
+    # uniform random vectors are the WORST case for PQ (no cluster
+    # structure to quantize); the deterministic fixture measures mean
+    # top-1 regret 0.87 / worst 2.69 — assert with margin
+    regrets = [
+        best_ip[r["q_id"]] - ip_of[(r["q_id"], r["n_id"])]
+        for r in approx if r["rank"] == 1
+    ]
+    assert max(regrets) <= 3.2, regrets
+    assert sum(regrets) / len(regrets) <= 1.5, regrets

@@ -383,6 +383,232 @@ def cosine_topk_ivf_kmeans(
     )
 
 
+# --------------------------------------------------------------------------
+# Product quantization (IVF-PQ building block, r5 continuation). PQ is the
+# standard memory-scale path for ANN over 10^9+ vectors: d-dim vectors
+# compress to m uint8 codes (here d=64 → m subspace ids), and query-time
+# scoring is O(m) table lookups instead of O(d) multiply-adds — the
+# distance table is built ONCE per query against the (m × k_sub)-row
+# codebook, then every corpus row costs m array lookups. Codebooks train
+# with the same deterministic 9dp-rounded Lloyd recipe as
+# ``kmeans_centroids`` (md5-ordered seed, argmin-L2 assignment with ties
+# to the smallest cell), so the whole train → encode → ADC-score pipeline
+# is bit-replayable in DuckDB SQL (see the knn_cosine_pq_adc oracle).
+# --------------------------------------------------------------------------
+
+
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(vec_col: str, m: int, dim: int) -> F.Column:
+    dm = dim // m
+    return F.array(
+        *[F.slice(F.col(vec_col), j * dm + 1, dm) for j in range(m)]
+    )
+
+
+def _nearest_subcell(long_df: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-(row, subspace) argmin-L2 codebook assignment via a broadcast
+    join + struct-min aggregation (map-side combinable, no per-row
+    window): min struct (d, cell, sv) orders lexicographically, so ties
+    go to the SMALLEST cell id and the subvector rides inside the struct
+    exactly like ``_nearest_cell``'s cosine twin."""
+    scored = long_df.join(F.broadcast(cb), on="sub").withColumn(
+        "__d__", _l2sq(F.col("sv"), F.col("cvec"))
+    )
+    best = scored.groupBy("__pid__", "sub").agg(
+        F.min(
+            F.struct(
+                F.col("__d__").alias("d"),
+                F.col("cell").alias("c"),
+                F.col("sv").alias("v"),
+            )
+        ).alias("__b__")
+    )
+    return best.select(
+        "__pid__", "sub",
+        F.col("__b__.v").alias("sv"),
+        F.col("__b__.c").cast("int").alias("cell"),
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 2,
+    k_sub: int = 8,
+    n_iter: int = 1,
+    sample_cap: int = 100_000,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Deterministic PQ codebooks as a (sub, cell, cvec) DataFrame: the
+    md5-hash-ordered sample seeds ALL subspaces (one seed row yields m
+    sliced centroids), then ``n_iter`` Lloyd steps per subspace — argmin
+    L2 → per-dim mean rounded to ``round_dp`` — run over one exploded
+    (id, sub, subvector) frame so every subspace trains in the same
+    jobs. Engine-portable for the same reason as ``kmeans_centroids``:
+    the 1e-9 rounding quantum dwarfs summation-order noise."""
+    from upgini_spark.functions.sampling import hash_sample_exact
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dm = dim // m
+    n = corpus.count()
+    sample = corpus.select(
+        F.col(id_col).alias("__pid__"), F.col(vec_col).alias("__pv__")
+    )
+    if n > sample_cap:
+        sample = hash_sample_exact(sample, sample_cap, ["__pid__"])
+    sample = sample.localCheckpoint(eager=True)
+    seed = (
+        sample.orderBy(F.md5(F.col("__pid__").cast("string")), F.col("__pid__"))
+        .limit(k_sub)
+        .select("__pv__")
+        .toPandas()
+    )
+    spark = corpus.sparkSession
+    rows = []
+    for i, v in enumerate(seed["__pv__"]):
+        v = [float(x) for x in v]
+        for j in range(m):
+            rows.append((j, i, v[j * dm:(j + 1) * dm]))
+    cb = spark.createDataFrame(rows, "sub int, cell int, cvec array<double>")
+    long_df = sample.select(
+        "__pid__", F.posexplode(_subvectors("__pv__", m, dim)).alias("sub", "sv")
+    )
+    for _ in range(n_iter):
+        assigned = _nearest_subcell(long_df, cb)
+        per_dim = (
+            assigned.select(
+                "sub", "cell", F.posexplode("sv").alias("dim", "x")
+            )
+            .groupBy("sub", "cell", "dim")
+            .agg(F.round(F.avg("x"), round_dp).alias("m"))
+        )
+        cb = (
+            per_dim.groupBy("sub", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .select("sub", F.col("cell").cast("int"), "cvec")
+        )
+        # small (m × k_sub rows) — materialize so each step is one job
+        cb = spark.createDataFrame(
+            cb.toPandas(), "sub int, cell int, cvec array<double>"
+        )
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 2,
+) -> DataFrame:
+    """Compress every corpus vector to its m subspace code ids:
+    (id, codes array<int>), codes ordered by subspace. One corpus scan —
+    explode to (id, sub, subvector), broadcast-join the codebooks,
+    struct-min argmin, regroup. At 10^12 rows this is the index build:
+    the output is ~m bytes/row instead of 4·d."""
+    long_df = corpus.select(
+        F.col(id_col).alias("__pid__"),
+        F.posexplode(_subvectors(vec_col, m, dim)).alias("sub", "sv"),
+    )
+    assigned = _nearest_subcell(long_df, codebooks)
+    return (
+        assigned.groupBy("__pid__")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cell"))),
+                lambda s: s["cell"],
+            ).alias("codes")
+        )
+        .select(F.col("__pid__").alias(id_col), "codes")
+    )
+
+
+def pq_topk_adc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    dim: int,
+    k: int = 5,
+    m: int = 2,
+    k_sub: int = 8,
+    n_iter: int = 1,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k by inner product:
+    train PQ codebooks, encode the corpus once, then per query build the
+    (m × k_sub) dot-product table against the codebooks and score every
+    corpus row with m array LOOKUPS — ``adc = Σ_j table[j][codes[j]]`` —
+    via an index-aware ``transform`` + ordered ``aggregate`` (the
+    left-to-right sum makes the float result partition- and
+    engine-deterministic). The codes frame never touches the original
+    vectors at query time, which is the entire point of PQ at 10^12
+    rows. Exact re-ranking of the ADC top-k (fetch true vectors for k·n_q
+    ids) is the standard next stage and composes with
+    ``cosine_topk_bruteforce`` on the filtered id set."""
+    cb = pq_codebooks(
+        corpus, corpus_id, corpus_vec, dim, m=m, k_sub=k_sub, n_iter=n_iter
+    )
+    codes = pq_encode(corpus, corpus_id, corpus_vec, cb, dim, m=m)
+    from upgini_spark.operators.binary import _dot
+
+    qlong = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.posexplode(_subvectors(query_vec, m, dim)).alias("sub", "qsv"),
+    )
+    tbl = qlong.join(F.broadcast(cb), on="sub").withColumn(
+        "__p__", _dot(F.col("qsv"), F.col("cvec"))
+    )
+    flat = tbl.groupBy("q_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cell", "__p__"))),
+            lambda s: s["__p__"],
+        ).alias("ptab")
+    )
+    # two-arg transform lambda receives (element, index) — here that
+    # index IS the subspace id, used deliberately for the table lookup
+    partials = F.transform(
+        F.col("codes"),
+        lambda c, jx: F.element_at(F.col("ptab"), jx * k_sub + c + 1),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(flat))
+        .filter(F.col("q_id") != F.col(corpus_id))
+        .withColumn(
+            "adc",
+            F.aggregate(partials, F.lit(0.0), lambda acc, v: acc + v),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", F.col(corpus_id).alias("n_id"),
+            F.round("adc", 6).alias("adc"), "rank",
+        )
+    )
+
+
 def deterministic_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, n_cells: int = 8
 ) -> list[tuple]:
