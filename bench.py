@@ -70,6 +70,10 @@ HEADLINE = [
     "repetition_share",
     # round 5: batched monthly-PSI report (track the per-feature-loop fix)
     "psi_monthly",
+    # round 5 continuation: BM25 (1-row stats broadcast, no explode) and
+    # PQ-ADC (eager codebook fit + encode + table-lookup scoring)
+    "text_bm25_topk",
+    "knn_cosine_pq_adc",
 ]
 
 
@@ -254,6 +258,25 @@ def main() -> None:
 
     media_decode()  # warm-up
     per_query["media_decode_20k"] = round(min(media_decode() for _ in range(2)), 3)
+
+    # GIF (LZW) + BMP decode throughput (r5 continuation): 20k genuine
+    # compressed-bitstream payloads through the same Arrow kernel
+    def media_decode_gif_bmp() -> float:
+        from upgini_spark.functions.multimodal import (
+            decode_media,
+            synthetic_gif_bmp_media,
+        )
+
+        t0 = time.time()
+        decode_media(synthetic_gif_bmp_media(spark, 20_000)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    media_decode_gif_bmp()  # warm-up
+    per_query["media_decode_gif_bmp_20k"] = round(
+        min(media_decode_gif_bmp() for _ in range(2)), 3
+    )
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
