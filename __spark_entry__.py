@@ -540,7 +540,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # fill slots to the new text_bm25_topk, media_decode_gif_bmp and
 # knn_cosine_pq_adc, same new-outranks-stale rule; rolling windows stay
 # covered this round by the three volatility queries in section 1, and the
-# minhash pipeline by dedup_components in section 4).
+# minhash pipeline by dedup_components in section 4), cv_hash_kfold
+# (yielded its slot to the new media_decode_jpeg; the CV-split family
+# keeps five r4-green driver attestations: cv_group_kfold,
+# cv_time_series_folds, cv_blocked_folds, cv_stratified_folds + the
+# metrics harness).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -554,13 +558,13 @@ _R05_DRIVER_WINDOW = [
     # 2. new in r5
     "media_decode_png", "search_key_autodetect", "stream_window_counts",
     "stream_session_windows", "stream_pit_enrich", "text_bm25_topk",
-    "media_decode_gif_bmp", "knn_cosine_pq_adc",
+    "media_decode_gif_bmp", "knn_cosine_pq_adc", "media_decode_jpeg",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
     # 4. oldest r03-stale (as-of family first)
     "asof_join_backward", "asof_join_forward", "asof_join_arrow",
-    "asof_join_tolerance", "cluster_assign", "cv_hash_kfold",
+    "asof_join_tolerance", "cluster_assign",
     "date_list_aggs", "date_multiformat_parse", "dedup_components",
     "enrich_entity_join", "feature_validator_stats", "groupby_then_ops",
     "hash_sample_exact_1000", "ip_converters", "knn_cosine_ivf_kmeans",
@@ -2531,6 +2535,76 @@ def media_decode_gif_bmp(spark, sf_dir):
     )
 
     out = decode_media(synthetic_gif_bmp_media(spark, 400))
+
+    def fe(i):
+        return F.round(F.try_element_at("features", F.lit(i)), 6)
+
+    return out.select(
+        "media_id", "format", "width", "height",
+        fe(1).alias("f0"), fe(2).alias("f1"), fe(3).alias("f2"),
+        fe(4).alias("f3"),
+    )
+
+
+@_q(
+    "media_decode_jpeg",
+    """
+    WITH ids AS (SELECT range AS id FROM range(0, 400)),
+    p AS (
+      SELECT id,
+        CASE WHEN id % 2 = 0 THEN 6 + id % 11 ELSE 6 + id % 13 END AS w,
+        CASE WHEN id % 2 = 0 THEN 5 + id % 9 ELSE 5 + id % 11 END AS h,
+        CASE id % 5 WHEN 0 THEN 3 WHEN 1 THEN 5 WHEN 2 THEN 8
+                    WHEN 3 THEN 12 ELSE 16 END AS q0
+      FROM ids
+    ), blocks AS (
+      SELECT p.id, p.w, p.h, p.q0,
+        (LEAST(p.w, 8 * (bx.range + 1)) - 8 * bx.range) AS cx,
+        (LEAST(p.h, 8 * (by.range + 1)) - 8 * by.range) AS cy,
+        CASE WHEN p.id % 2 = 0
+             THEN (p.id + 37 * bx.range + 53 * by.range) % 256
+             ELSE (3 * p.id + 41 * bx.range + 59 * by.range) % 256
+        END AS lv
+      FROM p, range(0, 3) bx, range(0, 3) by
+      WHERE 8 * bx.range < p.w AND 8 * by.range < p.h
+    ), dec AS (
+      SELECT id, w, h, cx, cy,
+        LEAST(255, GREATEST(0,
+          CAST(floor((CAST(floor((2.0 * (8 * (lv - 128)) + q0)
+                             / (2 * q0)) AS BIGINT) * q0 + 4)
+                     / 8.0) AS BIGINT) + 128)) AS lp
+      FROM blocks
+    ), m AS (
+      SELECT id, w, h,
+        CAST(sum(lp * cx * cy) AS DOUBLE) / (w * h) / 255.0 AS mn
+      FROM dec GROUP BY id, w, h
+    )
+    SELECT 'j' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+           'jpeg' AS format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(mn, 6) AS f0, round(mn, 6) AS f1, round(mn, 6) AS f2,
+           round(0.2126 * mn + 0.7152 * mn + 0.0722 * mn, 6) AS f3
+    FROM m
+    """,
+)
+def media_decode_jpeg(spark, sf_dir):
+    """Pure-stdlib baseline JPEG decode (r5, functions/jpeg.py): the
+    payloads are genuine baseline JFIF streams — DQT/DHT/SOF0/DRI/SOS
+    marker structure, canonical-Huffman entropy coding with byte
+    stuffing and restart markers, grayscale AND interleaved YCbCr 4:2:0
+    — synthesized per id inside an Arrow kernel. Every 8x8 block is
+    solid (DC-only), which makes the whole encode->decode loop
+    INTEGER-exact (libjpeg-style DC shortcut: clamp(floor((dc+4)/8) +
+    128)), so the oracle replays the quantizer rounding, the DC diff
+    prediction chain across the MCU raster, restart resets, 4:2:0
+    block interleave, and the crop arithmetic closed-form — a wrong
+    Huffman bit, stuffed byte, predictor reset, or block-order swap
+    hash-fails. General (AC-bearing) blocks are covered in pytest
+    against an independent numpy IDCT. No reference counterpart
+    (upgini has no media surface), like the PNG/GIF/BMP work."""
+    from upgini_spark.functions.multimodal import decode_media, synthetic_jpeg_media
+
+    out = decode_media(synthetic_jpeg_media(spark, 400))
 
     def fe(i):
         return F.round(F.try_element_at("features", F.lit(i)), 6)

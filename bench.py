@@ -278,6 +278,25 @@ def main() -> None:
         min(media_decode_gif_bmp() for _ in range(2)), 3
     )
 
+    # baseline JPEG decode throughput (r5): 20k genuine Huffman-coded
+    # JFIF payloads (gray + YCbCr 4:2:0) through the same Arrow kernel
+    def media_decode_jpeg() -> float:
+        from upgini_spark.functions.multimodal import (
+            decode_media,
+            synthetic_jpeg_media,
+        )
+
+        t0 = time.time()
+        decode_media(synthetic_jpeg_media(spark, 20_000)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    media_decode_jpeg()  # warm-up
+    per_query["media_decode_jpeg_20k"] = round(
+        min(media_decode_jpeg() for _ in range(2)), 3
+    )
+
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
         "metric": "headline suite wall time (flagship as-of enrich + operator queries)",

@@ -7,16 +7,20 @@ every dependency-free format: PCM WAV (stdlib ``wave``), binary P6 PPM
 every-k-th-frame sampling); round 5 adds full PNG (zlib inflate + all
 five scanline filters, gray/RGB/RGBA) — the single most common image
 format a real pipeline ingests — plus GIF (a from-spec variable-width
-LZW decoder: CLEAR/EOI, width growth, 12-bit cap) and 24-bit BMP (BGR,
-4-byte row padding); nearest-neighbor PPM resize re-emits valid
-payloads. Each stage is verified against closed-form ground truth
-of synthesized real files (see the media_* oracles in
-__spark_entry__.py). Heavy-codec formats (JPEG/MP3/MP4 — no codec
-libraries in this container) remain behind the clearly marked stub:
-``decode_media`` tags
-them format='unknown', and ``extract_media_features(strict=True)``
-raises at the stub boundary. The sha256 fake-embedding path stays as the
-engine-portable determinism oracle for the Arrow plumbing itself.
+LZW decoder: CLEAR/EOI, width growth, 12-bit cap), 24-bit BMP (BGR,
+4-byte row padding), and baseline JPEG (functions/jpeg.py: full
+DQT/DHT/SOF0/DRI/SOS marker walk, canonical-Huffman entropy decode
+with byte unstuffing and restart markers, dequantize + IDCT, 4:2:0
+chroma upsampling, YCbCr→RGB); nearest-neighbor PPM resize re-emits
+valid payloads. Each stage is verified against closed-form ground
+truth of synthesized real files (see the media_* oracles in
+__spark_entry__.py). The remaining heavy-codec formats (MP3/MP4 — no
+codec libraries in this container, and both are patent-era bitstream
+formats far past what stdlib parsing can reach) stay behind the
+clearly marked stub: ``decode_media`` tags them format='unknown', and
+``extract_media_features(strict=True)`` raises at the stub boundary.
+The sha256 fake-embedding path stays as the engine-portable
+determinism oracle for the Arrow plumbing itself.
 """
 
 from __future__ import annotations
@@ -134,15 +138,15 @@ def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
 # --------------------------------------------------------------------------
 # REAL decoders for dependency-free formats (round 4): WAV audio via the
 # stdlib `wave` module, binary PPM (P6) images by direct header+pixel
-# parsing. Heavy-codec formats (JPEG/PNG/MP3/MP4) remain behind the
-# documented stub — but the decode STAGE itself is now real: sniffed by
-# magic bytes, executed in the same Arrow mapInPandas kernel, tested
+# parsing. PNG/GIF/BMP/JPEG followed in r5; only MP3/MP4 remain behind
+# the documented stub. The decode STAGE is real: sniffed by magic
+# bytes, executed in the same Arrow mapInPandas kernel, tested
 # end-to-end on synthesized real files.
 # --------------------------------------------------------------------------
 
 _DECODED_SCHEMA = StructType([
     StructField("media_id", StringType(), False),
-    StructField("format", StringType(), True),  # wav|ppm|png|gif|bmp|unknown
+    StructField("format", StringType(), True),  # wav|ppm|png|gif|bmp|jpeg|unknown
     StructField("n_bytes", IntegerType(), True),
     StructField("width", IntegerType(), True),       # ppm
     StructField("height", IntegerType(), True),      # ppm
@@ -691,6 +695,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                         w, h, feats = _decode_bmp(bytes(content))
                         rec.update(format="bmp", width=w, height=h,
                                    features=feats)
+                    elif content[:3] == b"\xff\xd8\xff":
+                        from upgini_spark.functions.jpeg import decode_jpeg
+
+                        w, h, feats = decode_jpeg(bytes(content))
+                        rec.update(format="jpeg", width=w, height=h,
+                                   features=feats)
                 except Exception:
                     rec["format"] = "corrupt"  # keep the row, flag it
                 rows.append(rec)
@@ -913,6 +923,60 @@ def synthetic_png_media(spark, n_rows: int) -> DataFrame:
                 recs.append({
                     "media_id": f"p{i:09d}", "media_type": "image",
                     "content": content, "mime": "image/png", "width": None,
+                    "height": None, "duration_ms": None,
+                })
+            out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+            for c in ("width", "height", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return spark.range(n_rows).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_media(spark, n_rows: int) -> DataFrame:
+    """Rows of REAL baseline JPEG payloads, deterministically synthesized
+    per id inside an Arrow kernel. Every 8×8 block is solid (DC-only), so
+    the full encode→decode loop — quantizer rounding, the DC *diff*
+    prediction chain across the MCU raster, Huffman coding, byte
+    stuffing, restart-marker resets, 4:2:0 interleave and crop — is
+    INTEGER-exact and replayable in oracle SQL (jpeg.decoded_solid_level
+    is the closed form):
+
+    - even id → grayscale, w = 6+id%11, h = 5+id%9 (partial edge blocks
+      nearly always), block level (id + 37·bx + 53·by) % 256, restart
+      interval 2 when id % 4 == 0;
+    - odd id → YCbCr 4:2:0, w = 6+id%13, h = 5+id%11, luma block level
+      (3·id + 41·bx + 59·by) % 256, neutral chroma (RGB == Y exactly),
+      restart interval 3 when id % 8 == 7;
+    - quantizer q0 = [3, 5, 8, 12, 16][id % 5].
+    """
+    from upgini_spark.functions.jpeg import (
+        encode_jpeg_blockgrid_gray,
+        encode_jpeg_blockgrid_gray420,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                q0 = [3, 5, 8, 12, 16][i % 5]
+                if i % 2 == 0:
+                    w, h = 6 + i % 11, 5 + i % 9
+                    content = encode_jpeg_blockgrid_gray(
+                        w, h, lambda bx, by: (i + 37 * bx + 53 * by) % 256,
+                        q0, dri=2 if i % 4 == 0 else 0,
+                    )
+                else:
+                    w, h = 6 + i % 13, 5 + i % 11
+                    content = encode_jpeg_blockgrid_gray420(
+                        w, h,
+                        lambda bx, by: (3 * i + 41 * bx + 59 * by) % 256,
+                        q0, dri=3 if i % 8 == 7 else 0,
+                    )
+                recs.append({
+                    "media_id": f"j{i:09d}", "media_type": "image",
+                    "content": content, "mime": "image/jpeg", "width": None,
                     "height": None, "duration_ms": None,
                 })
             out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
