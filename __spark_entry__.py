@@ -544,7 +544,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (yielded its slot to the new media_decode_jpeg; the CV-split family
 # keeps five r4-green driver attestations: cv_group_kfold,
 # cv_time_series_folds, cv_blocked_folds, cv_stratified_folds + the
-# metrics harness).
+# metrics harness), date_list_aggs (yielded its slot to the new
+# media_decode_au; the date family keeps date_diff_ops + both
+# DatePercentile queries r4-green, and date_list_bounded was already
+# deferred as golden-covered).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -559,13 +562,14 @@ _R05_DRIVER_WINDOW = [
     "media_decode_png", "search_key_autodetect", "stream_window_counts",
     "stream_session_windows", "stream_pit_enrich", "text_bm25_topk",
     "media_decode_gif_bmp", "knn_cosine_pq_adc", "media_decode_jpeg",
+    "media_decode_au",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
     # 4. oldest r03-stale (as-of family first)
     "asof_join_backward", "asof_join_forward", "asof_join_arrow",
     "asof_join_tolerance", "cluster_assign",
-    "date_list_aggs", "date_multiformat_parse", "dedup_components",
+    "date_multiformat_parse", "dedup_components",
     "enrich_entity_join", "feature_validator_stats", "groupby_then_ops",
     "hash_sample_exact_1000", "ip_converters", "knn_cosine_ivf_kmeans",
     "session_stats",
@@ -2613,6 +2617,70 @@ def media_decode_jpeg(spark, sf_dir):
         "media_id", "format", "width", "height",
         fe(1).alias("f0"), fe(2).alias("f1"), fe(3).alias("f2"),
         fe(4).alias("f3"),
+    )
+
+
+@_q(
+    "media_decode_au",
+    """
+    WITH ids AS (SELECT range AS id FROM range(0, 400)),
+    p AS (SELECT id, 160 + (id % 5) * 40 AS n FROM ids),
+    cw AS (
+      SELECT p.id, p.n, 255 - ((13 * p.id + 7 * j.range) % 256) AS c
+      FROM p, range(0, 360) j
+      WHERE j.range < p.n
+    ), lin AS (
+      SELECT id, n,
+        CASE WHEN c >= 128
+             THEN -(((c % 16) * 8 + 132)
+                    * CAST(round(power(2, floor((c % 128) / 16.0))) AS BIGINT)
+                    - 132)
+             ELSE ((c % 16) * 8 + 132)
+                  * CAST(round(power(2, floor((c % 128) / 16.0))) AS BIGINT)
+                  - 132
+        END AS s
+      FROM cw
+    ), agg AS (
+      SELECT id, n,
+        CAST(sum(s * s) AS BIGINT) AS ss,
+        CAST(sum(abs(s)) AS BIGINT) AS sa,
+        CAST(max(abs(s)) AS BIGINT) AS mx,
+        count(*) AS k
+      FROM lin GROUP BY id, n
+    )
+    SELECT 'a' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+           'au' AS format,
+           CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+           CAST(floor(n / 8.0) AS INT) AS duration_ms,
+           round(sqrt(ss * 1.0 / k) / 32768.0, 6) AS f0,
+           round(sa * 1.0 / k / 32768.0, 6) AS f1,
+           round(mx * 1.0 / 32768.0, 6) AS f2
+    FROM agg
+    """,
+)
+def media_decode_au(spark, sf_dir):
+    """Sun/NeXT .au mu-law audio decode (r5, multimodal._decode_au): the
+    payloads are genuine .au files — big-endian header with annotation
+    padding and unknown-length-sentinel variants — whose 8-bit G.711
+    mu-law samples hit EVERY code point across the fixture set
+    (byte j = (13 id + 7 j) % 256). The oracle replays the expansion
+    table as pure integer bit-math (c = 255 - u; ((c%16)*8+132)*2^
+    ((c%128)//16) - 132, sign from c>=128 — validated exhaustively
+    against the Python table for all 256 codes) and the decoder's exact
+    division sequence (sqrt(ss/k)/32768, sa/k/32768, mx/32768), so a
+    wrong table entry, header offset, or length-sentinel branch
+    hash-fails. No reference counterpart (upgini has no media surface);
+    second real audio codec beside PCM WAV."""
+    from upgini_spark.functions.multimodal import decode_media, synthetic_au_media
+
+    out = decode_media(synthetic_au_media(spark, 400))
+
+    def fe(i):
+        return F.round(F.try_element_at("features", F.lit(i)), 6)
+
+    return out.select(
+        "media_id", "format", "sample_rate", "n_channels", "duration_ms",
+        fe(1).alias("f0"), fe(2).alias("f1"), fe(3).alias("f2"),
     )
 
 

@@ -185,6 +185,64 @@ def _decode_wav(content: bytes):
     return rate, ch, dur_ms, [float(rms), float(mean_abs), float(peak)]
 
 
+def _ulaw_to_linear(b: int) -> int:
+    """G.711 mu-law expansion (ITU-T G.711 table): 8-bit code ->
+    linear sample in [-32124, 32124]. Pure integer bit-math, so the
+    media_decode_au SQL oracle replays it verbatim:
+    c = 255 - b; s = ((c%16)*8 + 132) * 2^((c%128)//16) - 132, negated
+    when c >= 128."""
+    c = ~b & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 7
+    mant = c & 0x0F
+    s = (((mant << 3) + 0x84) << exp) - 0x84
+    return -s if sign else s
+
+
+_ULAW_TABLE = [_ulaw_to_linear(b) for b in range(256)]
+
+
+def _decode_au(content: bytes):
+    """Sun/NeXT .au audio: big-endian 24-byte header (magic '.snd',
+    data offset, data size, encoding, sample rate, channels) + sample
+    data. Supports encoding 1 (8-bit G.711 mu-law) — the format's
+    canonical payload — expanding through ``_ULAW_TABLE``; every other
+    encoding raises so the row is tagged 'corrupt'. Returns the same
+    contract as ``_decode_wav``: (rate, channels, duration_ms,
+    [rms, mean_abs, peak] normalized to [-1, 1])."""
+    import struct
+
+    if len(content) < 24 or content[:4] != b".snd":
+        raise ValueError("not an au file")
+    offset, size, enc, rate, ch = struct.unpack(">IIIII", content[4:24])
+    if enc != 1:
+        raise ValueError(f"unsupported au encoding {enc}")
+    if offset < 24 or offset > len(content):
+        raise ValueError("bad au data offset")
+    if ch < 1 or rate == 0:
+        raise ValueError("bad au header")
+    data = content[offset:]
+    if size != 0xFFFFFFFF:          # 0xFFFFFFFF = unknown length (spec)
+        if len(data) < size:
+            raise ValueError("truncated au data")
+        data = data[:size]
+    nframes = len(data) // ch
+    dur_ms = int(nframes * 1000 / rate)
+    if not data:
+        return rate, ch, dur_ms, [0.0, 0.0, 0.0]
+    import math
+
+    tbl = _ULAW_TABLE
+    samples = [tbl[b] for b in data]
+    k = len(samples)
+    # math.sqrt (correctly-rounded IEEE sqrt) == DuckDB sqrt, so the
+    # oracle replays this bit-for-bit; ** 0.5 routes through libm pow
+    rms = math.sqrt(sum(s * s for s in samples) / k) / 32768.0
+    mean_abs = sum(abs(s) for s in samples) / k / 32768.0
+    peak = max(abs(s) for s in samples) / 32768.0
+    return rate, ch, dur_ms, [float(rms), float(mean_abs), float(peak)]
+
+
 def _decode_ppm(content: bytes):
     """Binary PPM (P6): (width, height, [mean_r, mean_g, mean_b,
     luminance] normalized to [0, 1]). Header parsing delegated to
@@ -679,6 +737,11 @@ def decode_media(df: DataFrame) -> DataFrame:
                         rec.update(format="wav", sample_rate=rate,
                                    n_channels=ch, duration_ms=dur,
                                    features=feats)
+                    elif content[:4] == b".snd":
+                        rate, ch, dur, feats = _decode_au(bytes(content))
+                        rec.update(format="au", sample_rate=rate,
+                                   n_channels=ch, duration_ms=dur,
+                                   features=feats)
                     elif content[:2] == b"P6":
                         w, h, feats = _decode_ppm(bytes(content))
                         rec.update(format="ppm", width=w, height=h,
@@ -923,6 +986,44 @@ def synthetic_png_media(spark, n_rows: int) -> DataFrame:
                 recs.append({
                     "media_id": f"p{i:09d}", "media_type": "image",
                     "content": content, "mime": "image/png", "width": None,
+                    "height": None, "duration_ms": None,
+                })
+            out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+            for c in ("width", "height", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return spark.range(n_rows).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthetic_au_media(spark, n_rows: int) -> DataFrame:
+    """Rows of REAL Sun/NeXT .au payloads (8-bit G.711 mu-law, mono
+    8 kHz), deterministically synthesized per id inside an Arrow
+    kernel: sample byte j = (13·id + 7·j) % 256 — every mu-law code
+    point is hit across the fixture set, so the full expansion table is
+    oracle-gated. Header variants: annotation padding (data offset 28)
+    when id % 3 == 0, unknown-length sentinel (size 0xFFFFFFFF) when
+    id % 7 == 0. n = 160 + (id % 5)·40 samples."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                n = 160 + (i % 5) * 40
+                data = bytes((13 * i + 7 * j) % 256 for j in range(n))
+                offset = 28 if i % 3 == 0 else 24
+                size = 0xFFFFFFFF if i % 7 == 0 else n
+                content = (
+                    b".snd"
+                    + struct.pack(">IIIII", offset, size, 1, 8000, 1)
+                    + b"\x00" * (offset - 24)
+                    + data
+                )
+                recs.append({
+                    "media_id": f"a{i:09d}", "media_type": "audio",
+                    "content": content, "mime": "audio/basic", "width": None,
                     "height": None, "duration_ms": None,
                 })
             out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
