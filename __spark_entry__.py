@@ -547,7 +547,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # metrics harness), date_list_aggs (yielded its slot to the new
 # media_decode_au; the date family keeps date_diff_ops + both
 # DatePercentile queries r4-green, and date_list_bounded was already
-# deferred as golden-covered).
+# deferred as golden-covered), ip_converters (yielded to the new
+# media_probe_mp4; the IP family keeps ip_range_join + ip_v6_converters
+# in section 1 of THIS window), enrich_entity_join (yielded to the new
+# media_probe_mp3; the equi-join enrichment path is exercised in-window
+# by enrichment_hit_rate plus every asof/enricher query).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -562,7 +566,7 @@ _R05_DRIVER_WINDOW = [
     "media_decode_png", "search_key_autodetect", "stream_window_counts",
     "stream_session_windows", "stream_pit_enrich", "text_bm25_topk",
     "media_decode_gif_bmp", "knn_cosine_pq_adc", "media_decode_jpeg",
-    "media_decode_au",
+    "media_decode_au", "media_probe_mp4", "media_probe_mp3",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
@@ -570,8 +574,8 @@ _R05_DRIVER_WINDOW = [
     "asof_join_backward", "asof_join_forward", "asof_join_arrow",
     "asof_join_tolerance", "cluster_assign",
     "date_multiformat_parse", "dedup_components",
-    "enrich_entity_join", "feature_validator_stats", "groupby_then_ops",
-    "hash_sample_exact_1000", "ip_converters", "knn_cosine_ivf_kmeans",
+    "feature_validator_stats", "groupby_then_ops",
+    "hash_sample_exact_1000", "knn_cosine_ivf_kmeans",
     "session_stats",
 ]
 
@@ -2681,6 +2685,108 @@ def media_decode_au(spark, sf_dir):
     return out.select(
         "media_id", "format", "sample_rate", "n_channels", "duration_ms",
         fe(1).alias("f0"), fe(2).alias("f1"), fe(3).alias("f2"),
+    )
+
+
+@_q(
+    "media_probe_mp4",
+    """
+    WITH ids AS (SELECT range AS id FROM range(0, 400)),
+    p AS (
+      SELECT id,
+        (id * 37) % 100000 AS dur,
+        CASE id % 5 WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 90000
+                    WHEN 3 THEN 44100 ELSE 24 END AS ts,
+        16 * (1 + id % 40) AS w, 16 * (1 + id % 23) AS h,
+        CASE id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                    WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+        1 + id % 2 AS ch,
+        CASE WHEN id % 6 = 0 THEN 2.0 ELSE 1.0 END AS na
+      FROM ids
+    )
+    SELECT 'v' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+           'mp4' AS format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS n_channels,
+           CAST(floor(dur * 1000.0 / ts) AS INT) AS duration_ms,
+           round(1.0, 6) AS f0, round(na, 6) AS f1
+    FROM p
+    """,
+)
+def media_probe_mp4(spark, sf_dir):
+    """ISO-BMFF (MP4) container probe (r5, multimodal._probe_mp4): the
+    payloads are genuine minimal MP4s — ftyp + moov(mvhd + video/audio
+    traks with tkhd/mdia/mdhd/hdlr/minf/stbl/stsd) + mdat, including
+    64-bit largesize boxes, mvhd version 1, and multi-audio-track
+    variants — synthesized per id in an Arrow kernel. The probe walks
+    the box tree per ISO/IEC 14496-12 and extracts movie duration
+    (mvhd timescale math, int-truncation replayed as floor in SQL),
+    video geometry (16.16 fixed-point tkhd), audio rate/channels
+    (AudioSampleEntry offsets), and track counts. SAMPLE decode of
+    H.264/AAC stays behind the documented stub (codec libs absent) —
+    this is the metadata pass a 100-TB ingest pipeline runs first.
+    No reference counterpart (upgini has no media surface)."""
+    from upgini_spark.functions.multimodal import decode_media, synthetic_mp4_media
+
+    out = decode_media(synthetic_mp4_media(spark, 400))
+
+    def fe(i):
+        return F.round(F.try_element_at("features", F.lit(i)), 6)
+
+    return out.select(
+        "media_id", "format", "width", "height", "sample_rate",
+        "n_channels", "duration_ms", fe(1).alias("f0"), fe(2).alias("f1"),
+    )
+
+
+@_q(
+    "media_probe_mp3",
+    """
+    WITH ids AS (SELECT range AS id FROM range(0, 400)),
+    p AS (
+      SELECT id,
+        3 + id % 7 AS frames,
+        CASE 1 + id % 14
+          WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+          WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+          WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+          WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps,
+        CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000
+          END AS rate,
+        CASE WHEN id % 2 = 1 THEN 1 ELSE 2 END AS ch
+      FROM ids
+    )
+    SELECT 'z' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+           'mp3' AS format,
+           CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS n_channels,
+           CAST(floor(frames * 1152 * 1000.0 / rate) AS INT) AS duration_ms,
+           round(CAST(frames AS DOUBLE), 6) AS f0,
+           round(CAST(kbps AS DOUBLE), 6) AS f1
+    FROM p
+    """,
+)
+def media_probe_mp3(spark, sf_dir):
+    """MPEG1 Layer III frame-header walk (r5, multimodal._probe_mp3):
+    genuine MP3 streams — real 4-byte frame headers over the public
+    bitrate/sample-rate tables, per-frame padding bits, zero audio
+    payload, ID3v2 prefixes with syncsafe sizes — synthesized per id.
+    The probe skips ID3, walks frames by computed size
+    (144000·kbps/rate + pad), counts them, and derives duration
+    (frames·1152/rate, int truncation replayed as floor), sample rate,
+    and channel mode. A wrong table entry, padding-bit handling, or
+    syncsafe decode desyncs the walk and hash-fails. Sample synthesis
+    stays behind the documented stub — this is the metadata pass.
+    No reference counterpart (upgini has no media surface)."""
+    from upgini_spark.functions.multimodal import decode_media, synthetic_mp3_media
+
+    out = decode_media(synthetic_mp3_media(spark, 400))
+
+    def fe(i):
+        return F.round(F.try_element_at("features", F.lit(i)), 6)
+
+    return out.select(
+        "media_id", "format", "sample_rate", "n_channels", "duration_ms",
+        fe(1).alias("f0"), fe(2).alias("f1"),
     )
 
 

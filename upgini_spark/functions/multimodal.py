@@ -12,15 +12,17 @@ LZW decoder: CLEAR/EOI, width growth, 12-bit cap), 24-bit BMP (BGR,
 DQT/DHT/SOF0/DRI/SOS marker walk, canonical-Huffman entropy decode
 with byte unstuffing and restart markers, dequantize + IDCT, 4:2:0
 chroma upsampling, YCbCr→RGB); nearest-neighbor PPM resize re-emits
-valid payloads. Each stage is verified against closed-form ground
-truth of synthesized real files (see the media_* oracles in
-__spark_entry__.py). The remaining heavy-codec formats (MP3/MP4 — no
-codec libraries in this container, and both are patent-era bitstream
-formats far past what stdlib parsing can reach) stay behind the
-clearly marked stub: ``decode_media`` tags them format='unknown', and
-``extract_media_features(strict=True)`` raises at the stub boundary.
-The sha256 fake-embedding path stays as the engine-portable
-determinism oracle for the Arrow plumbing itself.
+valid payloads; Sun/NeXT .au adds G.711 mu-law audio expansion. MP4
+and MP3 get real METADATA probes (ISO-BMFF box walk, MPEG frame-header
+walk) — the pass a 100-TB ingest pipeline runs first — while their
+SAMPLE decode (H.264/AAC/MP3 synthesis — no codec libraries in this
+container) stays behind the clearly marked stub:
+``extract_media_features(strict=True)`` raises at the stub boundary,
+and truly unknown magic bytes tag format='unknown'. Each real stage is
+verified against closed-form ground truth of synthesized real files
+(see the media_* oracles in __spark_entry__.py). The sha256
+fake-embedding path stays as the engine-portable determinism oracle
+for the Arrow plumbing itself.
 """
 
 from __future__ import annotations
@@ -146,7 +148,8 @@ def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
 
 _DECODED_SCHEMA = StructType([
     StructField("media_id", StringType(), False),
-    StructField("format", StringType(), True),  # wav|ppm|png|gif|bmp|jpeg|unknown
+    # wav|au|ppm|png|gif|bmp|jpeg|mp4|mp3|unknown|corrupt
+    StructField("format", StringType(), True),
     StructField("n_bytes", IntegerType(), True),
     StructField("width", IntegerType(), True),       # ppm
     StructField("height", IntegerType(), True),      # ppm
@@ -241,6 +244,252 @@ def _decode_au(content: bytes):
     mean_abs = sum(abs(s) for s in samples) / k / 32768.0
     peak = max(abs(s) for s in samples) / 32768.0
     return rate, ch, dur_ms, [float(rms), float(mean_abs), float(peak)]
+
+
+# --------------------------------------------------------------------------
+# MP4 / MP3 metadata probes (r5): the two formats whose SAMPLE decode is
+# genuinely out of reach without codec libraries (H.264/AAC, MP3 synthesis
+# filterbank) get REAL container-level parsing instead — which is what a
+# 100-TB ingest pipeline runs first anyway (probe → route → transcode
+# elsewhere). ISO-BMFF box walk (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/
+# stsd) and MPEG audio frame-header walking (bitrate/samplerate tables,
+# ID3v2 skip) are pure public-spec header math, so both are closed-form
+# oracle-gated like the full decoders. PCM output remains behind the
+# documented stub.
+# --------------------------------------------------------------------------
+
+
+def _probe_mp4(content: bytes):
+    """ISO base-media (MP4) container probe: top-level box walk →
+    moov/mvhd movie duration, per-track hdlr/tkhd/mdhd/stsd metadata.
+    Returns (duration_ms, width, height, sample_rate, n_channels,
+    [n_video_tracks, n_audio_tracks]). Raises on malformed boxes so the
+    row is tagged 'corrupt'."""
+    import struct
+
+    def walk(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            (size,), btype = struct.unpack(">I", buf[pos:pos + 4]), buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("bad mp4 box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+        if pos != end:
+            raise ValueError("trailing mp4 bytes")
+
+    top = {t: (s, e) for t, s, e in walk(content, 0, len(content))}
+    if b"moov" not in top:
+        raise ValueError("no moov box")
+    dur_ms = None
+    width = height = rate = channels = None
+    nv = na = 0
+    ms, me = top[b"moov"]
+    for btype, s, e in walk(content, ms, me):
+        if btype == b"mvhd":
+            ver = content[s]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", content[s + 20:s + 32])
+            else:
+                ts, dur = struct.unpack(">II", content[s + 12:s + 20])
+            if ts == 0:
+                raise ValueError("zero mvhd timescale")
+            dur_ms = int(dur * 1000 / ts)
+        elif btype == b"trak":
+            t_w = t_h = t_rate = t_ch = None
+            handler = None
+            for bt2, s2, e2 in walk(content, s, e):
+                if bt2 == b"tkhd":
+                    # v0: 4 ver/flags + 4+4 times + 4 id + 4 res + 4 dur
+                    #     + 8 res + 2+2+2+2 + 36 matrix = width @ 76
+                    ver = content[s2]
+                    off = s2 + (88 if ver == 1 else 76)
+                    fw, fh = struct.unpack(">II", content[off:off + 8])
+                    t_w, t_h = fw >> 16, fh >> 16
+                elif bt2 == b"mdia":
+                    for bt3, s3, e3 in walk(content, s2, e2):
+                        if bt3 == b"hdlr":
+                            handler = content[s3 + 8:s3 + 12]
+                        elif bt3 == b"minf" and handler == b"soun":
+                            for bt4, s4, e4 in walk(content, s3, e3):
+                                if bt4 != b"stbl":
+                                    continue
+                                for bt5, s5, e5 in walk(content, s4, e4):
+                                    if bt5 != b"stsd":
+                                        continue
+                                    # AudioSampleEntry: 8 box hdr + 6 res
+                                    # + 2 dref + 8 res, then channelcount
+                                    # @24, samplerate (16.16) @32
+                                    entry = s5 + 8
+                                    t_ch = struct.unpack(
+                                        ">H", content[entry + 24:entry + 26]
+                                    )[0]
+                                    t_rate = struct.unpack(
+                                        ">I", content[entry + 32:entry + 36]
+                                    )[0] >> 16
+            if handler == b"vide":
+                nv += 1
+                if width is None:
+                    width, height = t_w, t_h
+            elif handler == b"soun":
+                na += 1
+                if rate is None:
+                    rate, channels = t_rate, t_ch
+    return dur_ms, width, height, rate, channels, [float(nv), float(na)]
+
+
+# MPEG1 Layer III bitrate (kbps) and sample-rate tables (public spec)
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def _probe_mp3(content: bytes):
+    """MPEG1 Layer III frame-header walk: optional ID3v2 skip (syncsafe
+    size), then per-frame size = 144000·bitrate_kbps / samplerate +
+    padding; duration = frames·1152/rate. Returns (duration_ms,
+    sample_rate, n_channels, [n_frames, bitrate_kbps_of_first_frame]).
+    Free-form bitrate (index 0), reserved indices, or desync raise."""
+    pos = 0
+    if content[:3] == b"ID3":
+        if len(content) < 10:
+            raise ValueError("truncated id3")
+        size = 0
+        for b in content[6:10]:
+            if b & 0x80:
+                raise ValueError("bad syncsafe byte")
+            size = (size << 7) | b
+        pos = 10 + size
+    frames = 0
+    rate = channels = first_kbps = None
+    n = len(content)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("truncated mp3 frame header")
+        h0, h1, h2, h3 = content[pos:pos + 4]
+        if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+            raise ValueError("lost mp3 sync")
+        version = (h1 >> 3) & 3
+        layer = (h1 >> 1) & 3
+        if version != 3 or layer != 1:       # MPEG1 Layer III only
+            raise ValueError("not MPEG1 Layer III")
+        bidx = (h2 >> 4) & 15
+        sidx = (h2 >> 2) & 3
+        pad = (h2 >> 1) & 1
+        mode = (h3 >> 6) & 3
+        if bidx in (0, 15) or sidx == 3:
+            raise ValueError("reserved mp3 header field")
+        kbps = _MP3_BITRATES[bidx]
+        r = _MP3_RATES[sidx]
+        fsize = 144000 * kbps // r + pad
+        if rate is None:
+            rate = r
+            channels = 1 if mode == 3 else 2
+            first_kbps = kbps
+        elif r != rate:
+            raise ValueError("sample-rate change mid-stream")
+        if pos + fsize > n:
+            raise ValueError("truncated mp3 frame")
+        pos += fsize
+        frames += 1
+    if frames == 0:
+        raise ValueError("no mp3 frames")
+    dur_ms = int(frames * 1152 * 1000 / rate)
+    return dur_ms, rate, channels, [float(frames), float(first_kbps)]
+
+
+def _box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    """ISO-BMFF box (fixture-side). ``largesize`` uses the 64-bit size
+    form (size field = 1) to exercise that parser branch."""
+    import struct
+
+    if largesize:
+        return (
+            struct.pack(">I", 1) + btype
+            + struct.pack(">Q", 16 + len(payload)) + payload
+        )
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _encode_mp4(duration, timescale, w, h, rate, ch, extra_audio=False,
+                mvhd_v1=False, mdat_bytes=0, largesize_mdat=False):
+    """Minimal spec-valid MP4 (fixture-side): ftyp + moov(mvhd +
+    video trak + audio trak[s]) + mdat. Only the boxes the probe reads
+    are populated; layouts follow ISO/IEC 14496-12."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"iso2mp41")
+    if mvhd_v1:
+        mvhd_p = (
+            b"\x01" + bytes(3) + bytes(16)
+            + struct.pack(">IQ", timescale, duration) + bytes(80)
+        )
+    else:
+        mvhd_p = (
+            bytes(4) + bytes(8)
+            + struct.pack(">II", timescale, duration) + bytes(80)
+        )
+    mvhd = _box(b"mvhd", mvhd_p)
+
+    def tkhd(tw, th):
+        return _box(b"tkhd", bytes(76) + struct.pack(">II", tw << 16, th << 16))
+
+    def hdlr(handler):
+        return _box(b"hdlr", bytes(4) + bytes(4) + handler + bytes(12) + b"\x00")
+
+    mdhd = _box(b"mdhd", bytes(4) + bytes(8)
+                + struct.pack(">II", timescale, duration) + bytes(4))
+
+    def trak(handler, tw, th, stsd_entry):
+        stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + stsd_entry)
+        minf = _box(b"minf", _box(b"stbl", stsd))
+        mdia = _box(b"mdia", mdhd + hdlr(handler) + minf)
+        return _box(b"trak", tkhd(tw, th) + mdia)
+
+    visual = _box(
+        b"avc1",
+        bytes(6) + struct.pack(">H", 1) + bytes(16)
+        + struct.pack(">HH", w, h) + bytes(50),
+    )
+    audio = _box(
+        b"mp4a",
+        bytes(6) + struct.pack(">H", 1) + bytes(8)
+        + struct.pack(">HH", ch, 16) + bytes(4)
+        + struct.pack(">I", rate << 16),
+    )
+    traks = trak(b"vide", w, h, visual) + trak(b"soun", 0, 0, audio)
+    if extra_audio:
+        traks += trak(b"soun", 0, 0, audio)
+    moov = _box(b"moov", mvhd + traks)
+    mdat = _box(b"mdat", bytes(mdat_bytes), largesize=largesize_mdat)
+    return ftyp + moov + mdat
+
+
+def _encode_mp3(frames, bidx, sidx, mono, id3_size=None, pad_fn=None):
+    """Minimal MPEG1 Layer III stream (fixture-side): optional ID3v2
+    header, then ``frames`` zero-payload frames with real headers."""
+    out = bytearray()
+    if id3_size is not None:
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        )
+        out += bytes(id3_size)
+    kbps = _MP3_BITRATES[bidx]
+    rate = _MP3_RATES[sidx]
+    for j in range(frames):
+        pad = pad_fn(j) if pad_fn else 0
+        h2 = (bidx << 4) | (sidx << 2) | (pad << 1)
+        h3 = 0xC0 if mono else 0x00
+        fsize = 144000 * kbps // rate + pad
+        frame = bytearray([0xFF, 0xFB, h2, h3]) + bytes(fsize - 4)
+        out += frame
+    return bytes(out)
 
 
 def _decode_ppm(content: bytes):
@@ -764,6 +1013,19 @@ def decode_media(df: DataFrame) -> DataFrame:
                         w, h, feats = decode_jpeg(bytes(content))
                         rec.update(format="jpeg", width=w, height=h,
                                    features=feats)
+                    elif len(content) >= 12 and content[4:8] == b"ftyp":
+                        dur, w, h, rate, ch, feats = _probe_mp4(bytes(content))
+                        rec.update(format="mp4", duration_ms=dur, width=w,
+                                   height=h, sample_rate=rate,
+                                   n_channels=ch, features=feats)
+                    elif content[:3] == b"ID3" or (
+                        len(content) >= 4 and content[0] == 0xFF
+                        and (content[1] & 0xE0) == 0xE0
+                    ):
+                        dur, rate, ch, feats = _probe_mp3(bytes(content))
+                        rec.update(format="mp3", duration_ms=dur,
+                                   sample_rate=rate, n_channels=ch,
+                                   features=feats)
                 except Exception:
                     rec["format"] = "corrupt"  # keep the row, flag it
                 rows.append(rec)
@@ -1024,6 +1286,73 @@ def synthetic_au_media(spark, n_rows: int) -> DataFrame:
                 recs.append({
                     "media_id": f"a{i:09d}", "media_type": "audio",
                     "content": content, "mime": "audio/basic", "width": None,
+                    "height": None, "duration_ms": None,
+                })
+            out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+            for c in ("width", "height", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return spark.range(n_rows).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthetic_mp4_media(spark, n_rows: int) -> DataFrame:
+    """Rows of REAL minimal MP4 containers, deterministically
+    synthesized per id: movie duration (id·37) % 100000 on timescale
+    [600, 1000, 90000, 44100, 24][id % 5], video w = 16·(1 + id % 40),
+    h = 16·(1 + id % 23), audio rate [8000, 16000, 22050, 44100,
+    48000][id % 5] with 1 + id % 2 channels. Parser-branch variants:
+    a second audio track when id % 6 == 0, mvhd version 1 (64-bit
+    times) when id % 11 == 0, a 64-bit-size mdat when id % 9 == 0."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                content = _encode_mp4(
+                    duration=(i * 37) % 100000,
+                    timescale=[600, 1000, 90000, 44100, 24][i % 5],
+                    w=16 * (1 + i % 40), h=16 * (1 + i % 23),
+                    rate=[8000, 16000, 22050, 44100, 48000][i % 5],
+                    ch=1 + i % 2,
+                    extra_audio=(i % 6 == 0), mvhd_v1=(i % 11 == 0),
+                    mdat_bytes=(i % 50) * 3, largesize_mdat=(i % 9 == 0),
+                )
+                recs.append({
+                    "media_id": f"v{i:09d}", "media_type": "video",
+                    "content": content, "mime": "video/mp4", "width": None,
+                    "height": None, "duration_ms": None,
+                })
+            out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+            for c in ("width", "height", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return spark.range(n_rows).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthetic_mp3_media(spark, n_rows: int) -> DataFrame:
+    """Rows of REAL MPEG1-Layer-III streams, deterministically
+    synthesized per id: 3 + id % 7 zero-payload frames at bitrate index
+    1 + id % 14 / sample-rate index id % 3, mono when id % 2 == 1,
+    per-frame padding bit (id + j) % 2, ID3v2 prefix of id % 200 bytes
+    when id % 4 == 0."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                content = _encode_mp3(
+                    frames=3 + i % 7, bidx=1 + i % 14, sidx=i % 3,
+                    mono=(i % 2 == 1),
+                    id3_size=(i % 200) if i % 4 == 0 else None,
+                    pad_fn=lambda j, i=i: (i + j) % 2,
+                )
+                recs.append({
+                    "media_id": f"z{i:09d}", "media_type": "audio",
+                    "content": content, "mime": "audio/mpeg", "width": None,
                     "height": None, "duration_ms": None,
                 })
             out = pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
