@@ -2630,18 +2630,32 @@ def media_decode_jpeg(spark, sf_dir):
     WITH ids AS (SELECT range AS id FROM range(0, 400)),
     p AS (SELECT id, 160 + (id % 5) * 40 AS n FROM ids),
     cw AS (
-      SELECT p.id, p.n, 255 - ((13 * p.id + 7 * j.range) % 256) AS c
+      SELECT p.id, p.n,
+        (13 * p.id + 7 * j.range) % 256 AS u,
+        255 - ((13 * p.id + 7 * j.range) % 256) AS c,
+        xor((13 * p.id + 7 * j.range) % 256, 85) AS a
       FROM p, range(0, 360) j
       WHERE j.range < p.n
     ), lin AS (
       SELECT id, n,
-        CASE WHEN c >= 128
-             THEN -(((c % 16) * 8 + 132)
+        CASE WHEN id % 2 = 0 THEN
+          -- mu-law (encoding 1): complemented code c = 255 - u
+          CASE WHEN c >= 128
+               THEN -(((c % 16) * 8 + 132)
+                      * CAST(round(power(2, floor((c % 128) / 16.0))) AS BIGINT)
+                      - 132)
+               ELSE ((c % 16) * 8 + 132)
                     * CAST(round(power(2, floor((c % 128) / 16.0))) AS BIGINT)
-                    - 132)
-             ELSE ((c % 16) * 8 + 132)
-                  * CAST(round(power(2, floor((c % 128) / 16.0))) AS BIGINT)
-                  - 132
+                    - 132
+          END
+        ELSE
+          -- A-law (encoding 27): a = u XOR 0x55, bit 7 set = positive
+          CASE WHEN a >= 128 THEN 1 ELSE -1 END *
+          CASE WHEN floor((a % 128) / 16.0) = 0 THEN (a % 16) * 16 + 8
+               ELSE ((a % 16) * 16 + 264)
+                    * CAST(round(power(2, floor((a % 128) / 16.0) - 1))
+                           AS BIGINT)
+          END
         END AS s
       FROM cw
     ), agg AS (
@@ -2663,18 +2677,20 @@ def media_decode_jpeg(spark, sf_dir):
     """,
 )
 def media_decode_au(spark, sf_dir):
-    """Sun/NeXT .au mu-law audio decode (r5, multimodal._decode_au): the
+    """Sun/NeXT .au G.711 audio decode (r5, multimodal._decode_au): the
     payloads are genuine .au files — big-endian header with annotation
     padding and unknown-length-sentinel variants — whose 8-bit G.711
-    mu-law samples hit EVERY code point across the fixture set
-    (byte j = (13 id + 7 j) % 256). The oracle replays the expansion
-    table as pure integer bit-math (c = 255 - u; ((c%16)*8+132)*2^
-    ((c%128)//16) - 132, sign from c>=128 — validated exhaustively
-    against the Python table for all 256 codes) and the decoder's exact
-    division sequence (sqrt(ss/k)/32768, sa/k/32768, mx/32768), so a
-    wrong table entry, header offset, or length-sentinel branch
-    hash-fails. No reference counterpart (upgini has no media surface);
-    second real audio codec beside PCM WAV."""
+    samples hit EVERY code point across the fixture set (byte j =
+    (13 id + 7 j) % 256): even ids mu-law (encoding 1), odd ids A-law
+    (encoding 27). The oracle replays BOTH expansion tables as pure
+    integer bit-math (mu: c = 255-u, ((c%16)*8+132)*2^((c%128)//16) -
+    132; A: a = u XOR 0x55, seg-0 special case, bit 7 set = positive —
+    each validated exhaustively against the Python tables for all 256
+    codes) and the decoder's exact division sequence (sqrt(ss/k)/32768,
+    sa/k/32768, mx/32768), so a wrong table entry, header offset,
+    encoding dispatch, or length-sentinel branch hash-fails. No
+    reference counterpart (upgini has no media surface); second and
+    third real audio codecs beside PCM WAV."""
     from upgini_spark.functions.multimodal import decode_media, synthetic_au_media
 
     out = decode_media(synthetic_au_media(spark, 400))

@@ -10,7 +10,9 @@ import struct
 import pytest
 
 from upgini_spark.functions.multimodal import (
+    _ALAW_TABLE,
     _ULAW_TABLE,
+    _alaw_to_linear,
     _decode_au,
     _ulaw_to_linear,
 )
@@ -39,6 +41,32 @@ def test_ulaw_table_spot_values():
     # strictly monotone within each sign half (decoded magnitudes)
     mags = [_ulaw_to_linear(u) for u in range(0x80, 0x100)]  # positive half
     assert all(mags[i] > mags[i + 1] for i in range(len(mags) - 1))
+
+
+def test_alaw_table_spot_values():
+    # G.711 A-law anchors: 0xD5 (= 0x80^0x55) -> +8 (positive silence),
+    # 0x55 -> -8, 0xAA (= 0xFF^0x55) -> +32256 (max), 0x2A -> -32256
+    assert _alaw_to_linear(0xD5) == 8
+    assert _alaw_to_linear(0x55) == -8
+    assert _alaw_to_linear(0xAA) == 32256
+    assert _alaw_to_linear(0x2A) == -32256
+    # sign symmetry: flipping bit 7 of the CODE negates the sample
+    for u in range(256):
+        assert _alaw_to_linear(u) == -_alaw_to_linear(u ^ 0x80)
+    assert _ALAW_TABLE == [_alaw_to_linear(u) for u in range(256)]
+    # A-law has no zero output: minimum magnitude is 8
+    assert min(abs(s) for s in _ALAW_TABLE) == 8
+
+
+def test_decode_au_alaw_encoding():
+    data = bytes((13 * 7 + 7 * j) % 256 for j in range(200))
+    rate, ch, dur, feats = _decode_au(_au(data, enc=27))
+    samples = [_ALAW_TABLE[b] for b in data]
+    k = len(samples)
+    assert feats[0] == math.sqrt(sum(s * s for s in samples) / k) / 32768.0
+    assert feats[2] == max(abs(s) for s in samples) / 32768.0
+    # same payload decodes DIFFERENTLY under mu-law
+    assert _decode_au(_au(data, enc=1))[3] != feats
 
 
 def test_decode_au_closed_form():
@@ -96,7 +124,8 @@ def test_decode_media_au_e2e(spark):
         assert r.format == "au"
         assert (r.sample_rate, r.n_channels) == (8000, 1)
         assert r.duration_ms == n // 8
-        samples = [_ULAW_TABLE[(13 * i + 7 * j) % 256] for j in range(n)]
+        tbl = _ALAW_TABLE if i % 2 == 1 else _ULAW_TABLE
+        samples = [tbl[(13 * i + 7 * j) % 256] for j in range(n)]
         assert r.features[0] == pytest.approx(
             math.sqrt(sum(s * s for s in samples) / n) / 32768.0, abs=0
         )

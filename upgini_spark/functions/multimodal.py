@@ -205,11 +205,31 @@ def _ulaw_to_linear(b: int) -> int:
 _ULAW_TABLE = [_ulaw_to_linear(b) for b in range(256)]
 
 
+def _alaw_to_linear(b: int) -> int:
+    """G.711 A-law expansion: 8-bit code -> linear sample in
+    [-32256, 32256]. a = b XOR 0x55; seg = (a%128)//16, m = a%16;
+    magnitude = m*16+8 for seg 0 else (m*16+264)*2^(seg-1); bit 7 SET
+    means positive (opposite of mu-law's complemented coding). Pure
+    integer bit-math, replayed verbatim by the media_decode_au oracle."""
+    a = b ^ 0x55
+    m = a & 0x0F
+    seg = (a >> 4) & 7
+    if seg == 0:
+        t = (m << 4) + 8
+    else:
+        t = ((m << 4) + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ALAW_TABLE = [_alaw_to_linear(b) for b in range(256)]
+
+
 def _decode_au(content: bytes):
     """Sun/NeXT .au audio: big-endian 24-byte header (magic '.snd',
     data offset, data size, encoding, sample rate, channels) + sample
-    data. Supports encoding 1 (8-bit G.711 mu-law) — the format's
-    canonical payload — expanding through ``_ULAW_TABLE``; every other
+    data. Supports encodings 1 (8-bit G.711 mu-law) and 27 (8-bit
+    G.711 A-law) — the format's canonical telephony payloads —
+    expanding through ``_ULAW_TABLE`` / ``_ALAW_TABLE``; every other
     encoding raises so the row is tagged 'corrupt'. Returns the same
     contract as ``_decode_wav``: (rate, channels, duration_ms,
     [rms, mean_abs, peak] normalized to [-1, 1])."""
@@ -218,7 +238,7 @@ def _decode_au(content: bytes):
     if len(content) < 24 or content[:4] != b".snd":
         raise ValueError("not an au file")
     offset, size, enc, rate, ch = struct.unpack(">IIIII", content[4:24])
-    if enc != 1:
+    if enc not in (1, 27):
         raise ValueError(f"unsupported au encoding {enc}")
     if offset < 24 or offset > len(content):
         raise ValueError("bad au data offset")
@@ -235,7 +255,7 @@ def _decode_au(content: bytes):
         return rate, ch, dur_ms, [0.0, 0.0, 0.0]
     import math
 
-    tbl = _ULAW_TABLE
+    tbl = _ULAW_TABLE if enc == 1 else _ALAW_TABLE
     samples = [tbl[b] for b in data]
     k = len(samples)
     # math.sqrt (correctly-rounded IEEE sqrt) == DuckDB sqrt, so the
@@ -1259,13 +1279,14 @@ def synthetic_png_media(spark, n_rows: int) -> DataFrame:
 
 
 def synthetic_au_media(spark, n_rows: int) -> DataFrame:
-    """Rows of REAL Sun/NeXT .au payloads (8-bit G.711 mu-law, mono
-    8 kHz), deterministically synthesized per id inside an Arrow
-    kernel: sample byte j = (13·id + 7·j) % 256 — every mu-law code
-    point is hit across the fixture set, so the full expansion table is
-    oracle-gated. Header variants: annotation padding (data offset 28)
-    when id % 3 == 0, unknown-length sentinel (size 0xFFFFFFFF) when
-    id % 7 == 0. n = 160 + (id % 5)·40 samples."""
+    """Rows of REAL Sun/NeXT .au payloads (8-bit G.711, mono 8 kHz),
+    deterministically synthesized per id inside an Arrow kernel:
+    sample byte j = (13·id + 7·j) % 256 — every G.711 code point is
+    hit across the fixture set, so BOTH full expansion tables are
+    oracle-gated: even ids are mu-law (encoding 1), odd ids are A-law
+    (encoding 27). Header variants: annotation padding (data offset
+    28) when id % 3 == 0, unknown-length sentinel (size 0xFFFFFFFF)
+    when id % 7 == 0. n = 160 + (id % 5)·40 samples."""
     import struct
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1277,9 +1298,10 @@ def synthetic_au_media(spark, n_rows: int) -> DataFrame:
                 data = bytes((13 * i + 7 * j) % 256 for j in range(n))
                 offset = 28 if i % 3 == 0 else 24
                 size = 0xFFFFFFFF if i % 7 == 0 else n
+                enc = 27 if i % 2 == 1 else 1
                 content = (
                     b".snd"
-                    + struct.pack(">IIIII", offset, size, 1, 8000, 1)
+                    + struct.pack(">IIIII", offset, size, enc, 8000, 1)
                     + b"\x00" * (offset - 24)
                     + data
                 )
