@@ -551,7 +551,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # media_probe_mp4; the IP family keeps ip_range_join + ip_v6_converters
 # in section 1 of THIS window), enrich_entity_join (yielded to the new
 # media_probe_mp3; the equi-join enrichment path is exercised in-window
-# by enrichment_hit_rate plus every asof/enricher query).
+# by enrichment_hit_rate plus every asof/enricher query),
+# groupby_then_ops (yielded to the new html_strip_extract; the
+# groupBy-agg family keeps outlier_dist_per_class, psi_categorical and
+# session_stats in-window plus the golden test).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -567,6 +570,7 @@ _R05_DRIVER_WINDOW = [
     "stream_session_windows", "stream_pit_enrich", "text_bm25_topk",
     "media_decode_gif_bmp", "knn_cosine_pq_adc", "media_decode_jpeg",
     "media_decode_au", "media_probe_mp4", "media_probe_mp3",
+    "html_strip_extract",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
@@ -574,7 +578,7 @@ _R05_DRIVER_WINDOW = [
     "asof_join_backward", "asof_join_forward", "asof_join_arrow",
     "asof_join_tolerance", "cluster_assign",
     "date_multiformat_parse", "dedup_components",
-    "feature_validator_stats", "groupby_then_ops",
+    "feature_validator_stats",
     "hash_sample_exact_1000", "knn_cosine_ivf_kmeans",
     "session_stats",
 ]
@@ -1420,6 +1424,81 @@ def text_stats(spark, sf_dir):
         TX.token_count_bpe_ish(t).alias("n_tokens_bpe"),
         F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(TX.mean_word_length(t), 6).alias("mean_word_len"),
+    )
+
+
+@_q(
+    "html_strip_extract",
+    """
+    WITH html AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        || '</title><style>p{margin:0}</style>'
+        || '<script type="text/javascript">var x = "<b>1</b>";</script>'
+        || '</head><body><!-- crawl id: ' || CAST(doc_id AS VARCHAR)
+        || ' --><h1>Doc</h1><p>' || substr(text, 1, 60)
+        || ' <b>mid</b> ' || substr(text, 61, 60)
+        || '</p><p>x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;y '
+        || '&amp;amp; z</p></body></html>' AS h
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, h,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(h, '(?is)<script\\b[^>]*>.*?</script>',
+                                 ' ', 'g'),
+                  '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '(?s)<[^>]+>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS clean
+      FROM html
+    )
+    SELECT doc_id,
+           trim(regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1))
+             AS title,
+           CAST(len(regexp_extract_all(h, '(?s)<[^>]+>')) AS INT) AS n_tags,
+           CAST(length(clean) AS INT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM stripped
+    """,
+)
+def html_strip_extract(spark, sf_dir):
+    """HTML boilerplate stripping (text.strip_html/html_title/
+    html_tag_count): the C4/CCNet-style extraction pass — drop
+    script/style blocks and comments wholesale, strip tags to spaces,
+    decode common entities AFTER tag removal, collapse whitespace. The
+    markup is synthesized deterministically around each document's text
+    (nested tags inside script bodies, an HTML comment, double-encoded
+    '&amp;amp;', every supported entity), every regex is RE2-compatible
+    by construction (no backreferences), and the oracle replays the
+    EXACT replace chain in DuckDB — clean_md5 gates the full cleaned
+    string byte-for-byte. Pure native regexp chain, whole-stage
+    codegen, no UDF. No reference counterpart (upgini has no text
+    surface); pipeline operator defined here like lang-id/quality."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><style>p{margin:0}</style>'
+              '<script type="text/javascript">var x = "<b>1</b>";</script>'
+              "</head><body><!-- crawl id: "), did,
+        F.lit(" --><h1>Doc</h1><p>"), F.substring("text", 1, 60),
+        F.lit(" <b>mid</b> "), F.substring("text", 61, 60),
+        F.lit("</p><p>x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;y "
+              "&amp;amp; z</p></body></html>"),
+    )
+    clean = TX.strip_html(html)
+    return docs.select(
+        "doc_id",
+        TX.html_title(html).alias("title"),
+        TX.html_tag_count(html).alias("n_tags"),
+        F.length(clean).cast("int").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
     )
 
 

@@ -520,3 +520,54 @@ def test_pq_adc_recall_vs_bruteforce(spark):
     ]
     assert max(regrets) <= 3.2, regrets
     assert sum(regrets) / len(regrets) <= 1.5, regrets
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping (C4/CCNet-style extraction stage)
+# ---------------------------------------------------------------------------
+
+
+def test_strip_html_edge_cases(spark):
+    """Edge semantics pinned: script/style CONTENT dropped (including
+    tag-shaped strings inside), comments dropped, entities decoded AFTER
+    tag strip so decoded '<b>' survives as text, double-encoded &amp;amp;
+    decodes exactly one level, tags become spaces (no word merging),
+    whitespace collapses, title extraction returns '' when absent."""
+    from upgini_spark.functions.text import (
+        html_tag_count, html_title, strip_html,
+    )
+
+    cases = [
+        # (html, clean, title, n_tags)
+        ("<p>a</p><p>b</p>", "a b", "", 4),
+        ("<script>var a = '<b>hi</b>';</script>after", "after", "", 4),
+        ("<style>p { color: red }</style>x", "x", "", 2),
+        # raw-markup tag count: '<!-- secret <b>' and '</b>' both match
+        ("<!-- secret <b>bold</b> -->seen", "seen", "", 2),
+        ("x &lt;b&gt;not a tag&lt;/b&gt; y", "x <b>not a tag</b> y", "", 0),
+        ("a &amp;amp; b", "a &amp; b", "", 0),
+        ("one<br/>two", "one two", "", 1),
+        ("<title>T &amp; Co</title>body", "T & Co body",
+         "T &amp; Co", 2),
+        ("no markup at all", "no markup at all", "", 0),
+        ("&quot;q&quot; &#39;s&#39;&nbsp;end", '"q" \'s\' end', "", 0),
+        ("<SCRIPT TYPE='x'>hidden</SCRIPT>ok", "ok", "", 2),
+        ("  <div>   spaced   </div>  ", "spaced", "", 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, *_) in enumerate(cases)], "i int, h string"
+    )
+    rows = (
+        df.select(
+            "i",
+            strip_html(F.col("h")).alias("clean"),
+            html_title(F.col("h")).alias("title"),
+            html_tag_count(F.col("h")).alias("n_tags"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for r, (h, clean, title, n_tags) in zip(rows, cases):
+        assert r["clean"] == clean, (h, r["clean"])
+        assert r["title"] == title, (h, r["title"])
+        assert r["n_tags"] == n_tags, (h, r["n_tags"])

@@ -129,6 +129,50 @@ def quality_filter(
     )
 
 
+# --- HTML boilerplate stripping (pretraining-pipeline extraction stage) ----
+# The C4/CCNet-style first pass over crawled corpora: drop script/style
+# blocks and comments wholesale, strip remaining tags, decode the common
+# entities, collapse whitespace. Pure native regexp chain (JVM-side,
+# whole-stage codegen) — every regex is RE2-compatible (no backreferences,
+# inline (?is) flags) so the DuckDB oracle replays the exact same chain.
+
+HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"(?s)<[^>]+>"
+HTML_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+# decode order matters: &amp; LAST, so '&amp;lt;' yields literal '&lt;'
+HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def strip_html(c: Column) -> Column:
+    """HTML → clean text: script/style blocks (content included) and
+    comments first, then all tags (replaced by a space so adjacent
+    words don't merge), then entity decode (AFTER tag strip, so decoded
+    '<'/'>' literals survive), then whitespace collapse + trim."""
+    out = F.regexp_replace(c, HTML_SCRIPT_RE, " ")
+    out = F.regexp_replace(out, HTML_STYLE_RE, " ")
+    out = F.regexp_replace(out, HTML_COMMENT_RE, " ")
+    out = F.regexp_replace(out, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_title(c: Column) -> Column:
+    """First <title> content, trimmed ('' when absent — both engines)."""
+    return F.trim(F.regexp_extract(c, HTML_TITLE_RE, 1))
+
+
+def html_tag_count(c: Column) -> Column:
+    """Tag-shaped token count over the RAW markup (script/style/comment
+    tags included) — a boilerplate-density signal for quality filters."""
+    return F.regexp_count(c, F.lit(HTML_TAG_RE))
+
+
 # --- PII redaction + repetition stats (pretraining-pipeline stages) --------
 
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
