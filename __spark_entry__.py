@@ -554,7 +554,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # by enrichment_hit_rate plus every asof/enricher query),
 # groupby_then_ops (yielded to the new html_strip_extract; the
 # groupBy-agg family keeps outlier_dist_per_class, psi_categorical and
-# session_stats in-window plus the golden test).
+# session_stats in-window plus the golden test), date_multiformat_parse
+# (yielded to the new paragraph_dedup_corpus; the date family keeps
+# date_diff_ops + both DatePercentile queries r4-green and the golden
+# tests).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -570,14 +573,14 @@ _R05_DRIVER_WINDOW = [
     "stream_session_windows", "stream_pit_enrich", "text_bm25_topk",
     "media_decode_gif_bmp", "knn_cosine_pq_adc", "media_decode_jpeg",
     "media_decode_au", "media_probe_mp4", "media_probe_mp3",
-    "html_strip_extract",
+    "html_strip_extract", "paragraph_dedup_corpus",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
     # 4. oldest r03-stale (as-of family first)
     "asof_join_backward", "asof_join_forward", "asof_join_arrow",
     "asof_join_tolerance", "cluster_assign",
-    "date_multiformat_parse", "dedup_components",
+    "dedup_components",
     "feature_validator_stats",
     "hash_sample_exact_1000", "knn_cosine_ivf_kmeans",
     "session_stats",
@@ -1499,6 +1502,85 @@ def html_strip_extract(spark, sf_dir):
         TX.html_tag_count(html).alias("n_tags"),
         F.length(clean).cast("int").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
+    )
+
+
+@_q(
+    "paragraph_dedup_corpus",
+    """
+    WITH d AS (
+      SELECT doc_id,
+        'Doc ' || CAST(doc_id AS VARCHAR) || ' intro: '
+          || substr(text, 1, 40) AS p1,
+        'Shared Topic ' || CAST(doc_id % 7 AS VARCHAR)
+          || (CASE WHEN doc_id % 2 = 0 THEN ', body!'
+                   ELSE '  BODY.' END) AS p2,
+        'Subscribe to our newsletter, today!' AS p3
+      FROM documents
+    ), paras AS (
+      -- trim mirrors the operator's split-then-trim (p1 can end on a
+      -- space when substr cuts the source text mid-word)
+      SELECT doc_id, 0 AS idx, trim(p1) AS para FROM d
+      UNION ALL SELECT doc_id, 1, trim(p2) FROM d
+      UNION ALL SELECT doc_id, 2, trim(p3) FROM d
+    ), hashed AS (
+      SELECT doc_id, idx, para,
+        md5(trim(regexp_replace(lower(para), '[^a-z0-9]+', ' ', 'g'))) AS h
+      FROM paras
+    ), marked AS (
+      SELECT doc_id, idx, para,
+        (row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1)
+          AS keep
+      FROM hashed
+    )
+    SELECT doc_id,
+      CAST(count(*) AS INT) AS n_paras,
+      CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_dup_paras,
+      round(CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)
+            / count(*), 6) AS dup_share,
+      CAST(length(coalesce(string_agg(
+        CASE WHEN keep THEN para END, chr(10) || chr(10) ORDER BY idx),
+        '')) AS INT) AS clean_len,
+      md5(coalesce(string_agg(
+        CASE WHEN keep THEN para END, chr(10) || chr(10) ORDER BY idx),
+        '')) AS clean_md5
+    FROM marked GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_corpus(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup (dedup.paragraph_dedup):
+    keep only the globally FIRST occurrence (min (doc_id, idx)) of each
+    normalized-paragraph hash, re-assemble documents from survivors. The
+    3-paragraph docs are synthesized deterministically: a unique intro,
+    a mod-7-shared topic whose SURFACE form varies by parity (case +
+    punctuation) but normalizes identically — exercising the lowercase/
+    strip/collapse chain — and a global boilerplate footer. Expected:
+    doc 0 keeps all 3, docs 1-6 keep 2, everyone else keeps 1.
+    clean_md5 gates the re-assembled text byte-for-byte. The operator is
+    a min-struct hash-group + equi-join (map-side combinable, AQE-skew-
+    splittable), deliberately not a row_number window — a hot
+    boilerplate hash would sort 10^8 occurrences on one partition."""
+    from upgini_spark.functions.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    p1 = F.concat(
+        F.lit("Doc "), did.cast("string"), F.lit(" intro: "),
+        F.substring("text", 1, 40),
+    )
+    p2 = F.concat(
+        F.lit("Shared Topic "), (did % 7).cast("string"),
+        F.when(did % 2 == 0, F.lit(", body!")).otherwise(F.lit("  BODY.")),
+    )
+    p3 = F.lit("Subscribe to our newsletter, today!")
+    synth = docs.select(
+        "doc_id", F.concat_ws("\n\n", p1, p2, p3).alias("text")
+    )
+    out = paragraph_dedup(synth, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_paras", "n_dup_paras", "dup_share",
+        F.length("clean_text").cast("int").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
     )
 
 

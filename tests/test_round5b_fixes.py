@@ -571,3 +571,58 @@ def test_strip_html_edge_cases(spark):
         assert r["clean"] == clean, (h, r["clean"])
         assert r["title"] == title, (h, r["title"])
         assert r["n_tags"] == n_tags, (h, r["n_tags"])
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level corpus dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Keep-first by global (id, idx); normalization unifies case/punct
+    variants; whitespace-only paragraphs are dropped BEFORE indexing;
+    zero-paragraph docs survive with n_paras=0 and clean_text=''."""
+    from upgini_spark.functions.dedup import paragraph_dedup
+
+    rows = [
+        (0, "Unique intro zero.\n\nShared Topic!\n\n  \n\nSubscribe, Today!"),
+        (1, "unique intro one\n\nshared topic\n\nsubscribe today"),
+        (2, "another one two\n\nsubscribe   TODAY???"),
+        (3, ""),
+        (4, "   \n\n  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert len(got) == 5
+    assert got[0]["n_paras"] == 3 and got[0]["n_dup_paras"] == 0
+    assert got[0]["clean_text"] == (
+        "Unique intro zero.\n\nShared Topic!\n\nSubscribe, Today!"
+    )
+    # doc 1: 'shared topic' and 'subscribe today' normalize into doc 0's
+    assert got[1]["n_dup_paras"] == 2
+    assert got[1]["clean_text"] == "unique intro one"
+    assert got[1]["dup_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[2]["clean_text"] == "another one two"
+    for empty in (3, 4):
+        assert got[empty]["n_paras"] == 0
+        assert got[empty]["n_dup_paras"] == 0
+        assert got[empty]["dup_share"] == 0.0
+        assert got[empty]["clean_text"] == ""
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """Scale contract: the first-occurrence pass is a map-side-combinable
+    partial aggregate + equi-join — NO window over the hash (a hot
+    boilerplate hash would single-partition-sort at corpus scale)."""
+    from upgini_spark.functions.dedup import paragraph_dedup
+
+    df = spark.createDataFrame([(0, "a\n\nb")], "doc_id int, text string")
+    plan = (
+        paragraph_dedup(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowExec" not in plan, plan[:3000]
+    assert "partial_min" in plan or "HashAggregate" in plan, plan[:3000]

@@ -569,3 +569,98 @@ def decontaminate_ngrams(
         F.col("__cid__").alias(corpus_id),
         F.coalesce("__hit__", F.lit(False)).alias("contaminated"),
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level corpus dedup (CCNet-style; task brief first-class op)
+# --------------------------------------------------------------------------
+
+PARA_SPLIT_RE = r"\n{2,}"
+
+
+def normalize_paragraph(c: F.Column) -> F.Column:
+    """CCNet-style paragraph normalization before hashing: lowercase,
+    strip everything outside [a-z0-9] to a single space, trim — so case,
+    punctuation and whitespace variants of the same boilerplate hash
+    identically. Engine-portable (same chain replays in ANSI SQL)."""
+    return F.trim(
+        F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " ")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_pattern: str = PARA_SPLIT_RE,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide duplicate-paragraph removal, CCNet-style: split each
+    document into paragraphs, hash the normalized paragraph, keep only
+    the globally FIRST occurrence of each hash (min (id, idx)), and
+    re-assemble the document from its surviving paragraphs in original
+    order. Returns one row per input document:
+    (id, n_paras, n_dup_paras, dup_share, clean_text).
+
+    Scale shape: whitespace-only paragraphs are filtered INSIDE the
+    array before posexplode (indices are positions in the filtered
+    array). First-occurrence is `groupBy(hash).agg(min(struct(id, idx)))`
+    + an equi-join back on the hash — deliberately NOT
+    `row_number().over(Window.partitionBy(hash))`: boilerplate
+    paragraphs ("subscribe to our newsletter") occur 10^8+ times at
+    corpus scale and a window would sort each hot hash on a single
+    partition, while the min-struct agg collapses map-side and the
+    skewed join is AQE-splittable. Final per-doc reassembly sorts the
+    (idx, para) structs inside the row — no order-dependent
+    collect_list. No reference counterpart (upgini has no text surface);
+    sits with minhash/simhash per the task brief.
+    """
+    idc = F.col("__pid__")
+    # NOT F.transform(..., F.trim): pyspark-4 trim has an optional 2nd
+    # arg, so transform would pass (element, index) and trim by the
+    # index's digit characters — the single-arg lambda pins arity
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), split_pattern), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("__pid__"), paras.alias("__ps__"))
+        .select(idc, F.posexplode_outer("__ps__").alias("__idx__", "__para__"))
+    )
+    hashed = exploded.withColumn(
+        "__h__", F.md5(normalize_paragraph(F.col("__para__")))
+    )
+    first = hashed.groupBy("__h__").agg(
+        F.min(F.struct("__pid__", "__idx__")).alias("__first__")
+    )
+    # left join: a zero-paragraph doc has one posexplode_outer row with a
+    # NULL hash, which an inner join on __h__ would silently drop
+    marked = hashed.join(first, "__h__", "left").withColumn(
+        "__keep__",
+        (F.col("__first__.__pid__") == idc)
+        & (F.col("__first__.__idx__") == F.col("__idx__")),
+    )
+    kept_structs = F.sort_array(
+        F.collect_list(
+            F.when(F.col("__keep__"), F.struct("__idx__", "__para__"))
+        )
+    )
+    out = marked.groupBy("__pid__").agg(
+        F.count("__para__").cast("int").alias("n_paras"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__keep__"), 1)), F.lit(0)
+        ).cast("int").alias("n_dup_paras"),
+        F.array_join(
+            F.transform(kept_structs, lambda s: s["__para__"]), sep
+        ).alias("clean_text"),
+    )
+    return out.select(
+        idc.alias(id_col),
+        "n_paras",
+        "n_dup_paras",
+        F.when(
+            F.col("n_paras") > 0,
+            F.round(F.col("n_dup_paras") / F.col("n_paras"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_share"),
+        "clean_text",
+    )
