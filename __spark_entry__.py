@@ -557,7 +557,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # session_stats in-window plus the golden test), date_multiformat_parse
 # (yielded to the new paragraph_dedup_corpus; the date family keeps
 # date_diff_ops + both DatePercentile queries r4-green and the golden
-# tests).
+# tests), knn_cosine_ivf_kmeans (yielded to the new bigram_lm_nll; the
+# ANN family keeps knn_cosine_ivf in section 1 AND the new
+# knn_cosine_pq_adc in-window, and the kmeans path is property-tested).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -573,7 +575,7 @@ _R05_DRIVER_WINDOW = [
     "stream_session_windows", "stream_pit_enrich", "text_bm25_topk",
     "media_decode_gif_bmp", "knn_cosine_pq_adc", "media_decode_jpeg",
     "media_decode_au", "media_probe_mp4", "media_probe_mp3",
-    "html_strip_extract", "paragraph_dedup_corpus",
+    "html_strip_extract", "paragraph_dedup_corpus", "bigram_lm_nll",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
@@ -582,7 +584,7 @@ _R05_DRIVER_WINDOW = [
     "asof_join_tolerance", "cluster_assign",
     "dedup_components",
     "feature_validator_stats",
-    "hash_sample_exact_1000", "knn_cosine_ivf_kmeans",
+    "hash_sample_exact_1000",
     "session_stats",
 ]
 
@@ -1503,6 +1505,53 @@ def html_strip_extract(spark, sf_dir):
         F.length(clean).cast("int").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+@_q(
+    "bigram_lm_nll",
+    """
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pairs AS (
+      -- fixed-range + correlated WHERE (DuckDB generate_series cannot
+      -- take correlated args inside a lateral unnest)
+      SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+      FROM ws, (SELECT unnest(generate_series(1, 400)) AS i) g
+      WHERE g.i <= len(w) - 1
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
+    ), v AS (
+      SELECT CAST(count(DISTINCT u.word) AS DOUBLE) AS v
+      FROM (SELECT unnest(w) AS word FROM ws) u
+    ), lm AS (
+      SELECT c12.w1, c12.w2,
+        floor(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) * 1e10) / 1e10
+          AS logp
+      FROM c12 JOIN c1 USING (w1), v
+    ), sc AS (
+      SELECT p.doc_id, count(lm.logp) AS nb, round(-avg(lm.logp), 6) AS nll
+      FROM pairs p LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+      CAST(coalesce(sc.nb, 0) AS INT) AS n_bigrams,
+      sc.nll AS avg_nll
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def bigram_lm_nll(spark, sf_dir):
+    """CCNet/KenLM-style perplexity quality filter (text.bigram_nll):
+    per-document cross-entropy under an add-0.5-smoothed word-bigram LM
+    trained on the corpus itself (one slice+zip explode, map-side-
+    combinable count aggs, prefix counts derived from bigram counts, a
+    1-row vocabulary agg broadcast back, AQE-decided LM join). Each ln
+    floored at 1e-10 grain so the 6-dp mean rounds identically across
+    engines; sub-2-word docs surface with n_bigrams=0 / NULL nll."""
+    from upgini_spark.functions.text import bigram_nll
+
+    return bigram_nll(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @_q(

@@ -626,3 +626,43 @@ def test_paragraph_dedup_plan_shape(spark):
     )
     assert "WindowExec" not in plan, plan[:3000]
     assert "partial_min" in plan or "HashAggregate" in plan, plan[:3000]
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_nll_self_and_heldout(spark):
+    """Self-trained values hand-computed; held-out scoring backs off:
+    unseen bigram with a SEEN prefix uses ln(a/(c1+aV)), unseen prefix
+    degenerates to ln(1/V) — OOV bigrams are penalized, not skipped."""
+    import math
+    from upgini_spark.functions.text import bigram_nll
+
+    train_rows = [(0, "a b a b c"), (1, "a b"), (3, "c a b a")]
+    train = spark.createDataFrame(train_rows, "doc_id int, text string")
+    self_scored = {
+        r["doc_id"]: r for r in bigram_nll(train, "doc_id", "text").collect()
+    }
+    # c12: ab=4 ba=2 bc=1 ca=1; c1: a=4 b=3 c=1; V=3
+    exp0 = -(
+        math.log(4.5 / 5.5) + math.log(2.5 / 4.5)
+        + math.log(4.5 / 5.5) + math.log(1.5 / 4.5)
+    ) / 4
+    assert self_scored[0]["avg_nll"] == pytest.approx(exp0, abs=2e-6)
+    assert self_scored[0]["n_bigrams"] == 4
+
+    held = spark.createDataFrame([(9, "b z c a")], "doc_id int, text string")
+    out = bigram_nll(held, "doc_id", "text", train=train).collect()[0]
+    # bz: seen prefix b -> ln(.5/(3+1.5)); zc: unseen prefix -> ln(.5/1.5)
+    # ca: seen -> ln(1.5/2.5)
+    exp9 = -(
+        math.log(0.5 / 4.5) + math.log(0.5 / 1.5) + math.log(1.5 / 2.5)
+    ) / 3
+    assert out["n_bigrams"] == 3
+    assert out["avg_nll"] == pytest.approx(exp9, abs=2e-6)
+
+    short = spark.createDataFrame([(7, "solo")], "doc_id int, text string")
+    s = bigram_nll(short, "doc_id", "text", train=train).collect()[0]
+    assert s["n_bigrams"] == 0 and s["avg_nll"] is None

@@ -275,3 +275,115 @@ def dup_ngram_share(c: Column, n: int = 3) -> Column:
         k >= 1,
         F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double"),
     )
+
+
+# --- Bigram-LM perplexity scoring (CCNet-style quality filter) -------------
+
+
+def _bigram_frames(df: DataFrame, id_col: str, text_col: str):
+    """(staged, pairs): staged keeps the word array; pairs is one row per
+    (id, w1, w2) bigram, built by slice+arrays_zip (O(n) array refs — an
+    element_at-in-lambda build re-evaluates per element) and exploded
+    with explode_outer so sub-2-word docs survive as a NULL-pair row."""
+    ws = F.split(F.col(text_col), " ")
+    staged = df.select(
+        F.col(id_col).alias("__bid__"),
+        F.arrays_zip(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w1"),
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w2"),
+        ).alias("__bg__"),
+        ws.alias("__ws__"),
+    )
+    pairs = staged.select(
+        "__bid__", F.explode_outer("__bg__").alias("__p__")
+    ).select(
+        "__bid__",
+        F.col("__p__.w1").alias("__w1__"),
+        F.col("__p__.w2").alias("__w2__"),
+    )
+    return staged, pairs
+
+
+def _ln_q(c: Column) -> Column:
+    """ln floored at 1e-10 grain (bm25_score trick): a JVM-vs-libm ULP
+    difference can never flip a downstream 6-dp round."""
+    return F.floor(F.log(c) * 1e10) / 1e10
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-alpha-smoothed word-bigram
+    language model — the CCNet/KenLM-style "perplexity filter" shape.
+    The LM trains on ``train`` (default: the scored corpus itself, the
+    self-contained deterministic variant). Returns
+    (id, n_bigrams, avg_nll) with avg_nll = mean of
+    ``-ln((c(w1,w2)+a) / (c(w1·)+a·V))`` over the document's bigrams,
+    V = train-corpus unigram vocabulary; a bigram unseen in training
+    backs off to c=0 with the same formula (unseen prefix → ln(1/V)),
+    so OOV-heavy documents score HIGH instead of being silently averaged
+    over their in-vocabulary bigrams only. Lower = more in-domain.
+
+    Scale shape: one slice+zip explode per corpus; bigram counts and
+    prefix counts are map-side-combinable aggregates, prefix counts
+    DERIVED from bigram counts (no second train scan); V is a 1-row
+    distinct agg broadcast via crossJoin; scoring joins doc bigrams to
+    the LM on (w1, w2) and to the prefix table on w1 — unhinted, AQE
+    broadcasts small LMs and shuffles otherwise. Docs with <2 words
+    surface with n_bigrams=0 and NULL avg_nll (never silently dropped).
+    """
+    train_staged, train_pairs = (
+        _bigram_frames(train, id_col, text_col)
+        if train is not None
+        else (None, None)
+    )
+    staged, pairs = _bigram_frames(df, id_col, text_col)
+    if train_staged is None:
+        train_staged, train_pairs = staged, pairs
+    c12 = train_pairs.filter(F.col("__w1__").isNotNull()).groupBy(
+        "__w1__", "__w2__"
+    ).agg(F.count(F.lit(1)).alias("__c12__"))
+    c1 = c12.groupBy("__w1__").agg(F.sum("__c12__").alias("__c1__"))
+    vocab = train_staged.select(F.explode("__ws__").alias("__w__")).agg(
+        F.countDistinct("__w__").cast("double").alias("__v__")
+    )
+    lm = (
+        c12.join(c1, "__w1__")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__w1__", "__w2__",
+            _ln_q(
+                (F.col("__c12__") + F.lit(alpha))
+                / (F.col("__c1__") + F.lit(alpha) * F.col("__v__"))
+            ).alias("__logp__"),
+        )
+    )
+    scored = (
+        pairs.join(lm, ["__w1__", "__w2__"], "left")
+        .join(c1.withColumnRenamed("__c1__", "__pc1__"), ["__w1__"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp__",
+            F.when(
+                F.col("__w1__").isNotNull(),
+                F.coalesce(
+                    "__logp__",
+                    _ln_q(
+                        F.lit(alpha)
+                        / (
+                            F.coalesce(F.col("__pc1__"), F.lit(0))
+                            + F.lit(alpha) * F.col("__v__")
+                        )
+                    ),
+                ),
+            ),
+        )
+    )
+    return scored.groupBy("__bid__").agg(
+        F.count("__lp__").cast("int").alias("n_bigrams"),
+        F.round(-F.avg("__lp__"), 6).alias("avg_nll"),
+    ).select(F.col("__bid__").alias(id_col), "n_bigrams", "avg_nll")
