@@ -559,7 +559,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # date_diff_ops + both DatePercentile queries r4-green and the golden
 # tests), knn_cosine_ivf_kmeans (yielded to the new bigram_lm_nll; the
 # ANN family keeps knn_cosine_ivf in section 1 AND the new
-# knn_cosine_pq_adc in-window, and the kmeans path is property-tested).
+# knn_cosine_pq_adc in-window, and the kmeans path is property-tested),
+# cluster_assign (yielded to the new url_canonical_dedup; the cluster
+# lowering is golden-tested and its kmeans machinery rides in
+# knn_cosine_ivf + the r5 property sweep).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -576,12 +579,13 @@ _R05_DRIVER_WINDOW = [
     "media_decode_gif_bmp", "knn_cosine_pq_adc", "media_decode_jpeg",
     "media_decode_au", "media_probe_mp4", "media_probe_mp3",
     "html_strip_extract", "paragraph_dedup_corpus", "bigram_lm_nll",
+    "url_canonical_dedup",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
     # 4. oldest r03-stale (as-of family first)
     "asof_join_backward", "asof_join_forward", "asof_join_arrow",
-    "asof_join_tolerance", "cluster_assign",
+    "asof_join_tolerance",
     "dedup_components",
     "feature_validator_stats",
     "hash_sample_exact_1000",
@@ -1505,6 +1509,104 @@ def html_strip_extract(spark, sf_dir):
         F.length(clean).cast("int").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+@_q(
+    "url_canonical_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'https://News.Example.com/articles/'
+            || CAST(doc_id // 5 AS VARCHAR) || '/?utm_source=feed&x=2&a=1#top'
+          WHEN 1 THEN 'HTTPS://news.example.com:443/articles/'
+            || CAST(doc_id // 5 AS VARCHAR) || '?a=1&x=2'
+          WHEN 2 THEN 'https://u:p@news.example.com/articles/'
+            || CAST(doc_id // 5 AS VARCHAR) || '/?x=2&a=1&fbclid=z'
+          WHEN 3 THEN 'https://blog.example.com/post-'
+            || CAST(doc_id AS VARCHAR)
+          ELSE 'doc-' || CAST(doc_id AS VARCHAR)
+        END AS url
+      FROM documents
+    ), p1 AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      FROM u
+    ), p2 AS (
+      SELECT doc_id, scheme,
+        lower(regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                             '^[^@/?#]*@', '')) AS auth,
+        regexp_replace(rest, '^[^/?#]*', '') AS pathqf
+      FROM p1
+    ), p3 AS (
+      SELECT doc_id, scheme,
+        regexp_replace(auth, ':[0-9]*$', '') AS host,
+        regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        regexp_extract(pathqf, '^([^?#]*)', 1) AS raw_path,
+        regexp_extract(pathqf, '^[^?#]*\\?([^#]*)', 1) AS query
+      FROM p2
+    ), p4 AS (
+      SELECT *, array_to_string(list_sort(list_filter(
+        string_split(query, '&'),
+        p -> p <> '' AND NOT regexp_matches(
+          p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$)'))), '&') AS qs
+      FROM p3
+    ), canon AS (
+      SELECT doc_id,
+        CASE WHEN scheme = '' THEN NULL ELSE
+          scheme || '://' || host
+          || (CASE WHEN port <> ''
+                    AND NOT (scheme = 'http' AND port = '80')
+                    AND NOT (scheme = 'https' AND port = '443')
+              THEN ':' || port ELSE '' END)
+          || (CASE WHEN regexp_replace(raw_path, '/+$', '') = ''
+              THEN '/' ELSE regexp_replace(raw_path, '/+$', '') END)
+          || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+        END AS canon_url
+      FROM p4
+    )
+    SELECT c.doc_id, c.canon_url,
+      coalesce(f.first_id = c.doc_id, TRUE) AS keep
+    FROM canon c LEFT JOIN (
+      SELECT canon_url, min(doc_id) AS first_id FROM canon
+      WHERE canon_url IS NOT NULL GROUP BY canon_url
+    ) f USING (canon_url)
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + URL-keyed dedup (urls.canonical_url /
+    url_dedup): the cheap first filter of C4/RefinedWeb-style crawl
+    pipelines. Synthesized URLs hit every rule — scheme/host case, the
+    https:443 default port, userinfo, trailing slash, fragment (with a
+    decoy '?' AFTER '#'), utm/fbclid tracking params, param order — so
+    mod-5 classes 0/1/2 collapse to ONE canonical per doc_id//5 group
+    (min-id keeps), class 3 is unique, class 4 is schemeless → NULL
+    canonical, always kept. The oracle replays the EXACT regexp/array
+    chain; dedup is the min-agg + equi-join shape (no window over hot
+    hosts)."""
+    from upgini_spark.functions.urls import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = F.floor(did / 5).cast("int").cast("string")
+    url = (
+        F.when(did % 5 == 0, F.concat(
+            F.lit("https://News.Example.com/articles/"), k,
+            F.lit("/?utm_source=feed&x=2&a=1#top")))
+        .when(did % 5 == 1, F.concat(
+            F.lit("HTTPS://news.example.com:443/articles/"), k,
+            F.lit("?a=1&x=2")))
+        .when(did % 5 == 2, F.concat(
+            F.lit("https://u:p@news.example.com/articles/"), k,
+            F.lit("/?x=2&a=1&fbclid=z")))
+        .when(did % 5 == 3, F.concat(
+            F.lit("https://blog.example.com/post-"), did.cast("string")))
+        .otherwise(F.concat(F.lit("doc-"), did.cast("string")))
+    )
+    synth = docs.select("doc_id", url.alias("url"))
+    return url_dedup(synth, "doc_id", "url")
 
 
 @_q(

@@ -666,3 +666,48 @@ def test_bigram_nll_self_and_heldout(spark):
     short = spark.createDataFrame([(7, "solo")], "doc_id int, text string")
     s = bigram_nll(short, "doc_id", "text", train=train).collect()[0]
     assert s["n_bigrams"] == 0 and s["avg_nll"] is None
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-keyed dedup
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_rules(spark):
+    """Every canonicalization rule pinned: case, userinfo, default vs
+    non-default ports, trailing slash, empty path, fragment (including a
+    decoy '?' after '#'), tracking/empty params, param sorting,
+    schemeless -> NULL."""
+    from upgini_spark.functions.urls import canonical_url, url_dedup
+
+    cases = [
+        ("HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a/b?a=1&b=2"),
+        ("http://example.com/a/b?a=1&b=2",
+         "http://example.com/a/b?a=1&b=2"),
+        ("https://User:pw@Example.com:443/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com/?ref=tw&fbclid=abc", "http://example.com/"),
+        ("ftp://Files.example.com/Pkg/", "ftp://files.example.com/Pkg"),
+        ("not a url", None),
+        ("http://example.com/a/b#?fakequery=1", "http://example.com/a/b"),
+        ("http://example.com/x?gclid=1&&a=", "http://example.com/x?a="),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id int, url string"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i])
+
+    keep = {r["id"]: r["keep"] for r in url_dedup(df, "id", "url").collect()}
+    # 0 and 1 collapse (min id 0 keeps); 2 and 3 collapse (2 keeps);
+    # NULL canonical (7) is always kept
+    assert keep == {0: True, 1: False, 2: True, 3: False, 4: True,
+                    5: True, 6: True, 7: True, 8: True, 9: True}
