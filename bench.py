@@ -74,6 +74,13 @@ HEADLINE = [
     # PQ-ADC (eager codebook fit + encode + table-lookup scoring)
     "text_bm25_topk",
     "knn_cosine_pq_adc",
+    # round 5 continuation: crawl-pipeline extraction + filtering pack
+    # (regexp-chain HTML strip, hash-group paragraph dedup, corpus-trained
+    # bigram-LM scoring, URL canonicalize+dedup)
+    "html_strip_extract",
+    "paragraph_dedup_corpus",
+    "bigram_lm_nll",
+    "url_canonical_dedup",
 ]
 
 

@@ -71,6 +71,27 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "ngram_jaccard_pairs": [
         ("BroadcastNestedLoopJoin", "fixture-sized demo; LSH generates pairs at scale"),
     ],
+    # 1-row global-stat broadcast pattern (bm25 N/avgdl/df, bigram-LM
+    # vocabulary V): the SinglePartition exchange carries one partial-agg
+    # row per upstream partition, and the BNLJ is a crossJoin against
+    # that broadcast single row — both are the intended shape for a
+    # global scalar statistic
+    "text_bm25_topk": [
+        ("Exchange SinglePartition", "global corpus-stats agg (1 partial row/partition)"),
+        ("BroadcastNestedLoopJoin", "crossJoin of the broadcast 1-row stats"),
+    ],
+    "bigram_lm_nll": [
+        ("Exchange SinglePartition", "global vocabulary-size agg (1 partial row/partition)"),
+        ("BroadcastNestedLoopJoin", "crossJoin of the broadcast 1-row vocab scalar"),
+    ],
+    # ADC is BY DESIGN a corpus linear scan with O(m) table lookups per
+    # row against the broadcast per-query tables (n_q x m.k_sub floats);
+    # the corpus is never shuffled. The scale refinement is IVF+PQ (scan
+    # only probed cells), tracked as a candidate in CLAUDE.md.
+    "knn_cosine_pq_adc": [
+        ("BroadcastNestedLoopJoin",
+         "ADC scan: corpus x broadcast query-ADC tables — PQ's intended shape"),
+    ],
 }
 
 PATTERNS = [
