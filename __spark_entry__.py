@@ -562,7 +562,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # knn_cosine_pq_adc in-window, and the kmeans path is property-tested),
 # cluster_assign (yielded to the new url_canonical_dedup; the cluster
 # lowering is golden-tested and its kmeans machinery rides in
-# knn_cosine_ivf + the r5 property sweep).
+# knn_cosine_ivf + the r5 property sweep), asof_join_tolerance (yielded
+# to the new vocab_encode_words; the as-of family keeps
+# backward/forward/arrow in this window plus broadcast in section 1,
+# the flagship, and the property suite).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -579,13 +582,12 @@ _R05_DRIVER_WINDOW = [
     "media_decode_gif_bmp", "knn_cosine_pq_adc", "media_decode_jpeg",
     "media_decode_au", "media_probe_mp4", "media_probe_mp3",
     "html_strip_extract", "paragraph_dedup_corpus", "bigram_lm_nll",
-    "url_canonical_dedup",
+    "url_canonical_dedup", "vocab_encode_words",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
     # 4. oldest r03-stale (as-of family first)
     "asof_join_backward", "asof_join_forward", "asof_join_arrow",
-    "asof_join_tolerance",
     "dedup_components",
     "feature_validator_stats",
     "hash_sample_exact_1000",
@@ -1508,6 +1510,66 @@ def html_strip_extract(spark, sf_dir):
         TX.html_tag_count(html).alias("n_tags"),
         F.length(clean).cast("int").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
+    )
+
+
+@_q(
+    "vocab_encode_words",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ex AS (
+      SELECT doc_id, g.i AS pos, ws[g.i] AS word
+      FROM w, (SELECT unnest(generate_series(1, 400)) AS i) g
+      WHERE g.i <= len(ws) AND ws[g.i] <> ''
+    ), counts AS (
+      SELECT word, count(*) AS cnt FROM ex GROUP BY word
+    ), vocab AS (
+      SELECT word,
+        CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT)
+          AS token_id
+      FROM counts
+      QUALIFY row_number() OVER (ORDER BY cnt DESC, word ASC) <= 25
+    ), enc AS (
+      SELECT e.doc_id, e.pos, coalesce(v.token_id, 0) AS tok
+      FROM ex e LEFT JOIN vocab v USING (word)
+    )
+    SELECT d.doc_id,
+      CAST(coalesce(s.n_tok, 0) AS INT) AS n_tok,
+      CAST(coalesce(s.n_oov, 0) AS INT) AS n_oov,
+      md5(coalesce(s.ids, '')) AS ids_md5
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, count(*) AS n_tok,
+        sum(CASE WHEN tok = 0 THEN 1 ELSE 0 END) AS n_oov,
+        string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY pos) AS ids
+      FROM enc GROUP BY doc_id
+    ) s USING (doc_id)
+    """,
+)
+def vocab_encode_words(spark, sf_dir):
+    """Tokenizer front of the pipeline (tokens.build_word_vocab /
+    encode_words): top-25 frequency vocabulary with the (count DESC,
+    word ASC) total order — TakeOrderedAndProject, never a global sort —
+    then OOV-0 encoding that preserves word order via in-row
+    sort_array(struct(pos, id)). The md5 of the space-joined id sequence
+    gates the full token stream byte-for-byte (arrays are driver-
+    unsortable, the r02 crash class). With the corpus vocabulary larger
+    than 25, the OOV path is exercised on real rows."""
+    from upgini_spark.functions.tokens import build_word_vocab, encode_words
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_word_vocab(docs, "text", 25)
+    enc = encode_words(docs, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id", "n_tok", "n_oov",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("token_ids"), lambda t: t.cast("string")
+                ),
+                " ",
+            )
+        ).alias("ids_md5"),
     )
 
 

@@ -711,3 +711,45 @@ def test_canonical_url_rules(spark):
     # NULL canonical (7) is always kept
     assert keep == {0: True, 1: False, 2: True, 3: False, 4: True,
                     5: True, 6: True, 7: True, 8: True, 9: True}
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build + word-id encoding
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_build_and_encode(spark):
+    """Total order (count DESC, word ASC) pins ids; OOV -> 0; word order
+    preserved; empty docs survive with an empty array; the top-k plan is
+    TakeOrdered, not a global sort."""
+    from upgini_spark.functions.tokens import build_word_vocab, encode_words
+
+    rows = [(0, "the cat sat on the mat"), (1, "the dog sat"),
+            (2, ""), (3, "zebra the")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    vocab = build_word_vocab(df, "text", 3)
+    assert [
+        (r["word"], r["token_id"]) for r in vocab.orderBy("token_id").collect()
+    ] == [("the", 1), ("sat", 2), ("cat", 3)]
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in encode_words(df, "doc_id", "text", vocab).collect()
+    }
+    assert got[0]["token_ids"] == [1, 3, 2, 0, 1, 0]
+    assert got[0]["n_tok"] == 6 and got[0]["n_oov"] == 2
+    assert got[1]["token_ids"] == [1, 0, 2]
+    assert got[2]["token_ids"] == [] and got[2]["n_tok"] == 0
+    assert got[3]["token_ids"] == [0, 1]
+
+
+def test_vocab_min_count(spark):
+    from upgini_spark.functions.tokens import build_word_vocab
+
+    df = spark.createDataFrame(
+        [(0, "a a a b b c")], "doc_id int, text string"
+    )
+    v = build_word_vocab(df, "text", 10, min_count=2)
+    assert [r["word"] for r in v.orderBy("token_id").collect()] == ["a", "b"]

@@ -118,3 +118,85 @@ def pack_sequences(
             ).alias("tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary build + word-id encoding (the tokenizer front of the pipeline)
+# --------------------------------------------------------------------------
+
+
+def build_word_vocab(
+    df: DataFrame, text_col: str, k: int, min_count: int = 1
+) -> DataFrame:
+    """Frequency vocabulary over whitespace words: the top-``k`` words by
+    (count DESC, word ASC — a total order, so the vocabulary is
+    partition- and engine-deterministic) get ids 1..k; id 0 is reserved
+    for OOV at encode time. Returns (word, token_id, cnt).
+
+    Scale shape: one map-side-combinable word-count agg, then
+    ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject (per-
+    partition heaps + a k-row merge), never a global sort. The final
+    row_number ranks the ALREADY-REDUCED k-row frame: its single
+    partition holds k rows by construction (k = vocabulary size, 10^4-ish
+    even at 100 TB), not corpus rows."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return top.select(
+        "word", F.row_number().over(w).cast("int").alias("token_id"), "cnt"
+    )
+
+
+def encode_words(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Encode text into vocabulary ids (OOV → 0), preserving word order.
+    Returns (id, token_ids:array<int>, n_tok, n_oov).
+
+    One posexplode + a broadcast join against the (bounded-size) vocab +
+    one per-doc re-collect; the (pos, id) structs are sorted INSIDE the
+    row (sort_array), never via an order-dependent collect_list. Empty
+    texts survive with an empty array (posexplode_outer + coalesce)."""
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != ""
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__eid__"),
+        F.posexplode_outer(words).alias("__pos__", "word"),
+    )
+    joined = exploded.join(F.broadcast(vocab.select("word", "token_id")),
+                           "word", "left")
+    tok = F.when(
+        F.col("word").isNotNull(), F.coalesce("token_id", F.lit(0))
+    ).cast("int")
+    agged = joined.select("__eid__", "__pos__", tok.alias("__tok__")).groupBy(
+        "__eid__"
+    ).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("__tok__").isNotNull(),
+                        F.struct("__pos__", "__tok__"),
+                    )
+                )
+            ),
+            lambda s: s["__tok__"],
+        ).alias("token_ids"),
+    )
+    return agged.select(
+        F.col("__eid__").alias(id_col),
+        "token_ids",
+        F.size("token_ids").cast("int").alias("n_tok"),
+        F.size(
+            F.filter(F.col("token_ids"), lambda t: t == 0)
+        ).cast("int").alias("n_oov"),
+    )
