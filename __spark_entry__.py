@@ -1514,6 +1514,101 @@ def html_strip_extract(spark, sf_dir):
 
 
 @_q(
+    "temperature_mix_plan",
+    """
+    WITH base AS (
+      SELECT CASE WHEN doc_id % 100 < 50 THEN 'big'
+                  WHEN doc_id % 100 < 80 THEN 'mid'
+                  WHEN doc_id % 100 < 95 THEN 'small'
+                  ELSE 'tiny' END AS grp
+      FROM documents
+    ), g2 AS (
+      SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+             pow(CAST(count(*) AS DOUBLE), 0.5) AS s,
+             CAST(count(*) AS DOUBLE) / pow(CAST(count(*) AS DOUBLE), 0.5)
+               AS ratio
+      FROM base GROUP BY grp
+    ), t AS (
+      SELECT sum(n) AS tn, sum(s) AS ts FROM g2
+    ), lamc AS (
+      SELECT grp, n, s, ratio,
+        (420.0 - coalesce(sum(n) OVER w, 0))
+          / (t.ts - coalesce(sum(s) OVER w, 0)) AS lam
+      FROM g2, t
+      WINDOW w AS (ORDER BY ratio ASC, grp ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), pick AS (
+      SELECT lam FROM lamc WHERE lam * s <= n
+      ORDER BY ratio ASC, grp ASC LIMIT 1
+    )
+    SELECT g2.grp, CAST(g2.n AS BIGINT) AS n,
+      round(least(g2.n, pick.lam * g2.s) / g2.n, 9) AS rate,
+      round(least(g2.n, pick.lam * g2.s), 6) AS m
+    FROM g2, pick
+    """,
+)
+def temperature_mix_plan(spark, sf_dir):
+    """Temperature-based mixture planning (sampling.
+    temperature_mix_rates): target shares ∝ n^0.5 under the
+    no-upsampling cap, solved by CLOSED-FORM water-filling (order groups
+    by n/s, the capped set is a prefix, λ from cumulative sums — one
+    k-row window pass, no recursion, no driver loop; validated against
+    iterative water-filling on 2000 random cases). The synthetic 50/30/
+    15/5%% grouping with budget 420 caps exactly TWO groups at sf0.01
+    (tiny and small keep 100%%, mid/big downsample), exercising the
+    boundary scan. alpha=0.5 keeps s=sqrt(n) IEEE-exact across engines.
+    Rates compose with sample_by_rates for the actual mixing filter."""
+    from upgini_spark.functions.sampling import temperature_mix_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 100
+    grp = (
+        F.when(m < 50, F.lit("big"))
+        .when(m < 80, F.lit("mid"))
+        .when(m < 95, F.lit("small"))
+        .otherwise(F.lit("tiny"))
+    )
+    plan = temperature_mix_rates(
+        docs.select(grp.alias("grp")), "grp", alpha=0.5, budget=420
+    )
+    return plan.select(F.col("group").alias("grp"), "n", "rate", "m")
+
+
+@_q(
+    "weighted_sample_100",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+        floor(
+          ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) / 1152921504606846976.0)
+          / CAST(n_chars AS DOUBLE) * 1e10) / 1e10 AS wkey
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, wkey
+    FROM keyed ORDER BY wkey DESC, doc_id ASC LIMIT 100
+    """,
+)
+def weighted_sample_100(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (sampling.
+    weighted_sample_exact — Efraimidis-Spirakis A-ES): key = ln(u)/w
+    with u the 60-bit md5 hash-uniform, top-100 keys win. One
+    TakeOrderedAndProject (per-partition heaps), data never shuffled,
+    same winners on any cluster size. Keys floor-quantized at 1e-10
+    grain + doc_id tie-break so engine ln/division ULP can't flip the
+    boundary row; the oracle replays the exact key formula."""
+    from upgini_spark.functions.sampling import hash_uniform, weighted_sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_exact(docs, "n_chars", 100, ["doc_id"])
+    u = hash_uniform(["doc_id"])
+    wkey = (
+        F.floor(F.log(u) / F.col("n_chars").cast("double") * 1e10) / 1e10
+    )
+    return out.select("doc_id", "n_chars", wkey.alias("wkey"))
+
+
+@_q(
     "vocab_encode_words",
     """
     WITH w AS (

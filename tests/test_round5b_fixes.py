@@ -753,3 +753,116 @@ def test_vocab_min_count(spark):
     )
     v = build_word_vocab(df, "text", 10, min_count=2)
     assert [r["word"] for r in v.orderBy("token_id").collect()] == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixing + weighted sampling (training-data mixing ops)
+# ---------------------------------------------------------------------------
+
+
+def _water_fill_iterative(ns, alpha, budget):
+    """Reference iterative water-filling: cap one group at a time."""
+    import math
+
+    s = {g: n ** alpha for g, n in ns.items()}
+    capped = set()
+    while True:
+        rem_b = budget - sum(ns[g] for g in capped)
+        rem_s = sum(s[g] for g in ns if g not in capped)
+        lam = rem_b / rem_s
+        over = [g for g in ns if g not in capped and lam * s[g] > ns[g]]
+        if not over:
+            break
+        capped.update(over)
+    return {g: min(ns[g], lam * s[g]) for g in ns}, lam
+
+
+@pytest.mark.parametrize(
+    "ns,alpha,budget",
+    [
+        ({"a": 1000, "b": 300, "c": 50, "d": 5}, 0.5, 420),
+        ({"a": 1000, "b": 300, "c": 50, "d": 5}, 0.3, 900),
+        ({"a": 100, "b": 100, "c": 100}, 1.0, 150),
+        ({"a": 7, "b": 9000}, 0.5, 5000),
+        ({"a": 10, "b": 20, "c": 30}, 0.7, 60),  # budget == total
+    ],
+)
+def test_temperature_mix_matches_iterative(spark, ns, alpha, budget):
+    """Closed-form prefix water-filling == the iterative reference, and
+    Σm == min(budget, Σn) with every rate in (0, 1]."""
+    from upgini_spark.functions.sampling import temperature_mix_rates
+
+    rows = [(g,) for g, n in ns.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "grp string").repartition(7)
+    got = {
+        r["group"]: r.asDict()
+        for r in temperature_mix_rates(df, "grp", alpha, budget).collect()
+    }
+    want, _ = _water_fill_iterative(ns, alpha, budget)
+    assert set(got) == set(ns)
+    for g in ns:
+        assert got[g]["n"] == ns[g]
+        assert got[g]["m"] == pytest.approx(want[g], abs=1e-5), (g, got[g])
+        assert 0.0 < got[g]["rate"] <= 1.0
+    assert sum(v["m"] for v in got.values()) == pytest.approx(
+        min(budget, sum(ns.values())), abs=1e-4
+    )
+
+
+def test_temperature_mix_budget_exceeds_total(spark):
+    """budget > Σn: nothing can upsample — every group keeps 100%."""
+    from upgini_spark.functions.sampling import temperature_mix_rates
+
+    df = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 10, "grp string"
+    )
+    got = {
+        r["group"]: r.asDict()
+        for r in temperature_mix_rates(df, "grp", 0.5, 1000).collect()
+    }
+    assert got["a"]["rate"] == 1.0 and got["a"]["m"] == 30.0
+    assert got["b"]["rate"] == 1.0 and got["b"]["m"] == 10.0
+
+
+def test_weighted_sample_exact_properties(spark):
+    """A-ES: partition-invariant winners, weight≤0/NULL excluded,
+    n ≥ eligible rows returns all of them, and the plan is a
+    TakeOrdered (per-partition heaps), not a global sort."""
+    from upgini_spark.functions.sampling import weighted_sample_exact
+
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(500)]
+    rows += [(1000, 0.0), (1001, -3.0), (1002, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    got1 = {r["id"] for r in weighted_sample_exact(df, "w", 50, ["id"]).collect()}
+    got2 = {
+        r["id"]
+        for r in weighted_sample_exact(
+            df.repartition(13), "w", 50, ["id"]
+        ).collect()
+    }
+    assert got1 == got2 and len(got1) == 50
+    assert got1.isdisjoint({1000, 1001, 1002})
+
+    out = weighted_sample_exact(df, "w", 10_000, ["id"])
+    assert out.count() == 500
+
+    plan = (
+        weighted_sample_exact(df, "w", 50, ["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_weighted_sample_bias(spark):
+    """Heavier rows win more: with half the corpus at weight 100 and half
+    at weight 1, a top-100 sample of 2000 rows is overwhelmingly from
+    the heavy half (deterministic given the hash — exact count pinned
+    by construction, loose bound asserted)."""
+    from upgini_spark.functions.sampling import weighted_sample_exact
+
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r["id"] for r in weighted_sample_exact(df, "w", 100, ["id"]).collect()]
+    heavy = sum(1 for i in got if i % 2 == 0)
+    assert heavy >= 95, heavy

@@ -459,3 +459,100 @@ def sample_by_rates(
     )
     rate = F.coalesce(rate_map[F.col(group_col)], F.lit(float(default_rate)))
     return df.filter(u < rate)
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    budget: int,
+) -> DataFrame:
+    """Temperature-based mixture planning (the multinomial-sampling rule
+    of multilingual/multi-source pretraining): target shares
+    ``s_i ∝ n_i^alpha`` (alpha<1 upweights small sources), solved under
+    the no-upsampling constraint rate ≤ 1 by exact water-filling — if a
+    source's target exceeds its size it caps at n_i and the surplus
+    redistributes over the rest. Returns one row per source:
+    (group, n, rate, m) with m = min(n, λ·s_i) the planned keep count
+    (Σm = budget when budget ≤ Σn). Compose with :func:`sample_by_rates`.
+
+    The water-filling threshold has a CLOSED FORM over the per-group
+    aggregate: order groups by n_i/s_i ascending; the capped set is a
+    prefix, and λ_t = (B − Σ_capped n) / (Σ_uncapped s) is valid for
+    exactly one boundary t (sandwich condition) — so the whole plan is
+    one groupBy + windows over a k-row frame (k = #sources; the
+    single-partition window is k-row by construction), replayable in
+    pure window SQL with no recursion and no driver loop."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    s = F.pow(F.col("n"), F.lit(float(alpha)))
+    g = counts.select("group", "n", s.alias("s"),
+                      (F.col("n") / s).alias("ratio"))
+    w_ord = Window.orderBy(F.col("ratio").asc(), F.col("group").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    tot = g.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    lam = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("cn", F.coalesce(F.sum("n").over(w_cum), F.lit(0.0)))
+        .withColumn("cs", F.coalesce(F.sum("s").over(w_cum), F.lit(0.0)))
+        # λ with THIS group and everything after it uncapped
+        .withColumn(
+            "lam",
+            (F.lit(float(budget)) - F.col("cn"))
+            / (F.col("ts") - F.col("cs")),
+        )
+        # valid boundary: this group stays uncapped (λ·s ≤ n), and the
+        # previous group (if any) was capped (handled by taking the
+        # FIRST valid row in ratio order)
+        .filter(F.col("lam") * F.col("s") <= F.col("n"))
+        .orderBy(F.col("ratio").asc(), F.col("group").asc())
+        .limit(1)
+        .select(F.col("lam").alias("__lam__"))
+        # budget ≥ Σn: every group caps, no boundary row survives the
+        # filter — λ=+∞ makes min(n, λ·s) = n (all rates 1, no upsample)
+        .agg(
+            F.coalesce(F.min("__lam__"), F.lit(float("inf"))).alias("__lam__")
+        )
+    )
+    planned = (
+        g.crossJoin(F.broadcast(lam))
+        .withColumn("m", F.least(F.col("n"), F.col("__lam__") * F.col("s")))
+    )
+    return planned.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("m") / F.col("n"), 9).alias("rate"),
+        F.round("m", 6).alias("m"),
+    )
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws its hash-uniform u and competes with
+    key = ln(u)/w — the n LARGEST keys are a faithful weighted sample,
+    and the whole op is one TakeOrderedAndProject (per-partition heaps),
+    no shuffle of the data itself. Seed-free: the same rows win on any
+    cluster size. Rows with weight ≤ 0 or NULL never win (key −∞ via
+    filter). The key is floor-quantized at 1e-10 grain with an id
+    tie-break so an engine's ln/division ULP can never flip the boundary
+    row (same trick as bm25's idf)."""
+    u = hash_uniform(id_cols, salt=salt)
+    w = F.col(weight_col).cast("double")
+    key = F.floor(F.log(u) / w * 1e10) / 1e10
+    order = [F.col("__wsk__").desc()] + [F.col(c).asc() for c in id_cols]
+    return (
+        df.filter(w > 0)
+        .withColumn("__wsk__", key)
+        .orderBy(*order)
+        .limit(n)
+        .drop("__wsk__")
+    )
