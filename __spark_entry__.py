@@ -566,6 +566,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # to the new vocab_encode_words; the as-of family keeps
 # backward/forward/arrow in this window plus broadcast in section 1,
 # the flagship, and the property suite).
+# Late-r5 sampling/chunking pack — five more never-verified queries, five
+# more section-4 yields (same new-outranks-stale rule): asof_join_forward
+# → temperature_mix_plan (as-of keeps backward + arrow in-window,
+# broadcast in section 1, the flagship and the property suite),
+# hash_sample_exact_1000 → weighted_sample_100 (the hash-rank primitive
+# stays attested via forced_downsample_binary in section 1 and the new
+# A-ES queries extend the same hash_uniform core),
+# feature_validator_stats → temperature_mix_apply (validator replayed
+# against reference fixtures in test_reference_replays + golden),
+# dedup_components → weighted_sample_by_lang (dedup family keeps
+# paragraph_dedup_corpus + url_canonical_dedup in-window; components
+# iteration is suite-tested), session_stats → chunk_sliding_tokens
+# (session family keeps stream_session_windows in-window + the
+# sessionize golden tests). All five yielded rows defer to r06 with the
+# 17 listed below.
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -582,16 +597,14 @@ _R05_DRIVER_WINDOW = [
     "media_decode_gif_bmp", "knn_cosine_pq_adc", "media_decode_jpeg",
     "media_decode_au", "media_probe_mp4", "media_probe_mp3",
     "html_strip_extract", "paragraph_dedup_corpus", "bigram_lm_nll",
-    "url_canonical_dedup", "vocab_encode_words",
+    "url_canonical_dedup", "vocab_encode_words", "temperature_mix_plan",
+    "weighted_sample_100", "temperature_mix_apply",
+    "weighted_sample_by_lang", "chunk_sliding_tokens",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
     # 4. oldest r03-stale (as-of family first)
-    "asof_join_backward", "asof_join_forward", "asof_join_arrow",
-    "dedup_components",
-    "feature_validator_stats",
-    "hash_sample_exact_1000",
-    "session_stats",
+    "asof_join_backward", "asof_join_arrow",
 ]
 
 
@@ -1606,6 +1619,183 @@ def weighted_sample_100(spark, sf_dir):
         F.floor(F.log(u) / F.col("n_chars").cast("double") * 1e10) / 1e10
     )
     return out.select("doc_id", "n_chars", wkey.alias("wkey"))
+
+
+@_q(
+    "temperature_mix_apply",
+    """
+    WITH base AS (
+      SELECT doc_id, CASE WHEN doc_id % 100 < 50 THEN 'big'
+                  WHEN doc_id % 100 < 80 THEN 'mid'
+                  WHEN doc_id % 100 < 95 THEN 'small'
+                  ELSE 'tiny' END AS grp
+      FROM documents
+    ), g2 AS (
+      SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+             pow(CAST(count(*) AS DOUBLE), 0.5) AS s,
+             CAST(count(*) AS DOUBLE) / pow(CAST(count(*) AS DOUBLE), 0.5)
+               AS ratio
+      FROM base GROUP BY grp
+    ), t AS (
+      SELECT sum(n) AS tn, sum(s) AS ts FROM g2
+    ), lamc AS (
+      SELECT grp, n, s, ratio,
+        (420.0 - coalesce(sum(n) OVER w, 0))
+          / (t.ts - coalesce(sum(s) OVER w, 0)) AS lam
+      FROM g2, t
+      WINDOW w AS (ORDER BY ratio ASC, grp ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), pick AS (
+      SELECT lam FROM lamc WHERE lam * s <= n
+      ORDER BY ratio ASC, grp ASC LIMIT 1
+    ), plan AS (
+      SELECT g2.grp, round(least(g2.n, pick.lam * g2.s) / g2.n, 9) AS rate
+      FROM g2, pick
+    )
+    SELECT b.grp, CAST(count(*) AS BIGINT) AS kept, p.rate
+    FROM base b JOIN plan p USING (grp)
+    WHERE CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 < p.rate
+    GROUP BY b.grp, p.rate
+    """,
+)
+def temperature_mix_apply(spark, sf_dir):
+    """END-TO-END temperature mixing (plan + filter composed, all
+    cluster-side): temperature_mix_rates' water-filling plan rides a
+    broadcast hash join into sample_by_rates_df's hash-uniform filter —
+    the rates never leave the cluster (no driver collect, unlike the
+    dict-based sample_by_rates), so the composition holds at any number
+    of sources. Output is the per-group kept count, which lands within
+    hash-uniform noise of the planned m (the plan itself is oracle-gated
+    exactly by temperature_mix_plan). rate is 9dp-rounded on BOTH sides
+    so the filter boundary is engine-portable."""
+    from upgini_spark.functions.sampling import (
+        sample_by_rates_df, temperature_mix_rates)
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 100
+    grp = (
+        F.when(m < 50, F.lit("big"))
+        .when(m < 80, F.lit("mid"))
+        .when(m < 95, F.lit("small"))
+        .otherwise(F.lit("tiny"))
+    )
+    base = docs.select("doc_id", grp.alias("grp"))
+    plan = temperature_mix_rates(base, "grp", alpha=0.5, budget=420)
+    mixed = sample_by_rates_df(base, "grp", plan, ["doc_id"])
+    return (
+        mixed.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .join(
+            F.broadcast(plan.select(F.col("group").alias("grp"), "rate")),
+            "grp",
+        )
+        .select("grp", "kept", "rate")
+    )
+
+
+@_q(
+    "weighted_sample_by_lang",
+    """
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+        floor(
+          ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) / 1152921504606846976.0)
+          / CAST(n_chars AS DOUBLE) * 1e10) / 1e10 AS wkey
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT lang, doc_id, n_chars, wkey,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY wkey DESC, doc_id ASC) AS r
+      FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, wkey FROM ranked WHERE r <= 5
+    """,
+)
+def weighted_sample_by_lang(spark, sf_dir):
+    """Per-source weighted sampling (sampling.weighted_sample_per_group):
+    the A-ES ln(u)/w key ranked WITHIN each lang — top-5 docs per
+    language, length-weighted. One window pass after a single shuffle on
+    the group key (rank truncates per partition); same quantized-key +
+    id tie-break determinism as weighted_sample_100."""
+    from upgini_spark.functions.sampling import (
+        hash_uniform, weighted_sample_per_group)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_per_group(docs, "lang", "n_chars", 5, ["doc_id"])
+    u = hash_uniform(["doc_id"])
+    wkey = (
+        F.floor(F.log(u) / F.col("n_chars").cast("double") * 1e10) / 1e10
+    )
+    return out.select("lang", "doc_id", "n_chars", wkey.alias("wkey"))
+
+
+@_q(
+    "chunk_sliding_tokens",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ex AS (
+      SELECT doc_id, g.i AS pos, ws[g.i] AS word
+      FROM w, (SELECT unnest(generate_series(1, 400)) AS i) g
+      WHERE g.i <= len(ws) AND ws[g.i] <> ''
+    ), counts AS (
+      SELECT word, count(*) AS cnt FROM ex GROUP BY word
+    ), vocab AS (
+      SELECT word,
+        CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT)
+          AS token_id
+      FROM counts
+      QUALIFY row_number() OVER (ORDER BY cnt DESC, word ASC) <= 25
+    ), enc AS (
+      SELECT e.doc_id,
+        row_number() OVER (PARTITION BY e.doc_id ORDER BY e.pos) - 1
+          AS tpos,
+        coalesce(v.token_id, 0) AS tok
+      FROM ex e LEFT JOIN vocab v USING (word)
+    ), lens AS (
+      SELECT doc_id, count(*) AS n FROM enc GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, g.k
+      FROM lens, (SELECT unnest(generate_series(0, 60)) AS k) g
+      WHERE g.k <= (n - 1) // 8
+    )
+    SELECT c.doc_id, CAST(c.k AS INT) AS chunk_idx,
+      CAST(count(*) AS INT) AS n_chunk_tokens,
+      md5(string_agg(CAST(e.tok AS VARCHAR), ' ' ORDER BY e.tpos))
+        AS chunk_md5
+    FROM chunks c JOIN enc e ON e.doc_id = c.doc_id
+      AND e.tpos >= c.k * 8 AND e.tpos < c.k * 8 + 16
+    GROUP BY c.doc_id, c.k
+    """,
+)
+def chunk_sliding_tokens(spark, sf_dir):
+    """Sliding-window chunking of token arrays (tokens.
+    chunk_tokens_sliding): window 16 / stride 8 over the
+    vocab_encode_words token stream — each doc becomes ⌈n/8⌉ overlapping
+    chunks, the final one short (every token covered; a chunk never
+    mixes documents, unlike pack_sequences' concat-and-chunk). Pure
+    per-row sequence()+slice() explode, no shuffle beyond the encoder's.
+    The md5 of each chunk's id sequence gates the windows byte-for-byte
+    (arrays are driver-unsortable); the oracle regenerates chunks from
+    (tpos // stride) range joins."""
+    from upgini_spark.functions.tokens import (
+        build_word_vocab, chunk_tokens_sliding, encode_words)
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_word_vocab(docs, "text", 25)
+    enc = encode_words(docs, "doc_id", "text", vocab)
+    ch = chunk_tokens_sliding(enc, "doc_id", "token_ids", 16, 8)
+    return ch.select(
+        "doc_id", "chunk_idx", "n_chunk_tokens",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("chunk"), lambda t: t.cast("string")),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )
 
 
 @_q(

@@ -81,6 +81,12 @@ HEADLINE = [
     "paragraph_dedup_corpus",
     "bigram_lm_nll",
     "url_canonical_dedup",
+    # round 5 continuation: source-mixing + chunking pack (water-filling
+    # plan composed with the broadcast rate filter; A-ES weighted top-n;
+    # sliding-window token chunking over the vocab encoder)
+    "temperature_mix_apply",
+    "weighted_sample_100",
+    "chunk_sliding_tokens",
 ]
 
 

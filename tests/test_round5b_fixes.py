@@ -866,3 +866,85 @@ def test_weighted_sample_bias(spark):
     got = [r["id"] for r in weighted_sample_exact(df, "w", 100, ["id"]).collect()]
     heavy = sum(1 for i in got if i % 2 == 0)
     assert heavy >= 95, heavy
+
+
+def test_weighted_sample_per_group(spark):
+    """Per-group A-ES: exactly min(n, group size) winners per group,
+    partition-invariant, and each group's winners equal the GLOBAL
+    variant restricted to that group (same key, same order)."""
+    from upgini_spark.functions.sampling import (
+        weighted_sample_exact, weighted_sample_per_group)
+
+    rows = [(i, "g%d" % (i % 3), float(1 + (i * 37) % 100))
+            for i in range(300)]
+    rows += [(900, "tiny", 5.0), (901, "tiny", 1.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+
+    got = weighted_sample_per_group(df, "grp", "w", 10, ["id"]).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["grp"], set()).add(r["id"])
+    assert {g: len(s) for g, s in by.items()} == {
+        "g0": 10, "g1": 10, "g2": 10, "tiny": 2
+    }
+    got2 = weighted_sample_per_group(
+        df.repartition(11), "grp", "w", 10, ["id"]
+    ).collect()
+    assert {r["id"] for r in got2} == {r["id"] for r in got}
+    for g in ("g0", "g1", "g2"):
+        sub = df.filter(F.col("grp") == g)
+        want = {r["id"] for r in
+                weighted_sample_exact(sub, "w", 10, ["id"]).collect()}
+        assert by[g] == want, g
+
+
+def test_sample_by_rates_df_matches_dict(spark):
+    """DataFrame-borne rates == dict-borne rates row for row; missing
+    groups keep everything; plan is a BroadcastHashJoin."""
+    from upgini_spark.functions.sampling import (
+        sample_by_rates, sample_by_rates_df)
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(400)], "id long, grp string"
+    )
+    rates = {"a": 0.3}
+    rdf = spark.createDataFrame([("a", 0.3)], "group string, rate double")
+    d1 = {r["id"] for r in sample_by_rates(df, "grp", rates, ["id"]).collect()}
+    d2 = {r["id"] for r in sample_by_rates_df(df, "grp", rdf, ["id"]).collect()}
+    assert d1 == d2
+    assert {i for i in d2 if i % 2 == 1} == {i for i in range(400) if i % 2}
+
+    plan = (
+        sample_by_rates_df(df, "grp", rdf, ["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_chunk_tokens_sliding(spark):
+    """Window/stride semantics: starts at 0,s,2s,…; last chunk short;
+    every token covered; empty docs vanish; stride=window tiles with
+    no overlap; bad params raise."""
+    from upgini_spark.functions.tokens import chunk_tokens_sliding
+
+    rows = [(0, list(range(10))), (1, list(range(3))), (2, []),
+            (3, list(range(4)))]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<int>")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk"]
+        for r in chunk_tokens_sliding(df, "doc_id", "toks", 4, 2).collect()
+    }
+    # doc 0: n=10 -> starts 0,2,4,6,8
+    assert got[(0, 0)] == [0, 1, 2, 3]
+    assert got[(0, 3)] == [6, 7, 8, 9]
+    assert got[(0, 4)] == [8, 9]          # short tail
+    assert got[(1, 0)] == [0, 1, 2] and (1, 1) in got
+    assert got[(1, 1)] == [2]
+    assert all(k[0] != 2 for k in got)    # empty doc -> no chunks
+    # stride == window: exact tiling, every token exactly once
+    tiles = chunk_tokens_sliding(df, "doc_id", "toks", 5, 5).collect()
+    flat = [t for r in tiles if r["doc_id"] == 0 for t in r["chunk"]]
+    assert sorted(flat) == list(range(10)) and len(flat) == 10
+
+    with pytest.raises(ValueError):
+        chunk_tokens_sliding(df, "doc_id", "toks", 4, 0)

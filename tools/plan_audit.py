@@ -92,6 +92,17 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "ADC scan: corpus x broadcast query-ADC tables — PQ's intended shape"),
     ],
+    # temperature water-filling: the window/orderBy runs over the PER-
+    # GROUP aggregate (k rows, k = #sources — 10^3-ish even at 100 TB),
+    # never corpus rows; the BNLJ is the broadcast 1-row totals/λ scalar
+    "temperature_mix_plan": [
+        ("Exchange SinglePartition", "k-row per-source aggregate (k = #sources)"),
+        ("BroadcastNestedLoopJoin", "crossJoin of broadcast 1-row totals/λ"),
+    ],
+    "temperature_mix_apply": [
+        ("Exchange SinglePartition", "k-row per-source plan frame (k = #sources)"),
+        ("BroadcastNestedLoopJoin", "crossJoin of broadcast 1-row totals/λ"),
+    ],
 }
 
 PATTERNS = [

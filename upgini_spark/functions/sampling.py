@@ -556,3 +556,59 @@ def weighted_sample_exact(
         .limit(n)
         .drop("__wsk__")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    n: int,
+    id_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic weighted sampling without replacement:
+    :func:`weighted_sample_exact`'s A-ES key (ln(u)/w, quantized 1e-10 +
+    id tie-break), ranked WITHIN each group — the n largest keys per
+    group win. One window pass partitioned on the group key (rank
+    truncates per partition after a single shuffle on group), seed-free
+    and cluster-size-invariant like the global variant. Rows with
+    weight ≤ 0 or NULL never win."""
+    from pyspark.sql.window import Window
+
+    u = hash_uniform(id_cols, salt=salt)
+    w = F.col(weight_col).cast("double")
+    key = F.floor(F.log(u) / w * 1e10) / 1e10
+    order = [F.col("__wsk__").desc()] + [F.col(c).asc() for c in id_cols]
+    win = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.filter(w > 0)
+        .withColumn("__wsk__", key)
+        .withColumn("__wsr__", F.row_number().over(win))
+        .filter(F.col("__wsr__") <= n)
+        .drop("__wsk__", "__wsr__")
+    )
+
+
+def sample_by_rates_df(
+    df: DataFrame,
+    group_col: str,
+    rates: DataFrame,
+    id_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """:func:`sample_by_rates` with the rates carried as a DataFrame
+    (columns ``group``, ``rate``) instead of a driver-side dict — the
+    at-scale composition with :func:`temperature_mix_rates`: the plan
+    never leaves the cluster (broadcast hash join on the group key, then
+    the same hash-uniform filter). Groups absent from ``rates`` keep
+    everything (left join, rate coalesced to 1)."""
+    u = hash_uniform(id_cols, salt=salt)
+    r = rates.select(
+        F.col("group").alias("__smg__"), F.col("rate").alias("__smr__")
+    )
+    joined = df.join(
+        F.broadcast(r), df[group_col] == F.col("__smg__"), "left"
+    )
+    return joined.filter(
+        u < F.coalesce(F.col("__smr__"), F.lit(1.0))
+    ).drop("__smg__", "__smr__")

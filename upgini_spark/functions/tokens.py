@@ -200,3 +200,49 @@ def encode_words(
             F.filter(F.col("token_ids"), lambda t: t == 0)
         ).cast("int").alias("n_oov"),
     )
+
+
+def chunk_tokens_sliding(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Per-document sliding-window chunking with overlap — the
+    long-document op of embedding/eval pipelines (each doc becomes
+    ⌈n/stride⌉ windows of ``window`` tokens starting at 0, stride,
+    2·stride, …; stride < window overlaps, stride = window tiles).
+    Complements :func:`pack_sequences` (which CONCATENATES docs — here a
+    chunk never mixes documents and every token is covered).
+
+    Returns one row per chunk: (id, chunk_idx, chunk:array<int>,
+    n_chunk_tokens). The final window may be short (kept — dropping it
+    would lose tail tokens); empty docs yield no rows.
+
+    Scale shape: a pure per-row explode of ``sequence()`` starts +
+    ``slice()`` — narrow, no shuffle, no state; the ~window/stride
+    duplication factor is the honest cost of overlap and is capped by
+    construction."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    t = F.col(tokens_col)
+    n = F.size(t)
+    # starts 0..last, last = floor((n-1)/stride); guard n=0 docs
+    starts = F.sequence(
+        F.lit(0), F.floor((n - F.lit(1)) / F.lit(stride)).cast("int")
+    )
+    out = df.filter(n > 0).select(
+        F.col(id_col),
+        F.explode(starts).alias("chunk_idx"),
+        t.alias("__toks__"),
+    )
+    chunk = F.slice(
+        F.col("__toks__"), F.col("chunk_idx") * stride + 1, window
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+    )
