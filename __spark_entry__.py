@@ -581,6 +581,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (session family keeps stream_session_windows in-window + the
 # sessionize golden tests). All five yielded rows defer to r06 with the
 # 17 listed below.
+# And one more: asof_join_arrow → the new stream_dedup_keys (the arrow
+# engine keeps its full golden suite in test_asof.py, the bench entry,
+# and the property tests; the as-of family keeps backward in-window +
+# broadcast in section 1 + the flagship).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -599,12 +603,12 @@ _R05_DRIVER_WINDOW = [
     "html_strip_extract", "paragraph_dedup_corpus", "bigram_lm_nll",
     "url_canonical_dedup", "vocab_encode_words", "temperature_mix_plan",
     "weighted_sample_100", "temperature_mix_apply",
-    "weighted_sample_by_lang", "chunk_sliding_tokens",
+    "weighted_sample_by_lang", "chunk_sliding_tokens", "stream_dedup_keys",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
     # 4. oldest r03-stale (as-of family first)
-    "asof_join_backward", "asof_join_arrow",
+    "asof_join_backward",
 ]
 
 
@@ -4803,6 +4807,52 @@ def stream_pit_enrich(spark, sf_dir):
     return spark.table(sink).select(
         "event_id", "user_id", "ts", F.col("matched_ts"), "click_value"
     )
+
+
+@_q(
+    "stream_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_keys(spark, sf_dir):
+    """STREAMING exact dedup (streaming.dedup_stream →
+    dropDuplicatesWithinWatermark): first arrival of each (user_id,
+    event_type) wins, duplicates within the 1-day event-time horizon
+    drop, state bounded by the horizon instead of growing with the
+    stream. With availableNow over the single events file the whole
+    replay is ONE micro-batch, so no state can expire mid-run and the
+    emitted key set closes to exactly the global DISTINCT — which the
+    oracle replays (keys only: WHICH physical row survives is
+    arrival-order-dependent, so payloads stay out of the hash). The
+    bounded-state expiry semantics (re-emission beyond the horizon) are
+    pinned by the multi-batch test_dedup_stream_within_watermark."""
+    import tempfile
+
+    from upgini_spark.streaming.stream_features import dedup_stream
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = dedup_stream(
+        sdf, ["user_id", "event_type"], "ts", watermark="1 day"
+    )
+    sink = "stream_dedup_keys_sink"
+    spark.catalog.dropTempView(sink)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+    return spark.table(sink).select("user_id", "event_type")
 
 
 @_q(

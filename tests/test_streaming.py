@@ -409,3 +409,47 @@ def test_media_decode_streams_batch_equivalent(spark, tmp_path):
 
     b, g = canon(batch), canon(got)
     assert b == g and len(b) == 60
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics end-to-end: a duplicate
+    key within the horizon drops (same batch AND across batches while
+    state lives); after the watermark passes the stored event + delay
+    AND end-of-batch cleanup runs (eviction lags one batch — the
+    guarantee is drops-within-horizon, beyond it best-effort), the key
+    legitimately re-emits — bounded state, not forever-dedup."""
+    import datetime as dt
+    import time as _time
+
+    from upgini_spark.streaming.stream_features import dedup_stream
+
+    path = str(tmp_path / "dd")
+    schema = "k string, ts timestamp, event_id long"
+    batches = [
+        # batch 1: in-batch duplicate of 'a' -> #2 drops
+        [("a", dt.datetime(2023, 6, 1, 0, 0), 1),
+         ("a", dt.datetime(2023, 6, 1, 0, 30), 2)],
+        # batch 2: new key advances the watermark far past a's expiry
+        [("b", dt.datetime(2023, 6, 5, 0, 0), 3)],
+        # batch 3 runs with watermark Jun4 23:00 -> its END-of-batch
+        # cleanup evicts a's state (expired Jun1 01:00)
+        [("c", dt.datetime(2023, 6, 6, 0, 0), 4)],
+        # batch 4: 'a' state gone -> re-emits
+        [("a", dt.datetime(2023, 6, 6, 1, 0), 5)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(path)
+        _time.sleep(1.2)  # file mod-time order drives per-batch intake
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = _run_stream(
+        spark, dedup_stream(stream, ["k"], "ts", watermark="1 hour"),
+        "dd_sink",
+    ).toPandas()
+    assert set(out["event_id"]) == {1, 3, 4, 5}, out
