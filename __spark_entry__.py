@@ -585,6 +585,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # engine keeps its full golden suite in test_asof.py, the bench entry,
 # and the property tests; the as-of family keeps backward in-window +
 # broadcast in section 1 + the flagship).
+# And the last: asof_join_backward → the new knn_cosine_ivf_pq (the
+# as-of family keeps asof_join_broadcast in section 1 — an r02-stale row
+# the driver re-verifies THIS round — plus the flagship, the golden
+# suite and the property tests; backward defers to r06 with the rest).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -604,11 +608,10 @@ _R05_DRIVER_WINDOW = [
     "url_canonical_dedup", "vocab_encode_words", "temperature_mix_plan",
     "weighted_sample_100", "temperature_mix_apply",
     "weighted_sample_by_lang", "chunk_sliding_tokens", "stream_dedup_keys",
+    "knn_cosine_ivf_pq",
     # 3. code changed in r5
     "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
     "multimodal_features",
-    # 4. oldest r03-stale (as-of family first)
-    "asof_join_backward",
 ]
 
 
@@ -5352,6 +5355,114 @@ def knn_cosine_pq_adc(spark, sf_dir):
         dim=64, k=5, m=2, k_sub=4, n_iter=1,
     )
     return out
+
+
+@_q(
+    "knn_cosine_ivf_pq",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             v AS cv
+      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+    ),
+    {_kmeans_assign_sql('c0', 'a0')},
+    {_kmeans_update_sql('a0', 'c1', dims=64)},
+    {_kmeans_assign_sql('c1', 'af')},
+    probes AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT e.vec_id, c1.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c1.cv) DESC,
+                          c1.cell ASC) AS rn
+        FROM e, c1 WHERE e.vec_id < 5) WHERE rn <= 2
+    ),
+    long AS (
+      SELECT vec_id, s.range AS sub,
+             CASE WHEN s.range = 0 THEN v[1:32] ELSE v[33:64] END AS sv
+      FROM e, range(0, 2) s
+    ),
+    pseed AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v
+      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+    ),
+    pc0 AS (
+      SELECT s.range AS sub, pseed.cell,
+             CASE WHEN s.range = 0 THEN v[1:32] ELSE v[33:64] END AS cv
+      FROM pseed, range(0, 2) s
+    ),
+    pa0 AS (
+      SELECT vec_id, sub, sv, cell FROM (
+        SELECT l.vec_id, l.sub, l.sv, c.cell,
+               row_number() OVER (PARTITION BY l.vec_id, l.sub
+                 ORDER BY list_distance(l.sv, c.cv) ASC, c.cell ASC) AS rn
+        FROM long l JOIN pc0 c ON l.sub = c.sub) WHERE rn = 1
+    ),
+    pc1 AS (
+      SELECT sub, cell, list(mm ORDER BY dim) AS cv FROM (
+        SELECT pa0.sub, pa0.cell, d.range AS dim,
+               round(avg(pa0.sv[CAST(d.range AS INT) + 1]), 9) AS mm
+        FROM pa0, range(0, 32) d GROUP BY pa0.sub, pa0.cell, d.range)
+      GROUP BY sub, cell
+    ),
+    enc AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT l.vec_id, l.sub, c.cell,
+               row_number() OVER (PARTITION BY l.vec_id, l.sub
+                 ORDER BY list_distance(l.sv, c.cv) ASC, c.cell ASC) AS rn
+        FROM long l JOIN pc1 c ON l.sub = c.sub) WHERE rn = 1
+    ),
+    tbl AS (
+      SELECT q.vec_id AS q_id, c.sub, c.cell,
+             list_inner_product(
+               CASE WHEN c.sub = 0 THEN q.v[1:32] ELSE q.v[33:64] END,
+               c.cv) AS p
+      FROM e q JOIN pc1 c ON true WHERE q.vec_id < 5
+    ),
+    cand AS (
+      SELECT pr.q_id, af.vec_id AS n_id
+      FROM probes pr JOIN af ON af.cell = pr.cell
+      WHERE pr.q_id <> af.vec_id
+    ),
+    adc AS (
+      SELECT c.q_id, c.n_id, sum(t.p) AS a
+      FROM cand c
+      JOIN enc ON enc.vec_id = c.n_id
+      JOIN tbl t ON t.q_id = c.q_id AND t.sub = enc.sub
+                AND t.cell = enc.cell
+      GROUP BY c.q_id, c.n_id
+    )
+    SELECT q_id, n_id, adc, rank FROM (
+      SELECT q_id, n_id, round(a, 6) AS adc,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY a DESC, n_id ASC) AS INT) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+)
+def knn_cosine_ivf_pq(spark, sf_dir):
+    """IVF+PQ composition (similarity.pq_topk_ivf_adc) — the 10^12-row
+    ANN shape (FAISS IVFADC minus residual encoding, documented there):
+    coarse k-means cells (cosine, deterministic md5 seed + one 9dp Lloyd
+    step), the corpus PQ-encoded ONCE into (id, cell, codes), queries
+    probe their 2 nearest cells and ADC-score candidates fetched by an
+    EQUI-JOIN on the cell id — per-query work is |probed cells|, not
+    |corpus| (the plan's join on cell replaces knn_cosine_pq_adc's
+    whole-corpus BNLJ). The oracle replays coarse train+assign, PQ
+    train+encode, probe selection, the per-query dot-product table and
+    the ADC sum bit-for-bit in SQL."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.pq_topk_ivf_adc(
+        q, emb, "vec_id", "vec_id", "v", "v",
+        dim=64, k=5, m=2, k_sub=4, n_cells=4, n_probe=2,
+        coarse_iter=1, pq_iter=1,
+    )
 
 
 @_q(

@@ -87,6 +87,9 @@ HEADLINE = [
     "temperature_mix_apply",
     "weighted_sample_100",
     "chunk_sliding_tokens",
+    # round 5 final: IVF+PQ (eager coarse + codebook fits, cell-join
+    # candidate fetch — track vs knn_cosine_pq_adc's full ADC scan)
+    "knn_cosine_ivf_pq",
 ]
 
 

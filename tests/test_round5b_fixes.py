@@ -948,3 +948,54 @@ def test_chunk_tokens_sliding(spark):
 
     with pytest.raises(ValueError):
         chunk_tokens_sliding(df, "doc_id", "toks", 4, 0)
+
+
+def test_ivf_pq_full_probe_equals_adc_scan(spark):
+    """IVF+PQ with n_probe = n_cells degenerates to pq_topk_adc's full
+    ADC scan EXACTLY (same codebooks, same scores, same ranks); with
+    n_probe=1 every returned neighbour lives in the query's single
+    nearest coarse cell; and the candidate fetch is a hash join on the
+    cell id, not a nested-loop corpus scan."""
+    import numpy as np
+
+    from upgini_spark.functions.similarity import (
+        _nearest_cell, kmeans_centroids, pq_topk_adc, pq_topk_ivf_adc)
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(200, 8).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = corpus.filter(F.col("vec_id") < 4)
+
+    kw = dict(dim=8, k=5, m=2, k_sub=4)
+    full = pq_topk_adc(q, corpus, "vec_id", "vec_id", "v", "v",
+                       n_iter=1, **kw)
+    ivf_all = pq_topk_ivf_adc(q, corpus, "vec_id", "vec_id", "v", "v",
+                              n_cells=3, n_probe=3, coarse_iter=1,
+                              pq_iter=1, **kw)
+    a = {(r["q_id"], r["rank"]): (r["n_id"], r["adc"]) for r in full.collect()}
+    b = {(r["q_id"], r["rank"]): (r["n_id"], r["adc"])
+         for r in ivf_all.collect()}
+    assert a == b
+
+    ivf_1 = pq_topk_ivf_adc(q, corpus, "vec_id", "vec_id", "v", "v",
+                            n_cells=3, n_probe=1, coarse_iter=1,
+                            pq_iter=1, **kw)
+    got = ivf_1.collect()
+    assert got, "n_probe=1 returned nothing"
+    cent = kmeans_centroids(corpus, "vec_id", "v", n_cells=3, n_iter=1)
+    cells = {
+        r["n_id"]: r["cell"]
+        for r in _nearest_cell(
+            corpus.select(F.col("vec_id").alias("n_id"),
+                          F.col("v").alias("n_vec")),
+            cent, "n_vec",
+        ).collect()
+    }
+    # the query's own nearest cell IS its cell assignment (queries come
+    # from the corpus here)
+    for r in got:
+        assert cells[r["n_id"]] == cells[r["q_id"]], r
+
+    plan = ivf_1._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]

@@ -66,6 +66,13 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "argmax over broadcast centroid table — IVF's inherent N×√N assignment, no shuffle"),
     ],
+    # same IVF assignment shape at INDEX-BUILD time only; the query-time
+    # candidate fetch is the equi-join on cell (BroadcastHashJoin,
+    # asserted in test_ivf_pq_full_probe_equals_adc_scan)
+    "knn_cosine_ivf_pq": [
+        ("BroadcastNestedLoopJoin",
+         "coarse/PQ centroid assignment at index build — query path joins on cell"),
+    ],
     # demo slice (40 docs); at scale pair generation comes from
     # minhash_band_pairs (equi-join), see functions/dedup.py docstring
     "ngram_jaccard_pairs": [

