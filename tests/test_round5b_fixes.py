@@ -999,3 +999,39 @@ def test_ivf_pq_full_probe_equals_adc_scan(spark):
 
     plan = ivf_1._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_water_filling_closed_form_2000_random_cases():
+    """Pure-python twin of temperature_mix_rates' closed form vs the
+    iterative reference over 2000 random (sizes, alpha, budget) cases —
+    the prefix/sandwich argument the docstring cites, kept honest in the
+    suite (no Spark; runs in milliseconds)."""
+    import random
+
+    def closed_form(ns, alpha, budget):
+        s = {g: n ** alpha for g, n in ns.items()}
+        rows = sorted(ns, key=lambda g: (ns[g] / s[g], g))
+        ts = sum(s.values())
+        cn = cs = 0.0
+        lam = float("inf")
+        for g in rows:
+            cand = (budget - cn) / (ts - cs)
+            if cand * s[g] <= ns[g]:
+                lam = cand
+                break
+            cn += ns[g]
+            cs += s[g]
+        return {g: min(ns[g], lam * s[g]) for g in ns}
+
+    rng = random.Random(42)
+    for _ in range(2000):
+        k = rng.randint(1, 12)
+        ns = {f"g{i}": rng.randint(1, 10 ** rng.randint(1, 6))
+              for i in range(k)}
+        alpha = rng.choice([0.2, 0.3, 0.5, 0.7, 0.9, 1.0])
+        budget = rng.randint(1, int(sum(ns.values()) * 1.5) + 1)
+        want = _water_fill_iterative(ns, alpha, budget)[0] \
+            if budget < sum(ns.values()) else {g: float(n) for g, n in ns.items()}
+        got = closed_form(ns, alpha, budget)
+        for g in ns:
+            assert abs(want[g] - got[g]) / max(1.0, want[g]) < 1e-9
