@@ -589,6 +589,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # as-of family keeps asof_join_broadcast in section 1 — an r02-stale row
 # the driver re-verifies THIS round — plus the flagship, the golden
 # suite and the property tests; backward defers to r06 with the rest).
+# NOTE: the late yields supersede two coverage claims in the older text
+# above — "session_stats ... covers the sessionize operator this round"
+# (now stream_session_windows does) and "the minhash pipeline by
+# dedup_components in section 4" (now minhash rides minhash_lsh_pairs'
+# golden tests + the r5 property suite). FULL r06 deferral list = the 17
+# rows enumerated above PLUS the 7 late yields: asof_join_forward,
+# asof_join_arrow, asof_join_backward, hash_sample_exact_1000,
+# feature_validator_stats, dedup_components, session_stats.
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
