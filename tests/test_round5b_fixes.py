@@ -978,6 +978,18 @@ def test_ivf_pq_full_probe_equals_adc_scan(spark):
          for r in ivf_all.collect()}
     assert a == b
 
+    # prebuilt materialized index == lazy inline build, row for row
+    from upgini_spark.functions.similarity import build_ivf_pq_index
+
+    idx = build_ivf_pq_index(corpus, "vec_id", "v", n_cells=3,
+                             coarse_iter=1, pq_iter=1, dim=8, m=2, k_sub=4)
+    ivf_idx = pq_topk_ivf_adc(q, corpus, "vec_id", "vec_id", "v", "v",
+                              n_cells=3, n_probe=3, coarse_iter=1,
+                              pq_iter=1, index=idx, **kw)
+    c = {(r["q_id"], r["rank"]): (r["n_id"], r["adc"])
+         for r in ivf_idx.collect()}
+    assert c == b
+
     ivf_1 = pq_topk_ivf_adc(q, corpus, "vec_id", "vec_id", "v", "v",
                             n_cells=3, n_probe=1, coarse_iter=1,
                             pq_iter=1, **kw)

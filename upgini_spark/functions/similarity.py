@@ -214,11 +214,25 @@ def _nearest_cell(df: DataFrame, cent: DataFrame, vec_col: str) -> DataFrame:
     hashing a wide array per (row × cell) would dominate the agg at
     scale; (s, nc) is unique within a group, so the vector field is never
     actually compared. Rows sharing the non-vector keys collapse to one
-    assignment (ids are expected unique)."""
-    scored = df.crossJoin(F.broadcast(cent)).withColumn(
-        "__s__", cosine_similarity(F.col(vec_col), F.col("cvec"))
-    )
+    assignment (ids are expected unique).
+
+    Norms are STAGED per row / per centroid BEFORE the crossJoin (the r4
+    higher-order-lambda lesson applied to joins: ``cosine_similarity``
+    inline would re-aggregate ‖v‖ once per (row × cell) pair — 3 array
+    aggregates per pair instead of 1 — measured 3× slower on the N×√N
+    assignment). Staging computes the identical float expression
+    (sqrt(Σv²) then one multiply), so scores are bit-identical and every
+    k-means oracle still hash-matches."""
+    from upgini_spark.operators.binary import _dot, _norm2
+
     keys = [c for c in df.columns if c != vec_col]
+    dfn = df.withColumn("__vn__", _norm2(F.col(vec_col)))
+    centn = cent.withColumn("__cn__", _norm2(F.col("cvec")))
+    denom = F.col("__vn__") * F.col("__cn__")
+    scored = dfn.crossJoin(F.broadcast(centn)).withColumn(
+        "__s__",
+        F.when(denom != 0, _dot(F.col(vec_col), F.col("cvec")) / denom),
+    )
     best = scored.groupBy(*keys).agg(
         F.max(
             F.struct(
@@ -696,6 +710,53 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    dim: int,
+    m: int = 2,
+    k_sub: int = 8,
+    n_cells: int | None = None,
+    coarse_iter: int = 1,
+    pq_iter: int = 1,
+    materialize: bool = True,
+) -> dict:
+    """One-time IVF+PQ index build — the expensive N×√N half of
+    :func:`pq_topk_ivf_adc`, split out so it runs ONCE per corpus and
+    amortizes across every query batch (same build/query split as the
+    as-of family's ``build_asof_hist``): coarse k-means fit, full-corpus
+    cell assignment, PQ codebook fit, and the m-code encode. Returns
+    {"centroids": (cell, cvec), "codebooks": (sub, cell, cvec),
+    "index": (n_id, cell, codes)} — the index frame is ~m bytes + a
+    cell id per corpus row (the vectors themselves are NOT in it).
+
+    ``materialize=True`` eagerly localCheckpoints the index so query
+    batches scan the compact materialized frame instead of re-deriving
+    the assignment (on a cluster, write it to a bucketed table on
+    ``cell`` instead — then the candidate fetch is exchange-free)."""
+    cent = kmeans_centroids(
+        corpus, corpus_id, corpus_vec, n_cells=n_cells, n_iter=coarse_iter
+    )
+    assigned = _nearest_cell(
+        corpus.select(
+            F.col(corpus_id).alias("n_id"), F.col(corpus_vec).alias("n_vec")
+        ),
+        cent,
+        "n_vec",
+    ).select("n_id", "cell")
+    cb = pq_codebooks(
+        corpus, corpus_id, corpus_vec, dim, m=m, k_sub=k_sub, n_iter=pq_iter
+    )
+    codes = pq_encode(corpus, corpus_id, corpus_vec, cb, dim, m=m)
+    index = assigned.join(
+        codes.select(F.col(corpus_id).alias("n_id"), "codes"), "n_id"
+    )
+    if materialize:
+        index = index.localCheckpoint(eager=True)
+    return {"centroids": cent, "codebooks": cb, "index": index}
+
+
 def pq_topk_ivf_adc(
     queries: DataFrame,
     corpus: DataFrame,
@@ -711,6 +772,7 @@ def pq_topk_ivf_adc(
     n_probe: int = 2,
     coarse_iter: int = 1,
     pq_iter: int = 1,
+    index: dict | None = None,
 ) -> DataFrame:
     """IVF+PQ — the full-scale ANN composition (the r4 verdict tracked
     this as PQ's refinement): a coarse k-means quantizer partitions the
@@ -729,24 +791,19 @@ def pq_topk_ivf_adc(
     Coarse cells use :func:`kmeans_centroids` (cosine assignment,
     deterministic md5 seed); codes use :func:`pq_codebooks` (L2
     subspace assignment). Exact re-rank of the returned ids composes
-    with :func:`cosine_topk_bruteforce`."""
-    cent = kmeans_centroids(
-        corpus, corpus_id, corpus_vec, n_cells=n_cells, n_iter=coarse_iter
-    )
-    assigned = _nearest_cell(
-        corpus.select(
-            F.col(corpus_id).alias("n_id"), F.col(corpus_vec).alias("n_vec")
-        ),
-        cent,
-        "n_vec",
-    ).select("n_id", "cell")
-    cb = pq_codebooks(
-        corpus, corpus_id, corpus_vec, dim, m=m, k_sub=k_sub, n_iter=pq_iter
-    )
-    codes = pq_encode(corpus, corpus_id, corpus_vec, cb, dim, m=m)
-    index = assigned.join(
-        codes.select(F.col(corpus_id).alias("n_id"), "codes"), "n_id"
-    )
+    with :func:`cosine_topk_bruteforce`.
+
+    Pass ``index=build_ivf_pq_index(...)`` to reuse a materialized
+    index across query batches — without it every call lazily re-runs
+    the N×√N coarse fit + assignment + encode, which at 200k×16d
+    measured ~100× the per-batch query cost (BENCH/BASELINE.md r5)."""
+    if index is None:
+        index = build_ivf_pq_index(
+            corpus, corpus_id, corpus_vec, dim, m=m, k_sub=k_sub,
+            n_cells=n_cells, coarse_iter=coarse_iter, pq_iter=pq_iter,
+            materialize=False,
+        )
+    cent, cb, idx = index["centroids"], index["codebooks"], index["index"]
 
     q0 = queries.select(
         F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec")
@@ -781,7 +838,7 @@ def pq_topk_ivf_adc(
 
     # candidate fetch: equi-join on cell (each corpus row has ONE cell,
     # (q_id, cell) probes are distinct -> no duplicate pairs)
-    cand = probes.join(index, on="cell").filter(
+    cand = probes.join(idx, on="cell").filter(
         F.col("q_id") != F.col("n_id")
     )
     # two-arg transform lambda receives (element, index) — the index IS
