@@ -296,13 +296,16 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force; compose with LSH
     bucketing from similarity.py for the scale path)."""
-    from upgini_spark.operators.binary import cosine_similarity
+    from upgini_spark.functions.similarity import _staged_cos
+    from upgini_spark.operators.binary import _norm2
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  _norm2(F.col(vec_col)).alias("__an__"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  _norm2(F.col(vec_col)).alias("__bn__"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cos", _staged_cos("va", "vb", "__an__", "__bn__"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -15,7 +15,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from upgini_spark.operators.binary import cosine_similarity
+from upgini_spark.operators.binary import _dot, _norm2, cosine_similarity
+
+
+def _staged_cos(a_vec: str, b_vec: str, a_norm: str, b_norm: str):
+    """Pairwise cosine with the per-side norms STAGED as columns before
+    the join (see _nearest_cell's docstring): identical float expression
+    to ``cosine_similarity`` — sqrt(Σv²) per side, one multiply, one
+    divide — but each side's aggregate runs once per ROW instead of once
+    per PAIR (3 array aggregates → 1 on every join-scoring path)."""
+    denom = F.col(a_norm) * F.col(b_norm)
+    return F.when(denom != 0, _dot(F.col(a_vec), F.col(b_vec)) / denom)
 
 
 def auto_n_planes(
@@ -48,13 +58,19 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors by cosine (desc, id asc tie-break). The small
     query side should be broadcast (Catalyst does for a filtered query set)."""
-    q = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec"))
-    c = corpus.select(F.col(corpus_id).alias("n_id"), F.col(corpus_vec).alias("n_vec"))
+    q = queries.select(
+        F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec"),
+        _norm2(F.col(query_vec)).alias("__qn__"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("n_id"), F.col(corpus_vec).alias("n_vec"),
+        _norm2(F.col(corpus_vec)).alias("__nn__"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine_similarity(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", _staged_cos("q_vec", "n_vec", "__qn__", "__nn__"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -105,10 +121,13 @@ def hyperplane_sign_bits(
 
 
 def _banded(df: DataFrame, id_alias: str, vec_alias: str, id_col: str, vec_col: str,
-            n_planes: int, n_bands: int, dims: int) -> DataFrame:
+            n_planes: int, n_bands: int, dims: int,
+            norm_alias: str | None = None) -> DataFrame:
     """Explode a table into (band, bucket) candidate rows — one row per
     band, each with an independent plane family. Multi-band OR-probing:
-    a pair collides if ANY band agrees, recall 1-(1-p^b)^L."""
+    a pair collides if ANY band agrees, recall 1-(1-p^b)^L.
+    ``norm_alias`` additionally stages the vector's L2 norm (computed
+    once per input row, BEFORE the band explode) for _staged_cos."""
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -116,11 +135,14 @@ def _banded(df: DataFrame, id_alias: str, vec_alias: str, id_col: str, vec_col: 
         )
         for b in range(n_bands)
     ])
+    extra = [_norm2(F.col(vec_col)).alias(norm_alias)] if norm_alias else []
+    keep = [id_alias, vec_alias] + ([norm_alias] if norm_alias else [])
     return df.select(
         F.col(id_col).alias(id_alias),
         F.col(vec_col).alias(vec_alias),
+        *extra,
         F.explode(bands).alias("bb"),
-    ).select(id_alias, vec_alias, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(*keep, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def cosine_topk_lsh(
@@ -147,12 +169,14 @@ def cosine_topk_lsh(
     ``target_bucket_rows`` as N grows."""
     if n_planes is None:
         n_planes = auto_n_planes(corpus.count(), target_bucket_rows)
-    q = _banded(queries, "q_id", "q_vec", query_id, query_vec, n_planes, n_bands, dims)
-    c = _banded(corpus, "n_id", "n_vec", corpus_id, corpus_vec, n_planes, n_bands, dims)
+    q = _banded(queries, "q_id", "q_vec", query_id, query_vec, n_planes,
+                n_bands, dims, norm_alias="__qn__")
+    c = _banded(corpus, "n_id", "n_vec", corpus_id, corpus_vec, n_planes,
+                n_bands, dims, norm_alias="__nn__")
     scored = (
         q.join(c, on=["band", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine_similarity(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", _staged_cos("q_vec", "n_vec", "__qn__", "__nn__"))
         .select("q_id", "n_id", "cos")
         .distinct()  # same pair may collide in several bands
     )
@@ -190,14 +214,16 @@ def embedding_near_dup_lsh(
     """
     if n_planes is None:
         n_planes = auto_n_planes(df.count(), target_bucket_rows)
-    banded = _banded(df, "id_a", "va", id_col, vec_col, n_planes, n_bands, dims)
+    banded = _banded(df, "id_a", "va", id_col, vec_col, n_planes, n_bands,
+                     dims, norm_alias="__an__")
     other = banded.select(
-        F.col("id_a").alias("id_b"), F.col("va").alias("vb"), "band", "bucket"
+        F.col("id_a").alias("id_b"), F.col("va").alias("vb"),
+        F.col("__an__").alias("__bn__"), "band", "bucket",
     )
     return (
         banded.join(other, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cos", _staged_cos("va", "vb", "__an__", "__bn__"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .distinct()
@@ -372,20 +398,23 @@ def cosine_topk_ivf_kmeans(
             .filter(F.col("__cr__") <= cell_cap)
             .select("n_id", "n_vec", "cell")
         )
-    q0 = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec"))
-    qs = q0.crossJoin(F.broadcast(cent)).withColumn(
-        "__s__", cosine_similarity(F.col("q_vec"), F.col("cvec"))
+    q0 = queries.select(
+        F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec"),
+        _norm2(F.col(query_vec)).alias("__qn__"),
     )
+    qs = q0.crossJoin(
+        F.broadcast(cent.withColumn("__cn__", _norm2(F.col("cvec"))))
+    ).withColumn("__s__", _staged_cos("q_vec", "cvec", "__qn__", "__cn__"))
     wq = Window.partitionBy("q_id").orderBy(F.col("__s__").desc(), F.col("cell").asc())
     q = (
         qs.withColumn("__rn__", F.row_number().over(wq))
         .filter(F.col("__rn__") <= n_probe)
-        .select("q_id", "q_vec", "cell")
+        .select("q_id", "q_vec", "__qn__", "cell")
     )
     scored = (
-        q.join(c, on="cell")
+        q.join(c.withColumn("__nn__", _norm2(F.col("n_vec"))), on="cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine_similarity(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", _staged_cos("q_vec", "n_vec", "__qn__", "__nn__"))
         .select("q_id", "n_id", "cos")
         .distinct()
     )
@@ -693,12 +722,13 @@ def cosine_topk_ivf(
     q = queries.select(
         F.col(query_id).alias("q_id"),
         F.col(query_vec).alias("q_vec"),
+        _norm2(F.col(query_vec)).alias("__qn__"),
         F.explode(F.transform(probes, lambda p: (-p["ni"]).cast("int"))).alias("cell"),
     )
     scored = (
-        q.join(c, on="cell")
+        q.join(c.withColumn("__nn__", _norm2(F.col("n_vec"))), on="cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine_similarity(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", _staged_cos("q_vec", "n_vec", "__qn__", "__nn__"))
         .select("q_id", "n_id", "cos")
         .distinct()
     )
@@ -806,11 +836,12 @@ def pq_topk_ivf_adc(
     cent, cb, idx = index["centroids"], index["codebooks"], index["index"]
 
     q0 = queries.select(
-        F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec")
+        F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec"),
+        _norm2(F.col(query_vec)).alias("__qn__"),
     )
-    qs = q0.crossJoin(F.broadcast(cent)).withColumn(
-        "__s__", cosine_similarity(F.col("q_vec"), F.col("cvec"))
-    )
+    qs = q0.crossJoin(
+        F.broadcast(cent.withColumn("__cn__", _norm2(F.col("cvec"))))
+    ).withColumn("__s__", _staged_cos("q_vec", "cvec", "__qn__", "__cn__"))
     wq = Window.partitionBy("q_id").orderBy(
         F.col("__s__").desc(), F.col("cell").asc()
     )
