@@ -596,7 +596,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # golden tests + the r5 property suite). FULL r06 deferral list = the 17
 # rows enumerated above PLUS the 7 late yields: asof_join_forward,
 # asof_join_arrow, asof_join_backward, hash_sample_exact_1000,
-# feature_validator_stats, dedup_components, session_stats.
+# feature_validator_stats, dedup_components, session_stats — plus
+# temperature_mix_tokens (added after the window closed; never driver-
+# verified, registers first-after-window; its machinery is attested
+# in-window by temperature_mix_plan and locally by the strict checker).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -1598,6 +1601,67 @@ def temperature_mix_plan(spark, sf_dir):
     )
     plan = temperature_mix_rates(
         docs.select(grp.alias("grp")), "grp", alpha=0.5, budget=420
+    )
+    return plan.select(F.col("group").alias("grp"), "n", "rate", "m")
+
+
+@_q(
+    "temperature_mix_tokens",
+    """
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 100 < 50 THEN 'big'
+                  WHEN doc_id % 100 < 80 THEN 'mid'
+                  WHEN doc_id % 100 < 95 THEN 'small'
+                  ELSE 'tiny' END AS grp
+      FROM documents
+    ), g2 AS (
+      SELECT grp, CAST(sum(n_chars) AS DOUBLE) AS n,
+             pow(CAST(sum(n_chars) AS DOUBLE), 0.5) AS s,
+             CAST(sum(n_chars) AS DOUBLE)
+               / pow(CAST(sum(n_chars) AS DOUBLE), 0.5) AS ratio
+      FROM base GROUP BY grp
+    ), t AS (
+      SELECT sum(n) AS tn, sum(s) AS ts FROM g2
+    ), lamc AS (
+      SELECT grp, n, s, ratio,
+        (80000.0 - coalesce(sum(n) OVER w, 0))
+          / (t.ts - coalesce(sum(s) OVER w, 0)) AS lam
+      FROM g2, t
+      WINDOW w AS (ORDER BY ratio ASC, grp ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), pick AS (
+      SELECT lam FROM lamc WHERE lam * s <= n
+      ORDER BY ratio ASC, grp ASC LIMIT 1
+    )
+    SELECT g2.grp, CAST(g2.n AS BIGINT) AS n,
+      round(least(g2.n, pick.lam * g2.s) / g2.n, 9) AS rate,
+      round(least(g2.n, pick.lam * g2.s), 6) AS m
+    FROM g2, pick
+    """,
+)
+def temperature_mix_tokens(spark, sf_dir):
+    """Temperature mixing with the budget in TOKEN units (sampling.
+    temperature_mix_rates(weight_col=...)): per-group sizes are weight
+    SUMS (n_chars as the token proxy), so the water-filling plan answers
+    the question a pretraining run actually asks — how much of each
+    source's TOKENS to keep under a token budget. Same closed-form
+    prefix solve as temperature_mix_plan; the 80k-char budget caps
+    exactly ONE group at sf0.01 (tiny keeps 100%), exercising the
+    single-cap boundary the doc-count query doesn't."""
+    from upgini_spark.functions.sampling import temperature_mix_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 100
+    grp = (
+        F.when(m < 50, F.lit("big"))
+        .when(m < 80, F.lit("mid"))
+        .when(m < 95, F.lit("small"))
+        .otherwise(F.lit("tiny"))
+    )
+    plan = temperature_mix_rates(
+        docs.select(grp.alias("grp"), "n_chars"), "grp",
+        alpha=0.5, budget=80_000, weight_col="n_chars",
     )
     return plan.select(F.col("group").alias("grp"), "n", "rate", "m")
 

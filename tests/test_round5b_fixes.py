@@ -1047,3 +1047,25 @@ def test_water_filling_closed_form_2000_random_cases():
         got = closed_form(ns, alpha, budget)
         for g in ns:
             assert abs(want[g] - got[g]) / max(1.0, want[g]) < 1e-9
+
+
+def test_temperature_mix_weighted(spark):
+    """weight_col switches sizes to per-group weight sums: a group with
+    FEW huge docs outweighs one with many small docs, and Σm == budget
+    in weight units (closed form vs the iterative reference on sums)."""
+    from upgini_spark.functions.sampling import temperature_mix_rates
+
+    rows = [("a", 100.0)] * 10 + [("b", 1.0)] * 200
+    df = spark.createDataFrame(rows, "grp string, w double")
+    got = {
+        r["group"]: r.asDict()
+        for r in temperature_mix_rates(
+            df, "grp", alpha=0.5, budget=600, weight_col="w"
+        ).collect()
+    }
+    # sizes are weight sums: a=1000, b=200
+    assert got["a"]["n"] == 1000 and got["b"]["n"] == 200
+    want, _ = _water_fill_iterative({"a": 1000, "b": 200}, 0.5, 600)
+    for g in ("a", "b"):
+        assert got[g]["m"] == pytest.approx(want[g], abs=1e-5)
+    assert got["a"]["m"] + got["b"]["m"] == pytest.approx(600, abs=1e-4)

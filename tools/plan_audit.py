@@ -110,6 +110,10 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("Exchange SinglePartition", "k-row per-source plan frame (k = #sources)"),
         ("BroadcastNestedLoopJoin", "crossJoin of broadcast 1-row totals/λ"),
     ],
+    "temperature_mix_tokens": [
+        ("Exchange SinglePartition", "k-row per-source aggregate (k = #sources)"),
+        ("BroadcastNestedLoopJoin", "crossJoin of broadcast 1-row totals/λ"),
+    ],
 }
 
 PATTERNS = [

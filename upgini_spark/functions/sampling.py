@@ -466,6 +466,7 @@ def temperature_mix_rates(
     group_col: str,
     alpha: float,
     budget: int,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based mixture planning (the multinomial-sampling rule
     of multilingual/multi-source pretraining): target shares
@@ -482,11 +483,21 @@ def temperature_mix_rates(
     exactly one boundary t (sandwich condition) — so the whole plan is
     one groupBy + windows over a k-row frame (k = #sources; the
     single-partition window is k-row by construction), replayable in
-    pure window SQL with no recursion and no driver loop."""
+    pure window SQL with no recursion and no driver loop.
+
+    ``weight_col`` switches the budget's UNIT: sizes become per-group
+    WEIGHT sums (pass the token count — pretraining budgets are in
+    tokens, not documents) and the returned rate is the share of each
+    group's weight to keep; applying it with doc-level
+    :func:`sample_by_rates` keeps the expected token share at the rate
+    (exact when per-doc weights within a group are exchangeable)."""
     from pyspark.sql.window import Window
 
+    size = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    )
     counts = df.groupBy(F.col(group_col).alias("group")).agg(
-        F.count(F.lit(1)).cast("double").alias("n")
+        size.cast("double").alias("n")
     )
     s = F.pow(F.col("n"), F.lit(float(alpha)))
     g = counts.select("group", "n", s.alias("s"),
