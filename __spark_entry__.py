@@ -599,7 +599,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # feature_validator_stats, dedup_components, session_stats — plus
 # temperature_mix_tokens (added after the window closed; never driver-
 # verified, registers first-after-window; its machinery is attested
-# in-window by temperature_mix_plan and locally by the strict checker).
+# in-window by temperature_mix_plan and locally by the strict checker),
+# and dedup_incremental (same post-window status; anti-join machinery
+# is exercised in-window by decontaminate_overlap's semi-join twin).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -1603,6 +1605,70 @@ def temperature_mix_plan(spark, sf_dir):
         docs.select(grp.alias("grp")), "grp", alpha=0.5, budget=420
     )
     return plan.select(F.col("group").alias("grp"), "n", "rate", "m")
+
+
+@_q(
+    "dedup_incremental",
+    """
+    WITH inc AS (
+      SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, n_chars FROM documents
+      WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text, n_chars FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 11 = 0
+    ), idx AS (
+      SELECT DISTINCT md5(coalesce(text, '')) AS content_hash
+      FROM documents WHERE doc_id % 3 <> 0
+    ), hashed AS (
+      SELECT md5(coalesce(text, '')) AS content_hash, doc_id, n_chars
+      FROM inc
+    ), novel AS (
+      SELECT * FROM hashed h
+      WHERE NOT EXISTS (SELECT 1 FROM idx i
+                        WHERE i.content_hash = h.content_hash)
+    ), keep AS (
+      SELECT content_hash, min(doc_id) AS doc_id
+      FROM novel GROUP BY content_hash
+    )
+    SELECT n.doc_id, n.n_chars
+    FROM keep k JOIN novel n
+      ON n.content_hash = k.content_hash AND n.doc_id = k.doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Snapshot-to-snapshot incremental dedup (dedup.dedup_against_index)
+    — today's batch vs the hash index of everything already accepted:
+    one 16-byte-key left ANTI join + one keep-one min-struct agg; the
+    index stores hashes, never content. The fixture plants BOTH failure
+    modes: re-crawled copies of indexed docs (doc_id%3==1 & %7==0,
+    re-identified +1e6 — must drop against the index) and in-batch
+    duplicates (doc_id%3==0 & %11==0, re-identified +2e6 — exactly one
+    survivor, the min-doc_id row, because doc_id leads the min-struct's
+    field order). The oracle replays anti-join + keep-min in SQL."""
+    from upgini_spark.functions.dedup import dedup_against_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    accepted = docs.filter(F.col("doc_id") % 3 != 0)
+    index = accepted.select(
+        F.md5(
+            F.concat_ws("\x1f", F.col("text").cast("string"))
+        ).alias("content_hash")
+    ).distinct()
+    incoming = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .unionByName(
+            docs.filter((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 7 == 0))
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 11 == 0))
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        )
+    )
+    fresh, _delta = dedup_against_index(incoming, index, ["text"])
+    return fresh.select("doc_id", "n_chars")
 
 
 @_q(

@@ -1069,3 +1069,37 @@ def test_temperature_mix_weighted(spark):
     for g in ("a", "b"):
         assert got[g]["m"] == pytest.approx(want[g], abs=1e-5)
     assert got["a"]["m"] + got["b"]["m"] == pytest.approx(600, abs=1e-4)
+
+
+def test_dedup_against_index(spark):
+    """Incremental dedup semantics: indexed content drops, in-batch
+    duplicates keep exactly one deterministic winner on any
+    partitioning, and the returned index delta is exactly the fresh
+    hashes (appending it makes a re-run of the same batch return 0)."""
+    from upgini_spark.functions.dedup import dedup_against_index
+
+    idx_rows = [("seen one",), ("seen two",)]
+    index = spark.createDataFrame(
+        [(r[0],) for r in idx_rows], "text string"
+    ).select(F.md5(F.concat_ws("\x1f", F.col("text"))).alias("content_hash"))
+
+    batch = spark.createDataFrame(
+        [(1, "seen one"), (2, "new a"), (3, "new a"), (4, "new b"),
+         (5, "seen two"), (6, "new a")],
+        "doc_id long, text string",
+    )
+    fresh, delta = dedup_against_index(batch, index, ["text"])
+    got = sorted(r["doc_id"] for r in fresh.collect())
+    assert got == [2, 4]  # min doc_id wins the in-batch 'new a' group
+    assert delta.count() == 2
+
+    fresh2, _ = dedup_against_index(
+        batch.repartition(7), index, ["text"]
+    )
+    assert sorted(r["doc_id"] for r in fresh2.collect()) == got
+
+    # append the delta -> the same batch is fully deduped next increment
+    fresh3, _ = dedup_against_index(
+        batch, index.unionByName(delta), ["text"]
+    )
+    assert fresh3.count() == 0

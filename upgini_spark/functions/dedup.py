@@ -667,3 +667,43 @@ def paragraph_dedup(
         ).otherwise(F.lit(0.0)).alias("dup_share"),
         "clean_text",
     )
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    content_cols: list[str],
+    hash_col: str = "content_hash",
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL dedup — the snapshot-to-snapshot shape of a continuous
+    ingestion pipeline (today's crawl vs everything already accepted):
+    ``index_df`` holds one md5 content hash per previously-kept row;
+    returns (fresh, index_delta) where ``fresh`` is the new rows whose
+    content hash is neither in the index NOR duplicated within the batch
+    (keep-first by the hash's min over the batch would need an order —
+    here ANY one row per new hash survives deterministically via
+    min-struct on the full content tuple), and ``index_delta`` is the
+    hash rows to append to the index for the next increment.
+
+    Scale shape: one hash projection + one left ANTI join against the
+    index (both sides shuffle only the 16-byte hash key — at 10^12
+    indexed rows the index table should be bucketed on the hash so the
+    anti join co-locates) + one keep-one agg on the batch. The index
+    never stores content, only hashes."""
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in content_cols]
+        )
+    ).alias(hash_col)
+    hashed = new_df.select(h, F.struct(*new_df.columns).alias("__row__"))
+    novel = hashed.join(
+        index_df.select(hash_col), on=hash_col, how="left_anti"
+    )
+    # one row per new hash: min-struct is a total order over the full
+    # content tuple -> deterministic winner on any partitioning
+    fresh = (
+        novel.groupBy(hash_col)
+        .agg(F.min("__row__").alias("__row__"))
+        .select(F.col(hash_col), F.col("__row__.*"))
+    )
+    return fresh.drop(hash_col), fresh.select(hash_col)
