@@ -90,6 +90,9 @@ HEADLINE = [
     # round 5 final: IVF+PQ (eager coarse + codebook fits, cell-join
     # candidate fetch — track vs knn_cosine_pq_adc's full ADC scan)
     "knn_cosine_ivf_pq",
+    # round 5 final: snapshot-to-snapshot anti-join dedup (the one
+    # anti-join workload in the suite)
+    "dedup_incremental",
 ]
 
 
