@@ -601,7 +601,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # verified, registers first-after-window; its machinery is attested
 # in-window by temperature_mix_plan and locally by the strict checker),
 # and dedup_incremental (same post-window status; anti-join machinery
-# is exercised in-window by decontaminate_overlap's semi-join twin).
+# is exercised in-window by decontaminate_overlap's semi-join twin),
+# and mask_tokens_mlm (post-window; the vocab-encoder upstream it rides
+# is in-window via vocab_encode_words).
 _R05_DRIVER_WINDOW = [
     # 1. the full r02-stale backlog
     "trend_coefficient_daily", "eval_set_combine", "target_correction",
@@ -1605,6 +1607,85 @@ def temperature_mix_plan(spark, sf_dir):
         docs.select(grp.alias("grp")), "grp", alpha=0.5, budget=420
     )
     return plan.select(F.col("group").alias("grp"), "n", "rate", "m")
+
+
+@_q(
+    "mask_tokens_mlm",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ex AS (
+      SELECT doc_id, g.i AS pos, ws[g.i] AS word
+      FROM w, (SELECT unnest(generate_series(1, 400)) AS i) g
+      WHERE g.i <= len(ws) AND ws[g.i] <> ''
+    ), counts AS (
+      SELECT word, count(*) AS cnt FROM ex GROUP BY word
+    ), vocab AS (
+      SELECT word,
+        CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT)
+          AS token_id
+      FROM counts
+      QUALIFY row_number() OVER (ORDER BY cnt DESC, word ASC) <= 25
+    ), enc AS (
+      SELECT e.doc_id,
+        row_number() OVER (PARTITION BY e.doc_id ORDER BY e.pos) - 1
+          AS tpos,
+        coalesce(v.token_id, 0) AS tok
+      FROM ex e LEFT JOIN vocab v USING (word)
+    ), mk AS (
+      SELECT doc_id, tpos, tok,
+        (CAST(('0x' || substr(md5(
+            CAST(doc_id AS VARCHAR) || chr(31)
+            || CAST(tpos AS VARCHAR) || chr(31)), 1, 15)) AS BIGINT)
+         / 1152921504606846976.0) < 0.15 AS hit
+      FROM enc
+    ), agg AS (
+      SELECT doc_id,
+        count(*) AS n_tok,
+        sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_masked,
+        string_agg(CAST(CASE WHEN hit THEN -1 ELSE tok END AS VARCHAR),
+                   ' ' ORDER BY tpos) AS mids,
+        string_agg(CAST(CASE WHEN hit THEN tok ELSE -1 END AS VARCHAR),
+                   ' ' ORDER BY tpos) AS lids
+      FROM mk GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CAST(coalesce(a.n_tok, 0) AS INT) AS n_tok,
+      CAST(coalesce(a.n_masked, 0) AS INT) AS n_masked,
+      md5(coalesce(a.mids, '')) AS masked_md5,
+      md5(coalesce(a.lids, '')) AS labels_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mask_tokens_mlm(spark, sf_dir):
+    """Deterministic MLM corruption (tokens.mask_tokens) over the vocab
+    encoder's token stream: position p of doc d masks iff the 60-bit
+    md5-uniform of (d, p) < 0.15 — seed-free, so the SAME positions mask
+    on any cluster size and the oracle replays the exact hash rule.
+    masked/labels are the standard complementary pair (labels keep the
+    original id at masked positions, mask_id=-1 elsewhere — -1 can never
+    collide with vocabulary ids). Pure per-row transform, no shuffle
+    beyond the encoder's; both streams md5-gated byte-for-byte."""
+    from upgini_spark.functions.tokens import (
+        build_word_vocab, encode_words, mask_tokens)
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_word_vocab(docs, "text", 25)
+    enc = encode_words(docs, "doc_id", "text", vocab)
+    mk = mask_tokens(enc, "doc_id", "token_ids", mask_id=-1, rate=0.15)
+
+    def _md5(col):
+        return F.md5(
+            F.array_join(
+                F.transform(F.col(col), lambda t: t.cast("string")), " "
+            )
+        )
+
+    return mk.join(enc.select("doc_id", "n_tok"), "doc_id").select(
+        "doc_id", "n_tok", "n_masked",
+        _md5("masked").alias("masked_md5"),
+        _md5("labels").alias("labels_md5"),
+    )
 
 
 @_q(

@@ -1103,3 +1103,36 @@ def test_dedup_against_index(spark):
         batch, index.unionByName(delta), ["text"]
     )
     assert fresh3.count() == 0
+
+
+def test_mask_tokens_semantics(spark):
+    """Complementarity (masked==-1 XOR labels==-1 per position),
+    partition invariance, rate in a sane band, salt independence, and
+    empty docs survive."""
+    from upgini_spark.functions.tokens import mask_tokens
+
+    rows = [(i, list(range(1, 41))) for i in range(50)] + [(99, [])]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<int>")
+    out = {r["doc_id"]: r for r in
+           mask_tokens(df, "doc_id", "toks", rate=0.15).collect()}
+    total = masked = 0
+    for d, r in out.items():
+        if d == 99:
+            assert r["masked"] == [] and r["n_masked"] == 0
+            continue
+        for m, l, orig in zip(r["masked"], r["labels"], range(1, 41)):
+            assert (m == -1) != (l == -1)
+            assert (m == orig) or (l == orig)
+        total += 40
+        masked += r["n_masked"]
+    assert 0.08 < masked / total < 0.25, masked / total
+
+    out2 = {r["doc_id"]: r["masked"] for r in
+            mask_tokens(df.repartition(7), "doc_id", "toks",
+                        rate=0.15).collect()}
+    assert all(out2[d] == out[d]["masked"] for d in out2)
+
+    alt = {r["doc_id"]: r["masked"] for r in
+           mask_tokens(df, "doc_id", "toks", rate=0.15,
+                       salt="epoch2").collect()}
+    assert any(alt[d] != out[d]["masked"] for d in alt if d != 99)

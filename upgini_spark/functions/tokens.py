@@ -246,3 +246,59 @@ def chunk_tokens_sliding(
         chunk.alias("chunk"),
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
     )
+
+
+def mask_tokens(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    mask_id: int = -1,
+    rate: float = 0.15,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic MLM-style token masking — the corruption step of a
+    masked-LM / span-corruption pretraining pipeline, made seed-free:
+    position ``p`` of document ``d`` is masked iff the md5-uniform of
+    (d, p, salt) < ``rate`` (same 60-bit hash-uniform construction as
+    sampling.hash_uniform, so the SAME positions mask on any cluster
+    size, any engine, and ``salt`` derives independent corruption
+    epochs). Returns (id, masked:array<int>, labels:array<int>,
+    n_masked): ``labels`` keeps the original id at masked positions and
+    ``mask_id`` elsewhere (the loss-target convention), so
+    ``masked[i] == mask_id  XOR  labels[i] == mask_id`` except that a
+    document with zero masked positions keeps all-``mask_id`` labels.
+
+    Pure per-row array transform (the two-arg ``F.transform`` lambda's
+    index IS the position — used deliberately, see CLAUDE.md's trap
+    note), no shuffle, no RNG state."""
+    t = F.col(tokens_col)
+
+    def u(i):
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col(id_col).cast("string"),
+                i.cast("string"),
+                F.lit(salt),
+            )
+        )
+        return (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("double")
+            / F.lit(float(1 << 60))
+        )
+
+    hit = lambda tok, i: u(i) < F.lit(float(rate))  # noqa: E731
+    masked = F.transform(
+        t, lambda tok, i: F.when(hit(tok, i), F.lit(mask_id)).otherwise(tok)
+    )
+    labels = F.transform(
+        t, lambda tok, i: F.when(hit(tok, i), tok).otherwise(F.lit(mask_id))
+    )
+    return df.select(
+        id_col,
+        masked.cast("array<int>").alias("masked"),
+        labels.cast("array<int>").alias("labels"),
+        F.size(
+            F.filter(labels, lambda x: x != mask_id)
+        ).cast("int").alias("n_masked"),
+    )
