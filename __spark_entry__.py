@@ -47,6 +47,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Spread an unsplittable scan before CPU-heavy per-row compute.
+
+    The testdata parquet files are single-row-group, so a Spark scan
+    cannot split them: every expensive projection (md5 token hashing,
+    higher-order array kernels, 64-dim dot products) otherwise runs in
+    ONE task while the rest of the cluster idles (guide §2.5 "input
+    skew: one huge unsplittable file"). One cheap round-robin shuffle of
+    the raw rows buys full parallelism for everything downstream
+    (measured: simhash_32 7.9 s → 0.8 s at sf1.0/local[32]).
+
+    Scale-adaptive, not a local[32] constant: the target is the
+    session's default parallelism, and inputs that already provide
+    enough splits (any real multi-file/multi-row-group table at cluster
+    scale) pass through untouched — so on a 100 TB layout this is a
+    no-op, not a wasted shuffle. Results are row-identical: every
+    downstream operator is partition-invariant by engine design (the
+    oracle hash gate enforces it).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _clicks(spark, sf_dir):
     """Right side for as-of joins: click events as a feature stream."""
     return (
@@ -1195,7 +1220,7 @@ def fintech_dedup_1h(spark, sf_dir):
     """,
 )
 def minhash_signatures(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     out = DD.minhash_signature(docs.select("doc_id", "text"), "text", k=4, shingle_n=3)
     return out.select("doc_id", "mh0", "mh1", "mh2", "mh3")
 
@@ -1247,7 +1272,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH band candidate pairs (k=8 signatures, 4 bands of 2) —
     md5-permutation minhash is engine-portable, so the full
     shingle→signature→band→self-join pipeline replays in SQL."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     return DD.minhash_band_pairs(docs, "doc_id", "text", k=8, bands=4)
 
 
@@ -1310,7 +1335,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     """,
 )
 def simhash_32(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     return DD.simhash_table(
         docs, "text", out_col="simhash", bits=32, keep=["doc_id"]
     )
@@ -1340,7 +1365,7 @@ def embedding_near_dup(spark, sf_dir):
     LSH recall of the planted pairs is exactly 1 and the DuckDB all-pairs
     oracle matches bit-for-bit; max natural pairwise cosine in the
     testdata is ~0.60, far under the 0.99 threshold."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     planted = emb.filter(F.col("vec_id") < 50).select(
@@ -1375,7 +1400,7 @@ def embedding_near_dup(spark, sf_dir):
     """,
 )
 def knn_cosine_top3(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 5)
@@ -1425,7 +1450,7 @@ def knn_cosine_lsh(spark, sf_dir):
     replays the identical md5-derived planes, sign buckets, and
     within-bucket exact ranking, so the (deterministic) approximation is
     hash-checkable, not just rows-only."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 5)
@@ -1462,7 +1487,7 @@ def knn_cosine_lsh(spark, sf_dir):
     """,
 )
 def text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1526,7 +1551,7 @@ def html_strip_extract(spark, sf_dir):
     string byte-for-byte. Pure native regexp chain, whole-stage
     codegen, no UDF. No reference counterpart (upgini has no text
     surface); pipeline operator defined here like lang-id/quality."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     did = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title>Doc "), did,
@@ -1669,7 +1694,7 @@ def mask_tokens_mlm(spark, sf_dir):
     from upgini_spark.functions.tokens import (
         build_word_vocab, encode_words, mask_tokens)
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     vocab = build_word_vocab(docs, "text", 25)
     enc = encode_words(docs, "doc_id", "text", vocab)
     mk = mask_tokens(enc, "doc_id", "token_ids", mask_id=-1, rate=0.15)
@@ -1730,7 +1755,7 @@ def dedup_incremental(spark, sf_dir):
     field order). The oracle replays anti-join + keep-min in SQL."""
     from upgini_spark.functions.dedup import dedup_against_index
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    docs = _par(_t(spark, sf_dir, "documents")).select("doc_id", "text", "n_chars")
     accepted = docs.filter(F.col("doc_id") % 3 != 0)
     index = accepted.select(
         F.md5(
@@ -2009,7 +2034,7 @@ def chunk_sliding_tokens(spark, sf_dir):
     from upgini_spark.functions.tokens import (
         build_word_vocab, chunk_tokens_sliding, encode_words)
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     vocab = build_word_vocab(docs, "text", 25)
     enc = encode_words(docs, "doc_id", "text", vocab)
     ch = chunk_tokens_sliding(enc, "doc_id", "token_ids", 16, 8)
@@ -2068,7 +2093,7 @@ def vocab_encode_words(spark, sf_dir):
     than 25, the OOV path is exercised on real rows."""
     from upgini_spark.functions.tokens import build_word_vocab, encode_words
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     vocab = build_word_vocab(docs, "text", 25)
     enc = encode_words(docs, "doc_id", "text", vocab)
     return enc.select(
@@ -2161,7 +2186,7 @@ def url_canonical_dedup(spark, sf_dir):
     hosts)."""
     from upgini_spark.functions.urls import url_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     k = F.floor(did / 5).cast("int").cast("string")
     url = (
@@ -2226,7 +2251,7 @@ def bigram_lm_nll(spark, sf_dir):
     engines; sub-2-word docs surface with n_bigrams=0 / NULL nll."""
     from upgini_spark.functions.text import bigram_nll
 
-    return bigram_nll(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return bigram_nll(_par(_t(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 @_q(
@@ -2286,7 +2311,7 @@ def paragraph_dedup_corpus(spark, sf_dir):
     boilerplate hash would sort 10^8 occurrences on one partition."""
     from upgini_spark.functions.dedup import paragraph_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     p1 = F.concat(
         F.lit("Doc "), did.cast("string"), F.lit(" intro: "),
@@ -2362,7 +2387,7 @@ def text_bm25_topk(spark, sf_dir):
     one mid, one rare term — exercises the full idf range). Plan: one
     corpus scan + one single-row stats agg broadcast back + terminal
     TakeOrdered — no wide shuffle (see functions/text.py bm25_score)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     scored = TX.bm25_score(docs, "text", ["spark", "window", "dup"])
     return (
         scored.select(
@@ -2392,7 +2417,7 @@ def text_bm25_topk(spark, sf_dir):
     """,
 )
 def lang_id_heuristic(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -2422,7 +2447,7 @@ def lang_id_heuristic(spark, sf_dir):
     """,
 )
 def doc_fingerprints(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     # rolling fingerprint falls back to md5(norm) for <window word docs
     norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
@@ -4018,7 +4043,7 @@ def outlier_dist_per_class(spark, sf_dir):
     """outlier_dist: distance to own-class centroid (unary.py:193-219)."""
     from upgini_spark.operators.vector import outlier_distance
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -4801,7 +4826,7 @@ def knn_cosine_ivf(spark, sf_dir):
     partition the corpus into cells; each query probes its 2 nearest
     cells and ranks exactly within candidates — cell equi-join, no cross
     join. The oracle replays the identical quantizer in SQL."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 5)
@@ -5564,7 +5589,7 @@ def knn_cosine_pq_adc(spark, sf_dir):
     2-term-commutative, so no ordering caveats). Approximates the inner
     product; exact cosine re-rank over the returned ids composes with
     cosine_topk_bruteforce."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(_t(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -5672,7 +5697,7 @@ def knn_cosine_ivf_pq(spark, sf_dir):
     whole-corpus BNLJ). The oracle replays coarse train+assign, PQ
     train+encode, probe selection, the per-query dot-product table and
     the ADC sum bit-for-bit in SQL."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(_t(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -5717,7 +5742,7 @@ def cluster_assign(spark, sf_dir):
         parse_formula, set_op_params, lower_to_column,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     cent = SIM.kmeans_centroids(emb, "vec_id", "v", n_cells=4, n_iter=1)
@@ -5755,7 +5780,7 @@ def dedup_components(spark, sf_dir):
     cluster; ``kept`` marks the one row per cluster a keep-canonical
     dedup retains (near_dup_keep_canonical). The oracle replays the
     pair pipeline plus a recursive-CTE transitive closure."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     pairs = DD.minhash_band_pairs(docs, "doc_id", "text", k=8, bands=4)
     cc = DD.connected_components(pairs)
     return cc.select(
@@ -5804,7 +5829,7 @@ def pack_sequences_512(spark, sf_dir):
     engine-portable and sf-scalable."""
     from upgini_spark.functions.tokens import pack_sequences
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _par(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.transform(
             F.split("text", " "),
@@ -5907,7 +5932,7 @@ def quality_filter_decisions(spark, sf_dir):
     decision step a pretraining pipeline runs after text stats."""
     from upgini_spark.functions.text import quality_filter
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(_t(spark, sf_dir, "documents")).select("doc_id", "text")
     out = quality_filter(docs, "text")
     return out.select("doc_id", "reject_reason", "keep")
 
@@ -5949,7 +5974,7 @@ def pack_by_source_256(spark, sf_dir):
     per-group window cumsum, distributed across groups)."""
     from upgini_spark.functions.tokens import pack_sequences
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _par(_t(spark, sf_dir, "documents")).select(
         "doc_id", "source",
         F.transform(
             F.split("text", " "),
@@ -6000,7 +6025,7 @@ def pii_redaction_stats(spark, sf_dir):
     SQL replay, and the placeholder counts prove every plant was hit."""
     from upgini_spark.functions.text import redact_pii
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     raw = F.concat(
         F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
         F.lit("@example.com or +1 (555) 123-"),
@@ -6044,7 +6069,7 @@ def repetition_share(spark, sf_dir):
     the planted repetition is visible (share ≈ 2/3) next to natural text."""
     from upgini_spark.functions.text import dup_ngram_share
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     boosted = F.when(
         F.col("doc_id") % 10 == 0,
         F.concat_ws(" ", "text", "text", "text"),
@@ -6089,7 +6114,7 @@ def decontaminate_overlap(spark, sf_dir):
     the minhash family, replayed in SQL)."""
     from upgini_spark.functions.dedup import decontaminate_ngrams
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 25 == 0)
     corpus = docs.filter(F.col("doc_id") % 25 != 0)
     return decontaminate_ngrams(corpus, bench, "doc_id", "text", "text")
