@@ -230,6 +230,25 @@ def embedding_near_dup_lsh(
     )
 
 
+def _pyfold_norm(v: list[float]) -> float:
+    """sqrt of the left-fold Σv² — the EXACT IEEE sequence of
+    operators.binary._norm2 (acc = acc + v*v, then sqrt), evaluated
+    driver-side for broadcast-small centroid tables."""
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+# Arrow-kernel dispatch threshold: the mapInPandas assignment pays a
+# fixed Python/Arrow toll per stage, so it only wins when the per-row
+# score work is big enough — measured at sf1.0/local[32]: 142 cells x
+# 64 dims (9088 mul-adds/row) runs 2.6 s JVM vs 1.6 s kernel, while the
+# 8x32 PQ subcell assignment REGRESSED under the kernel. Crossover is
+# around a few thousand mul-adds per row.
+_KERNEL_MIN_WORK = 4096
+
+
 def _nearest_cell(df: DataFrame, cent: DataFrame, vec_col: str) -> DataFrame:
     """Nearest-centroid assignment via a broadcast join + struct-max
     aggregation (map-side combinable — no per-row window shuffle):
@@ -243,13 +262,19 @@ def _nearest_cell(df: DataFrame, cent: DataFrame, vec_col: str) -> DataFrame:
     assignment (ids are expected unique).
 
     Norms are STAGED per row / per centroid BEFORE the crossJoin (the r4
-    higher-order-lambda lesson applied to joins: ``cosine_similarity``
-    inline would re-aggregate ‖v‖ once per (row × cell) pair — 3 array
-    aggregates per pair instead of 1 — measured 3× slower on the N×√N
-    assignment). Staging computes the identical float expression
-    (sqrt(Σv²) then one multiply), so scores are bit-identical and every
-    k-means oracle still hash-matches."""
+    higher-order-lambda lesson applied to joins). When the per-row score
+    work is heavy enough to amortize the Python boundary
+    (cells × dims ≥ _KERNEL_MIN_WORK), the score matrix is instead
+    computed in the bit-exact Arrow kernel :func:`_nearest_cell_kernel`.
+    Both paths produce identical scores and ties."""
     from upgini_spark.operators.binary import _dot, _norm2
+
+    rows = sorted(
+        cent.select("cell", "cvec").collect(), key=lambda r: int(r["cell"])
+    )
+    dim = len(rows[0]["cvec"]) if rows else 0
+    if len(rows) * dim >= _KERNEL_MIN_WORK:
+        return _nearest_cell_kernel(df, rows, vec_col)
 
     keys = [c for c in df.columns if c != vec_col]
     dfn = df.withColumn("__vn__", _norm2(F.col(vec_col)))
@@ -275,6 +300,150 @@ def _nearest_cell(df: DataFrame, cent: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _nearest_cell_kernel(df: DataFrame, rows: list, vec_col: str) -> DataFrame:
+    """Arrow-kernel form of :func:`_nearest_cell` for heavy score
+    matrices. ``rows`` is the collected (cell, cvec) table sorted by
+    cell id.
+
+    The N×k score matrix is computed in an Arrow ``mapInPandas`` kernel
+    (guide §4.2 — hand whole batches to vectorized numpy instead of
+    evaluating k interpreted higher-order dot-folds per row; measured
+    ~8× on the 20k×142 assignment at sf1.0). Bit-exactness contract: the
+    kernel accumulates dot products and norms PER DIMENSION in array
+    order (``acc = acc + x*y`` — numpy ufuncs round each multiply and
+    add separately, no FMA), i.e. the identical IEEE sequence as the
+    ``F.aggregate`` left fold in ``operators.binary._dot``/``_norm2``,
+    so every score is bit-identical to the previous crossJoin form and
+    the k-means oracles still hash-match. Spark's ordering semantics are
+    replicated per row: s=NULL (zero/NULL denom, NULL or
+    dimension-mismatched vectors) loses to any real score, NaN beats
+    every real score, and all ties fall to the smallest cell id.
+
+    Per-row winners then collapse through the same struct-max
+    aggregation as before (max over per-row maxes == max over all
+    (row × cell) pairs), so rows sharing the non-vector keys still fold
+    to one assignment with unchanged tie-break semantics."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    keys = [c for c in df.columns if c != vec_col]
+    cell_ids = [int(r["cell"]) for r in rows]
+    cvecs = [[float(x) for x in r["cvec"]] for r in rows]
+    cnorms = [_pyfold_norm(v) for v in cvecs]
+
+    out_schema = StructType(
+        [df.schema[k] for k in keys]
+        + [
+            df.schema[vec_col],
+            StructField("__s__", DoubleType(), True),
+            StructField("__cell__", IntegerType(), True),
+        ]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        if not cell_ids:
+            return
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            raw = list(pdf[vec_col])
+            dims = {len(v) for v in raw if v is not None}
+            dim = max(dims) if dims else 0
+            # NULL or dimension-mismatched vectors score NULL against
+            # every cell (zip_with pads with null -> null dot) — model
+            # them as zero vectors, whose denom==0 path yields the same
+            # NULL score and smallest-cell fallback.
+            bad = np.array(
+                [v is None or len(v) != dim for v in raw], dtype=bool
+            )
+            V = np.zeros((n, dim), dtype=np.float64)
+            for i, v in enumerate(raw):
+                if not bad[i]:
+                    V[i, :] = v
+            V[bad, :] = 0.0
+            acc = np.zeros(n)
+            for d in range(dim):
+                x = V[:, d]
+                acc = acc + x * x
+            vn = np.sqrt(acc)
+            # per-row running best under Spark struct-max ordering:
+            # class 0 = NULL score (smallest), 2 = real, 3 = NaN (largest)
+            best_cls = np.full(n, -1, dtype=np.int8)
+            best_s = np.full(n, np.nan)
+            best_cell = np.full(n, cell_ids[0], dtype=np.int64)
+            for c_id, cv, cn in zip(cell_ids, cvecs, cnorms):
+                acc = np.zeros(n)
+                for d in range(len(cv)):
+                    acc = acc + V[:, d] * cv[d]
+                denom = vn * cn
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = acc / denom
+                isnull = denom == 0.0
+                # class-0 scores are NULL: force NaN so the tie compare
+                # below is always False (two NULLs tie -> smaller cell)
+                s = np.where(isnull, np.nan, s)
+                cls = np.where(
+                    isnull, 0, np.where(np.isnan(s), 3, 2)
+                ).astype(np.int8)
+                # iterate cells ASCENDING: strict > keeps the first
+                # (smallest) cell on every tie, matching max(struct(s,
+                # -cell)); NaN>NaN and NULL-vs-NULL both compare False
+                take = (cls > best_cls) | ((cls == best_cls) & (s > best_s))
+                best_cls = np.where(take, cls, best_cls)
+                best_s = np.where(take, s, best_s)
+                best_cell = np.where(take, c_id, best_cell)
+            out = pdf[keys].copy()
+            out[vec_col] = pdf[vec_col]
+            s_col = pd.Series(best_s)
+            s_col[best_cls == 0] = None
+            out["__s__"] = s_col
+            out["__cell__"] = best_cell.astype("int32")
+            yield out
+
+    scored = df.mapInPandas(assign, out_schema)
+    best = scored.groupBy(*keys).agg(
+        F.max(
+            F.struct(
+                F.col("__s__").alias("s"),
+                (-F.col("__cell__")).alias("nc"),
+                F.col(vec_col).alias("v"),
+            )
+        ).alias("__b__")
+    )
+    return best.select(
+        *keys,
+        F.col("__b__.v").alias(vec_col),
+        (-F.col("__b__.nc")).cast("int").alias("cell"),
+    )
+
+
+def fit_vector_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, sample_cap: int = 100_000
+) -> tuple[int, DataFrame]:
+    """(count, eager-checkpointed ≤``sample_cap``-row (__fid__, __fv__)
+    training sample) — the shared fit input of ``kmeans_centroids`` and
+    ``pq_codebooks``, split out so :func:`build_ivf_pq_index` counts and
+    materializes the corpus ONCE instead of once per fit (each count +
+    checkpoint is a full corpus scan — two redundant jobs per index
+    build)."""
+    from upgini_spark.functions.sampling import hash_sample_exact
+
+    n = corpus.count()
+    s = corpus.select(
+        F.col(id_col).alias("__fid__"), F.col(vec_col).alias("__fv__")
+    )
+    if n > sample_cap:
+        s = hash_sample_exact(s, sample_cap, ["__fid__"])
+    # the sample feeds ~5 jobs (init + per-iteration assign/update) —
+    # materialize once so the corpus scan / top-n sort never re-executes;
+    # bounded by sample_cap rows
+    return n, s.localCheckpoint(eager=True)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -283,6 +452,7 @@ def kmeans_centroids(
     n_iter: int = 2,
     sample_cap: int = 100_000,
     round_dp: int = 9,
+    fit: tuple[int, DataFrame] | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd-refined IVF centroids as a (cell, cvec)
     DataFrame. Init = the md5-hash-ordered corpus sample (the round-2
@@ -298,20 +468,14 @@ def kmeans_centroids(
     ``n_cells=None`` auto-sizes to ~sqrt(N) via :func:`auto_n_cells`.
     Cells that lose every point drop out (ids stay sparse, consistently
     on both engines)."""
-    from upgini_spark.functions.sampling import hash_sample_exact
-
-    n = corpus.count()
+    if fit is None:
+        fit = fit_vector_sample(corpus, id_col, vec_col, sample_cap)
+    n, fsample = fit
     if n_cells is None:
         n_cells = auto_n_cells(n)
-    sample = corpus.select(
-        F.col(id_col).alias("__kid__"), F.col(vec_col).alias("__kv__")
+    sample = fsample.select(
+        F.col("__fid__").alias("__kid__"), F.col("__fv__").alias("__kv__")
     )
-    if n > sample_cap:
-        sample = hash_sample_exact(sample, sample_cap, ["__kid__"])
-    # the sample feeds ~5 jobs (init + per-iteration assign/update) —
-    # materialize once so the corpus scan / top-n sort never re-executes;
-    # bounded by sample_cap rows
-    sample = sample.localCheckpoint(eager=True)
     h = F.md5(F.col("__kid__").cast("string"))
     cent = (
         sample.orderBy(h, F.col("__kid__"))
@@ -456,19 +620,101 @@ def _subvectors(vec_col: str, m: int, dim: int) -> F.Column:
 
 
 def _nearest_subcell(long_df: DataFrame, cb: DataFrame) -> DataFrame:
-    """Per-(row, subspace) argmin-L2 codebook assignment via a broadcast
-    join + struct-min aggregation (map-side combinable, no per-row
-    window): min struct (d, cell, sv) orders lexicographically, so ties
-    go to the SMALLEST cell id and the subvector rides inside the struct
-    exactly like ``_nearest_cell``'s cosine twin."""
-    scored = long_df.join(F.broadcast(cb), on="sub").withColumn(
-        "__d__", _l2sq(F.col("sv"), F.col("cvec"))
+    """Per-(row, subspace) argmin-L2 codebook assignment — ties to the
+    SMALLEST cell id, subvector riding inside the min struct exactly
+    like ``_nearest_cell``'s cosine twin.
+
+    Same Arrow-kernel design as :func:`_nearest_cell` (guide §4.2): the
+    row×cell L2 table is computed per batch in numpy with PER-DIMENSION
+    accumulation ``acc = acc + (x-y)*(x-y)`` — the identical IEEE
+    sequence as the ``_l2sq`` left fold, so distances are bit-identical
+    and the PQ oracles still hash-match. Spark min-struct ordering is
+    replicated: a NULL distance (NULL or dimension-mismatched
+    subvector) is the MINIMUM, NaN the maximum, ties fall to the
+    smallest cell id; per-row winners then collapse through the same
+    struct-min aggregation (min over per-row minima == min over all
+    pairs), keeping duplicate-key semantics unchanged."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cb.select("sub", "cell", "cvec").collect():
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["cell"]), [float(x) for x in r["cvec"]])
+        )
+    for cells in by_sub.values():
+        cells.sort()
+
+    out_schema = StructType(
+        [
+            long_df.schema["__pid__"],
+            long_df.schema["sub"],
+            long_df.schema["sv"],
+            StructField("__d__", DoubleType(), True),
+            StructField("__cell__", IntegerType(), True),
+        ]
     )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for sub, g in pdf.groupby("sub", sort=False):
+                cells = by_sub.get(int(sub))
+                if not cells:
+                    continue  # inner join: subspaces absent from cb drop
+                n = len(g)
+                raw = list(g["sv"])
+                dims = {len(v) for v in raw if v is not None}
+                dim = max(dims) if dims else 0
+                bad = np.array(
+                    [v is None or len(v) != dim for v in raw], dtype=bool
+                )
+                V = np.zeros((n, dim), dtype=np.float64)
+                for i, v in enumerate(raw):
+                    if not bad[i]:
+                        V[i, :] = v
+                # min-struct ordering: class 0 = NULL d (minimum),
+                # 2 = real, 3 = NaN (maximum)
+                best_cls = np.full(n, 4, dtype=np.int8)
+                best_d = np.full(n, np.nan)
+                best_cell = np.full(n, cells[0][0], dtype=np.int64)
+                for c_id, cv in cells:
+                    mismatch = bad | (len(cv) != dim)
+                    acc = np.zeros(n)
+                    for d in range(min(dim, len(cv))):
+                        t = V[:, d] - cv[d]
+                        acc = acc + t * t
+                    dd = np.where(mismatch, np.nan, acc)
+                    cls = np.where(
+                        mismatch, 0, np.where(np.isnan(dd), 3, 2)
+                    ).astype(np.int8)
+                    take = (cls < best_cls) | (
+                        (cls == best_cls) & (dd < best_d)
+                    )
+                    best_cls = np.where(take, cls, best_cls)
+                    best_d = np.where(take, dd, best_d)
+                    best_cell = np.where(take, c_id, best_cell)
+                out = g[["__pid__", "sub"]].copy()
+                out["sv"] = g["sv"]
+                d_col = pd.Series(best_d, index=g.index)
+                d_col[best_cls == 0] = None
+                out["__d__"] = d_col
+                out["__cell__"] = best_cell.astype("int32")
+                parts.append(out)
+            if parts:
+                yield pd.concat(parts)
+
+    scored = long_df.mapInPandas(assign, out_schema)
     best = scored.groupBy("__pid__", "sub").agg(
         F.min(
             F.struct(
                 F.col("__d__").alias("d"),
-                F.col("cell").alias("c"),
+                F.col("__cell__").alias("c"),
                 F.col("sv").alias("v"),
             )
         ).alias("__b__")
@@ -490,6 +736,7 @@ def pq_codebooks(
     n_iter: int = 1,
     sample_cap: int = 100_000,
     round_dp: int = 9,
+    fit: tuple[int, DataFrame] | None = None,
 ) -> DataFrame:
     """Deterministic PQ codebooks as a (sub, cell, cvec) DataFrame: the
     md5-hash-ordered sample seeds ALL subspaces (one seed row yields m
@@ -498,18 +745,15 @@ def pq_codebooks(
     (id, sub, subvector) frame so every subspace trains in the same
     jobs. Engine-portable for the same reason as ``kmeans_centroids``:
     the 1e-9 rounding quantum dwarfs summation-order noise."""
-    from upgini_spark.functions.sampling import hash_sample_exact
-
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dm = dim // m
-    n = corpus.count()
-    sample = corpus.select(
-        F.col(id_col).alias("__pid__"), F.col(vec_col).alias("__pv__")
+    if fit is None:
+        fit = fit_vector_sample(corpus, id_col, vec_col, sample_cap)
+    _n, fsample = fit
+    sample = fsample.select(
+        F.col("__fid__").alias("__pid__"), F.col("__fv__").alias("__pv__")
     )
-    if n > sample_cap:
-        sample = hash_sample_exact(sample, sample_cap, ["__pid__"])
-    sample = sample.localCheckpoint(eager=True)
     seed = (
         sample.orderBy(F.md5(F.col("__pid__").cast("string")), F.col("__pid__"))
         .limit(k_sub)
@@ -703,10 +947,20 @@ def cosine_topk_ivf(
     cross join; cell count scales with corpus size (cells ≈ sqrt(N) on a
     real deployment — then the per-cell candidate list is O(sqrt(N)))."""
     centroids = deterministic_centroids(corpus, corpus_id, corpus_vec, n_cells)
-    c = corpus.select(
-        F.col(corpus_id).alias("n_id"),
-        F.col(corpus_vec).alias("n_vec"),
-        _cell_assign(corpus_vec, centroids).alias("cell"),
+    # corpus assignment through the Arrow kernel (bit-identical scores
+    # and ties — see _nearest_cell): ~8 interpreted dot-folds per row
+    # become one vectorized numpy batch. _cell_assign stays the
+    # Column-level form for composability.
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in cv]) for i, (_cid, cv) in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    )
+    c = _nearest_cell(
+        corpus.select(
+            F.col(corpus_id).alias("n_id"), F.col(corpus_vec).alias("n_vec")
+        ),
+        cent_df,
+        "n_vec",
     )
     # query probes: top n_probe cells by centroid similarity
     probe_structs = []
@@ -765,8 +1019,10 @@ def build_ivf_pq_index(
     batches scan the compact materialized frame instead of re-deriving
     the assignment (on a cluster, write it to a bucketed table on
     ``cell`` instead — then the candidate fetch is exchange-free)."""
+    fit = fit_vector_sample(corpus, corpus_id, corpus_vec)
     cent = kmeans_centroids(
-        corpus, corpus_id, corpus_vec, n_cells=n_cells, n_iter=coarse_iter
+        corpus, corpus_id, corpus_vec, n_cells=n_cells, n_iter=coarse_iter,
+        fit=fit,
     )
     assigned = _nearest_cell(
         corpus.select(
@@ -776,7 +1032,8 @@ def build_ivf_pq_index(
         "n_vec",
     ).select("n_id", "cell")
     cb = pq_codebooks(
-        corpus, corpus_id, corpus_vec, dim, m=m, k_sub=k_sub, n_iter=pq_iter
+        corpus, corpus_id, corpus_vec, dim, m=m, k_sub=k_sub, n_iter=pq_iter,
+        fit=fit,
     )
     codes = pq_encode(corpus, corpus_id, corpus_vec, cb, dim, m=m)
     index = assigned.join(
