@@ -66,10 +66,9 @@ def _par(df: DataFrame) -> DataFrame:
     downstream operator is partition-invariant by engine design (the
     oracle hash gate enforces it).
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n)
+    from upgini_spark.util import spread_scan
+
+    return spread_scan(df)
 
 
 def _clicks(spark, sf_dir):
@@ -492,7 +491,7 @@ def groupby_then_ops(spark, sf_dir):
     tiny groupBy + broadcast join-back — the big table is not shuffled
     for them); rank/freq keep the window (they are per-row / per-value
     by nature and share one exchange on the key)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _par(_t(spark, sf_dir, "orders"))
     key = F.col("o_orderpriority")
     val = F.col("o_totalprice")
     agged = G.group_by_then_features(

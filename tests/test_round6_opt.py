@@ -1,0 +1,83 @@
+"""Round-6 optimization regression tests: the rewritten internals must
+produce bit-identical results to their previous forms.
+
+- connected_components gained a size-dispatched driver-side union-find
+  (small edge sets) next to the distributed min-label loop: both paths
+  must emit the same (node, component) frame.
+- _nearest_cell/_nearest_subcell gained an Arrow kernel for heavy score
+  matrices: kernel and JVM-join paths must agree exactly (scores are
+  required bit-identical; ties to the smallest cell).
+- pack_sequences dropped its countDistinct (Expand rewrite) for an
+  in-struct doc id: n_docs must still count distinct docs per chunk.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from upgini_spark.session import get_spark
+
+    s = get_spark("t_r06", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+def test_cc_driver_matches_distributed(spark):
+    from upgini_spark.functions.dedup import connected_components
+
+    # chain 1-2-3-4, clique {10,11,12}, pair (20, 21), self-contained dup
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+         (2, 1)],
+        "id_a long, id_b long",
+    )
+    drv = connected_components(pairs).collect()
+    dist = connected_components(pairs, driver_edge_cap=0).collect()
+    assert sorted(map(tuple, drv)) == sorted(map(tuple, dist))
+    comp = {r["node"]: r["component"] for r in drv}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
+
+
+def test_nearest_cell_kernel_matches_jvm(spark):
+    import upgini_spark.functions.similarity as SIM
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+         for i in range(50)] + [(99, [0.0] * 8)],  # zero vector -> NULL score
+        "vid long, v array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(c, [float((c * 5 + d) % 7) - 3.0 for d in range(8)])
+         for c in range(6)],
+        "cell int, cvec array<double>",
+    )
+    rows = sorted(cent.collect(), key=lambda r: int(r["cell"]))
+    via_kernel = SIM._nearest_cell_kernel(df, rows, "v").collect()
+    # force the JVM broadcast-join path regardless of threshold
+    old = SIM._KERNEL_MIN_WORK
+    SIM._KERNEL_MIN_WORK = 10**9
+    try:
+        via_jvm = SIM._nearest_cell(df, cent, "v").collect()
+    finally:
+        SIM._KERNEL_MIN_WORK = old
+    key = lambda r: r["vid"]  # noqa: E731
+    for a, b in zip(sorted(via_kernel, key=key), sorted(via_jvm, key=key)):
+        assert a["vid"] == b["vid"]
+        assert a["cell"] == b["cell"]
+        assert list(a["v"]) == list(b["v"])
+
+
+def test_pack_sequences_n_docs_gaps(spark):
+    from upgini_spark.functions.tokens import pack_sequences
+
+    # doc ids with gaps; chunk 0 spans docs {1, 5}, chunk 1 spans {5, 9}
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (5, [4, 5, 6]), (9, [7, 8])],
+        "doc_id long, toks array<int>",
+    )
+    out = {r["chunk_id"]: r for r in pack_sequences(df, "doc_id", "toks", 4).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["first_doc"] == 1
+    assert out[0]["tokens"] == [1, 2, 3, 4]
+    assert out[1]["n_docs"] == 2 and out[1]["tokens"] == [5, 6, 7, 8]

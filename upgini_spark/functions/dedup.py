@@ -415,6 +415,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of the duplicate-pair graph → (node, component)
     where ``component`` is the MINIMUM node id in the component (canonical,
@@ -438,10 +439,57 @@ def connected_components(
 
     Only nodes that appear in ``pairs`` are returned; callers treat
     missing ids as singleton components.
+
+    Size dispatch (same spirit as Spark's broadcast-join threshold): up
+    to ``driver_edge_cap`` DISTINCT edges, the component labels are
+    computed with a driver-side union-find instead — a near-dup pair
+    graph from banded LSH is tiny relative to its corpus (edges ∝
+    duplicates, not rows), and the distributed loop costs ~2 jobs per
+    round in fixed scheduling overhead. Identical output by
+    construction (min-id labeling either way); graphs over the cap take
+    the distributed min-label-propagation path unchanged.
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    dedges = edges.distinct().localCheckpoint(eager=True)
+    if dedges.count() <= driver_edge_cap:
+        rows = dedges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp: dict = {}
+        for node in parent:
+            root = find(node)
+            cur = comp.get(root)
+            if cur is None or node < cur:
+                comp[root] = node
+        spark = pairs.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("node", pairs.schema[id_a].dataType, True),
+                StructField("component", pairs.schema[id_a].dataType, True),
+            ]
+        )
+        data = [(node, comp[find(node)]) for node in parent]
+        return spark.createDataFrame(data, schema)
+
+    sym = dedges.unionByName(
+        dedges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))

@@ -304,8 +304,16 @@ def sample_time_series(
     ranked = global_running_sum(stats, order, "__cnt__", "__cum__")
     kept_ids = ranked.filter(F.col("__cum__") <= sample_size).select(*ids)
 
-    n_ids = stats.count()
-    n_kept = kept_ids.count()
+    # both counts from the running-sum output in ONE job — it reads the
+    # cumsum's eager checkpoint (row count identical to ``stats``)
+    # instead of re-aggregating the full table (was two more full scans)
+    cnts = ranked.agg(
+        F.count(F.lit(1)).alias("__n_ids__"),
+        F.coalesce(
+            F.sum((F.col("__cum__") <= sample_size).cast("long")), F.lit(0)
+        ).alias("__n_kept__"),
+    ).collect()[0]
+    n_ids, n_kept = int(cnts["__n_ids__"]), int(cnts["__n_kept__"])
     min_different_ids = max(int(n_ids * min_different_ids_ratio), 1)
 
     if n_kept < min_different_ids:

@@ -322,12 +322,61 @@ def psi_monthly_report(
 
     Only per-(feature, interval, bin) count tables reach the driver.
     """
-    n_intervals = max(min_intervals, n_months_in(df, date_col))
+    from upgini_spark.util import spread_scan
+
+    def q(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    # ---- ONE head agg: distinct months + every candidate edge grid ----
+    # n_intervals = clamp(max(min_intervals, #distinct months)) with
+    # months <= 12, so the candidate interval counts are enumerable up
+    # front; ONE exact-percentile buffer serves every candidate grid
+    # (each requested fraction is computed independently from the same
+    # sorted buffer, so the per-fraction values are identical to the
+    # former per-n agg). Folds the former n_months_in + edge-quantile
+    # jobs — two full scans — into one.
+    dcast = F.col(date_col).cast("timestamp")
+    us = F.unix_micros(dcast).cast("double")
+    cap = max_intervals if max_intervals is not None else 1 << 30
+    cands = sorted({min(max(min_intervals, m), cap) for m in range(1, 13)})
+    fracs = sorted({i / n for n in cands for i in range(1, n)})
+    head = df.agg(
+        # size(collect_set) not countDistinct: a DISTINCT aggregate next
+        # to the percentile would trigger the Expand rewrite and ship
+        # the (large) percentile buffers through extra exchanges; the
+        # month set is ≤12 values, a trivial buffer
+        F.size(F.collect_set(F.month(dcast))).alias("__m__"),
+        # n_months_in counted a NULL month as a distinct value
+        F.max(F.col(date_col).isNull().cast("int")).alias("__mn__"),
+        F.percentile(us, F.array(*[F.lit(x) for x in fracs])).alias("__e__"),
+    ).collect()[0]
+    n_months = int(head["__m__"] or 0) + int(head["__mn__"] or 0)
+    n_intervals = max(min_intervals, n_months)
     if max_intervals is not None:
         n_intervals = min(n_intervals, max_intervals)
+    pos = {x: i for i, x in enumerate(fracs)}
+    grid = head["__e__"]
+    date_edges = (
+        [grid[pos[i / n_intervals]] for i in range(1, n_intervals)]
+        if grid is not None
+        else []
+    )
+    interior_dates = sorted(set(float(e) for e in date_edges if e is not None))
+    itv_expr = F.lit(0)
+    for e in interior_dates:
+        itv_expr = itv_expr + F.when(us > F.lit(e), 1).otherwise(0)
     # eager localCheckpoint, not persist: no CacheManager entry to leak on
-    # an exception between persist/unpersist (r4 verdict hygiene item)
-    d = date_interval_index(df, date_col, n_intervals).localCheckpoint(eager=True)
+    # an exception between persist/unpersist (r4 verdict hygiene item).
+    # The frame is NARROWED to (features, interval) and SPREAD first: a
+    # single-row-group input would otherwise leave the checkpoint — and
+    # every one of the ~4 downstream count/quantile jobs — single-task
+    # (guide §2.5).
+    d = spread_scan(
+        df.filter(F.col(date_col).isNotNull()).select(
+            *[q(f).alias(f) for f in feature_cols],
+            itv_expr.cast("int").alias("__itv__"),
+        )
+    ).localCheckpoint(eager=True)
     itv_totals = {
         r["__itv__"]: r["count"] for r in d.groupBy("__itv__").count().collect()
     }
@@ -335,9 +384,6 @@ def psi_monthly_report(
     agg_fn = max if agg == "max" else (min if agg == "min" else None)
     if agg_fn is None:
         raise ValueError(f"unsupported agg {agg!r}")
-
-    def q(name: str):
-        return F.col("`" + name.replace("`", "``") + "`")
 
     dtypes = dict(df.dtypes)
     ref = d.filter(F.col("__itv__") == itvs[0])
@@ -351,7 +397,9 @@ def psi_monthly_report(
     num_feats: list[str] = []
     if num_candidates:
         # exact countDistinct on the NATIVE column type (reference does
-        # ref[feat].nunique() — a double cast could collide big longs)
+        # ref[feat].nunique() — a double cast could collide big longs);
+        # kept SEPARATE from the percentile agg below: mixing DISTINCT
+        # and percentile aggregates triggers the Expand rewrite
         nvals = ref.agg(
             *[F.countDistinct(q(f)).alias(f"n{i}") for i, f in enumerate(num_candidates)]
         ).collect()[0]

@@ -105,18 +105,33 @@ def pack_sequences(
         .withColumn("chunk_id", (F.col("__pp__") / max_len).cast("long"))
         .withColumn("pos", (F.col("__pp__") % max_len).cast("int"))
     )
-    return (
-        tok.groupBy(*groups, "chunk_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_tokens"),
-            F.countDistinct("__pid__").cast("int").alias("n_docs"),
-            F.min("__pid__").alias("first_doc"),
-            F.max("__pid__").alias("last_doc"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ).alias("tokens"),
-        )
+    # NO countDistinct in this agg: a DISTINCT aggregate mixed with the
+    # collect_list forces the Expand rewrite — every token row is
+    # duplicated through the aggregation (measured 2× the chunk-agg
+    # stage). The doc id rides inside the sort struct instead and
+    # n_docs folds out per chunk afterwards (≤ max_len ids per row).
+    # pos is unique within a chunk, so the struct sort order — and the
+    # token stream — is unchanged.
+    agged = tok.groupBy(*groups, "chunk_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.min("__pid__").alias("first_doc"),
+        F.max("__pid__").alias("last_doc"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "tok", "__pid__"))
+        ).alias("__st__"),
+    )
+    return agged.select(
+        *groups,
+        "chunk_id",
+        "n_tokens",
+        F.size(
+            F.array_distinct(
+                F.transform(F.col("__st__"), lambda s: s["__pid__"])
+            )
+        ).cast("int").alias("n_docs"),
+        "first_doc",
+        "last_doc",
+        F.transform(F.col("__st__"), lambda s: s["tok"]).alias("tokens"),
     )
 
 

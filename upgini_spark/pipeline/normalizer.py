@@ -145,19 +145,22 @@ def validate_features(
     if not feature_cols:
         return df, {}
     _ = exact
-    n = df.count()
     dtypes = dict(df.dtypes)
     int_like = {c: dtypes[c] in _INT_DTYPES for c in feature_cols}
     float_cols = [c for c in feature_cols if dtypes[c] in _FLOAT_DTYPES]
-    if float_cols:
-        # float is integer-valued iff every non-null value is whole
-        # (reference __is_integer); all-null vacuously whole
-        fr = df.agg(*[
+    # ONE scan for row count + float whole-numberedness (was two jobs)
+    fr = df.agg(
+        F.count(F.lit(1)).alias("__vf_n__"),
+        *[
             F.max((F.col(c) != F.floor(F.col(c))).cast("int")).alias(c)
             for c in float_cols
-        ]).collect()[0]
-        for c in float_cols:
-            int_like[c] = (fr[c] or 0) == 0
+        ],
+    ).collect()[0]
+    n = fr["__vf_n__"]
+    for c in float_cols:
+        # float is integer-valued iff every non-null value is whole
+        # (reference __is_integer); all-null vacuously whole
+        int_like[c] = (fr[c] or 0) == 0
 
     # melt: null rides as a value (cast null -> null string group)
     pairs: list = []
