@@ -1754,7 +1754,7 @@ def dedup_incremental(spark, sf_dir):
     field order). The oracle replays anti-join + keep-min in SQL."""
     from upgini_spark.functions.dedup import dedup_against_index
 
-    docs = _par(_t(spark, sf_dir, "documents")).select("doc_id", "text", "n_chars")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     accepted = docs.filter(F.col("doc_id") % 3 != 0)
     index = accepted.select(
         F.md5(
@@ -2250,7 +2250,7 @@ def bigram_lm_nll(spark, sf_dir):
     engines; sub-2-word docs surface with n_bigrams=0 / NULL nll."""
     from upgini_spark.functions.text import bigram_nll
 
-    return bigram_nll(_par(_t(spark, sf_dir, "documents")), "doc_id", "text")
+    return bigram_nll(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @_q(

@@ -31,6 +31,7 @@ HASH_SAMPLE_HEAP_CEILING = 5_000
 def hash_sample_exact(
     df: DataFrame, n: int, id_cols: list[str],
     heap_ceiling: int = HASH_SAMPLE_HEAP_CEILING,
+    total: int | None = None,
 ) -> DataFrame:
     """Deterministic exact-n sample: keep the n rows with the smallest
     md5 of the id tuple.
@@ -51,7 +52,9 @@ def hash_sample_exact(
     order = [h.asc()] + [F.col(c).asc() for c in id_cols]
     work = df
     if n > heap_ceiling:
-        total = df.count()
+        # ``total`` lets callers that already counted skip a full scan
+        if total is None:
+            total = df.count()
         if total <= n:
             return df
         # lowercase fixed-width hex sorts identically to its numeric value,
@@ -73,9 +76,10 @@ def threshold_downsample(
 ) -> DataFrame:
     """>threshold rows → exact-threshold deterministic sample
     (sample_utils.py:62-152)."""
-    if df.count() <= threshold:
+    n = df.count()
+    if n <= threshold:
         return df
-    return hash_sample_exact(df, threshold, id_cols)
+    return hash_sample_exact(df, threshold, id_cols, total=n)
 
 
 BINARY_MIN_SAMPLE_THRESHOLD = 5_000       # reference utils/config.py:13

@@ -300,6 +300,42 @@ def roll_features(
     Catalyst computes same-frame windows in a single Window node."""
     d = _with_ts_us(df, ts_col)
     cols = [F.col(c) for c in df.columns]
+    # Fuse multiple exact quantiles over the SAME window into one
+    # percentile(value, array(...)) buffer: the per-row sliding frame is
+    # sorted once instead of once per quantile (each requested fraction
+    # is computed from that buffer exactly as the single-fraction call
+    # would — bit-identical results, oracle-checked).
+    _QUANT = {"q25": 0.25, "median": 0.5, "q75": 0.75}
+    by_win: dict[tuple, list[str]] = {}
+    for n, unit, agg in specs:
+        by_win.setdefault((n, unit), []).append(agg)
+    fused: dict[tuple, tuple[list[str], str]] = {}
+    stage_cols = []
+    for (n, unit), aggs in by_win.items():
+        qs = [a for a in aggs if a in _QUANT]
+        if len(qs) >= 2:
+            w = _rolling_window(groups, n, unit)
+            fr = ",".join(repr(_QUANT[a]) for a in qs)
+            name = f"__rollq_{n}{unit}__"
+            stage_cols.append(
+                F.expr(f"percentile({value_col}, array({fr}))").over(w).alias(name)
+            )
+            fused[(n, unit)] = (qs, name)
+    if stage_cols:
+        out_cols = list(cols)
+        for n, unit, agg in specs:
+            alias = f"{value_col}_roll_{n}{unit}_{agg}"
+            hit = fused.get((n, unit))
+            if hit and agg in hit[0]:
+                out_cols.append(
+                    F.element_at(F.col(hit[1]), hit[0].index(agg) + 1).alias(alias)
+                )
+            else:
+                w = _rolling_window(groups, n, unit)
+                out_cols.append(_roll_expr(agg, value_col, w).alias(alias))
+        # keep _TS_US through the staging select: the second select's
+        # non-fused window exprs still order by it
+        return d.select(*cols, F.col(_TS_US), *stage_cols).select(*out_cols)
     for n, unit, agg in specs:
         w = _rolling_window(groups, n, unit)
         cols.append(_roll_expr(agg, value_col, w).alias(f"{value_col}_roll_{n}{unit}_{agg}"))

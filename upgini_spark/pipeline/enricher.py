@@ -364,8 +364,11 @@ class SparkFeaturesEnricher:
         train_sdf = (
             narrow.filter(seg.isNull() | (seg == 0)) if has_eval else narrow
         )
-        if train_sdf.count() > max_rows:
-            train_sdf = hash_sample_exact(train_sdf, max_rows, [st.entity_col, st.ts_col])
+        n_train = train_sdf.count()
+        if n_train > max_rows:
+            train_sdf = hash_sample_exact(
+                train_sdf, max_rows, [st.entity_col, st.ts_col], total=n_train
+            )
         fold_fn = (
             stratified_kfold_column if task in ("BINARY", "MULTICLASS") else kfold_column
         )
@@ -394,9 +397,11 @@ class SparkFeaturesEnricher:
                 # collect of a large eval segment would be unbounded
                 # driver memory (r5 scale audit; same deterministic
                 # hash-sample regime as the train side)
-                if ev_sdf.count() > max_rows:
+                n_ev = ev_sdf.count()
+                if n_ev > max_rows:
                     ev_sdf = hash_sample_exact(
-                        ev_sdf, max_rows, [st.entity_col, st.ts_col]
+                        ev_sdf, max_rows, [st.entity_col, st.ts_col],
+                        total=n_ev,
                     )
                 eval_frames.append(ev_sdf.toPandas())
         estimator_params = None
