@@ -432,6 +432,13 @@ def parse_jpeg(content):
     while pos + 4 <= n:
         if content[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip the run so spec-valid encoder output isn't
+        # tagged corrupt (r5 advice item)
+        while pos + 2 <= n and content[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = content[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

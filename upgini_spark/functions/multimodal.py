@@ -333,10 +333,17 @@ def _probe_mp4(content: bytes):
                     fw, fh = struct.unpack(">II", content[off:off + 8])
                     t_w, t_h = fw >> 16, fh >> 16
                 elif bt2 == b"mdia":
-                    for bt3, s3, e3 in walk(content, s2, e2):
+                    # two passes over mdia's children: ISO 14496-12 does
+                    # not mandate hdlr-before-minf ordering, so resolve
+                    # the handler FIRST, then parse minf/stbl/stsd
+                    # (r5 advice item — reordered-but-valid files
+                    # otherwise lose sample_rate/n_channels)
+                    kids = list(walk(content, s2, e2))
+                    for bt3, s3, _e3 in kids:
                         if bt3 == b"hdlr":
                             handler = content[s3 + 8:s3 + 12]
-                        elif bt3 == b"minf" and handler == b"soun":
+                    for bt3, s3, e3 in kids:
+                        if bt3 == b"minf" and handler == b"soun":
                             for bt4, s4, e4 in walk(content, s3, e3):
                                 if bt4 != b"stbl":
                                     continue

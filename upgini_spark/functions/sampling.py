@@ -511,6 +511,13 @@ def temperature_mix_rates(
     counts = df.groupBy(F.col(group_col).alias("group")).agg(
         size.cast("double").alias("n")
     )
+    # a group whose weight sum is 0/negative (or NULL — all-null
+    # weights) would otherwise produce a NaN/NULL rate that silently
+    # drops all of its rows downstream (u < NaN is never true): route
+    # such groups to an EXPLICIT rate 0 and keep them out of the
+    # water-filling (r5 advice item)
+    zero_groups = counts.filter(~(F.col("n") > 0))
+    counts = counts.filter(F.col("n") > 0)
     s = F.pow(F.col("n"), F.lit(float(alpha)))
     g = counts.select("group", "n", s.alias("s"),
                       (F.col("n") / s).alias("ratio"))
@@ -544,11 +551,19 @@ def temperature_mix_rates(
         g.crossJoin(F.broadcast(lam))
         .withColumn("m", F.least(F.col("n"), F.col("__lam__") * F.col("s")))
     )
-    return planned.select(
+    out = planned.select(
         "group",
         F.col("n").cast("long").alias("n"),
         F.round(F.col("m") / F.col("n"), 9).alias("rate"),
         F.round("m", 6).alias("m"),
+    )
+    return out.unionByName(
+        zero_groups.select(
+            "group",
+            F.col("n").cast("long").alias("n"),
+            F.lit(0.0).alias("rate"),
+            F.lit(0.0).alias("m"),
+        )
     )
 
 

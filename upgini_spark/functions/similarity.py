@@ -790,8 +790,22 @@ def pq_codebooks(
             .select("sub", F.col("cell").cast("int"), "cvec")
         )
         # small (m × k_sub rows) — materialize so each step is one job
+        pdf = cb.toPandas()
+        # density contract (r5 advice): the ADC table lookup indexes
+        # ptab by jx*k_sub + code + 1, assuming every subspace keeps
+        # exactly k_sub cells — a Lloyd step that empties a cell (e.g.
+        # duplicate seed subvectors) would silently shift every later
+        # subspace's lookups (or raise INVALID_ARRAY_INDEX under ANSI).
+        # Fail loudly at build time instead.
+        if len(pdf) != m * k_sub:
+            raise ValueError(
+                f"PQ codebook collapsed to {len(pdf)} (sub, cell) rows, "
+                f"expected m*k_sub = {m * k_sub}: a Lloyd step emptied a "
+                "codebook cell (duplicate seed subvectors?) — lower k_sub "
+                "or dedup the training vectors"
+            )
         cb = spark.createDataFrame(
-            cb.toPandas(), "sub int, cell int, cvec array<double>"
+            pdf, "sub int, cell int, cvec array<double>"
         )
     return cb
 
@@ -1020,10 +1034,23 @@ def build_ivf_pq_index(
     the assignment (on a cluster, write it to a bucketed table on
     ``cell`` instead — then the candidate fetch is exchange-free)."""
     fit = fit_vector_sample(corpus, corpus_id, corpus_vec)
-    cent = kmeans_centroids(
-        corpus, corpus_id, corpus_vec, n_cells=n_cells, n_iter=coarse_iter,
-        fit=fit,
-    )
+    # the coarse k-means and the PQ codebook fits are INDEPENDENT chains
+    # of small sequential jobs over the shared checkpointed sample — run
+    # them concurrently so the second fit's jobs back-fill the idle
+    # executors of the first (guide §2.6 "overlap independent jobs");
+    # Spark's scheduler handles concurrent driver threads natively.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cent_f = pool.submit(
+            kmeans_centroids, corpus, corpus_id, corpus_vec,
+            n_cells=n_cells, n_iter=coarse_iter, fit=fit,
+        )
+        cb_f = pool.submit(
+            pq_codebooks, corpus, corpus_id, corpus_vec, dim,
+            m=m, k_sub=k_sub, n_iter=pq_iter, fit=fit,
+        )
+        cent, cb = cent_f.result(), cb_f.result()
     assigned = _nearest_cell(
         corpus.select(
             F.col(corpus_id).alias("n_id"), F.col(corpus_vec).alias("n_vec")
@@ -1031,10 +1058,6 @@ def build_ivf_pq_index(
         cent,
         "n_vec",
     ).select("n_id", "cell")
-    cb = pq_codebooks(
-        corpus, corpus_id, corpus_vec, dim, m=m, k_sub=k_sub, n_iter=pq_iter,
-        fit=fit,
-    )
     codes = pq_encode(corpus, corpus_id, corpus_vec, cb, dim, m=m)
     index = assigned.join(
         codes.select(F.col(corpus_id).alias("n_id"), "codes"), "n_id"
