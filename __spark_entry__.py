@@ -1372,8 +1372,13 @@ def embedding_near_dup(spark, sf_dir):
         F.transform("embedding", lambda x: x * F.lit(1.0009765625)).alias("embedding"),
     )
     corpus = emb.unionByName(planted)
+    # n_planes=None auto-sizes the plane family from the corpus count
+    # (~log2(N/64)): buckets stay ~64 rows as the SF grows instead of
+    # the fixed-8 family's N/256 quadratic bucket blowup. Output is
+    # unchanged at any size — pure positive scaling preserves every
+    # sign bit, so the planted pairs collide under EVERY plane family.
     return SIM.embedding_near_dup_lsh(
-        corpus, "vec_id", "embedding", threshold=0.99, n_planes=8, n_bands=2
+        corpus, "vec_id", "embedding", threshold=0.99, n_planes=None, n_bands=2
     )
 
 

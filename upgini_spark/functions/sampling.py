@@ -291,6 +291,8 @@ def sample_time_series(
     through the distributed global_running_sum — no single-partition
     stage at any id cardinality.
     """
+    from upgini_spark.pipeline.record_ids import global_running_sum
+
     ids = id_cols or [date_col]
     d = F.col(date_col).cast("timestamp")
     stats = df.groupBy(*ids).agg(
@@ -301,23 +303,42 @@ def sample_time_series(
         if prefer_recent_dates
         else [F.col("__cnt__").desc(), _id_hash(ids).desc()]
     )
-    # distributed running sum over the per-id aggregate — even a huge id
-    # table (10^9 ids at 10^12 rows) never funnels through one partition
-    from upgini_spark.pipeline.record_ids import global_running_sum
-
-    ranked = global_running_sum(stats, order, "__cnt__", "__cum__")
-    kept_ids = ranked.filter(F.col("__cum__") <= sample_size).select(*ids)
-
-    # both counts from the running-sum output in ONE job — it reads the
-    # cumsum's eager checkpoint (row count identical to ``stats``)
-    # instead of re-aggregating the full table (was two more full scans)
-    cnts = ranked.agg(
-        F.count(F.lit(1)).alias("__n_ids__"),
-        F.coalesce(
-            F.sum((F.col("__cum__") <= sample_size).cast("long")), F.lit(0)
-        ).alias("__n_kept__"),
-    ).collect()[0]
-    n_ids, n_kept = int(cnts["__n_ids__"]), int(cnts["__n_kept__"])
+    spark = df.sparkSession
+    if sample_size <= 100_000:
+        # every kept id holds ≥1 row, so the kept set lives in the first
+        # ``sample_size`` rows of the priority order — a per-partition
+        # top-k (TakeOrderedAndProject) + driver cumsum over ≤sample_size
+        # aggregate rows replaces the whole distributed running-sum
+        # machinery (range exchange + checkpoint + offsets collect).
+        # Identical keep decisions; the distributed cumsum remains the
+        # path for budgets past the driver bound.
+        head = stats.orderBy(*order).limit(sample_size).collect()
+        acc, kept_rows = 0, []
+        for r in head:
+            acc += r["__cnt__"]
+            if acc > sample_size:
+                break
+            kept_rows.append(tuple(r[c] for c in ids))
+        n_kept = len(kept_rows)
+        n_ids = stats.count()
+        kept_schema = stats.select(*ids).schema
+        kept_ids = spark.createDataFrame(kept_rows, kept_schema)
+    else:
+        # distributed running sum over the per-id aggregate — even a huge
+        # id table (10^9 ids at 10^12 rows) never funnels through one
+        # partition
+        ranked = global_running_sum(stats, order, "__cnt__", "__cum__")
+        kept_ids = ranked.filter(F.col("__cum__") <= sample_size).select(*ids)
+        # both counts from the running-sum output in ONE job — it reads
+        # the cumsum's eager checkpoint (row count identical to
+        # ``stats``) instead of re-aggregating the full table
+        cnts = ranked.agg(
+            F.count(F.lit(1)).alias("__n_ids__"),
+            F.coalesce(
+                F.sum((F.col("__cum__") <= sample_size).cast("long")), F.lit(0)
+            ).alias("__n_kept__"),
+        ).collect()[0]
+        n_ids, n_kept = int(cnts["__n_ids__"]), int(cnts["__n_kept__"])
     min_different_ids = max(int(n_ids * min_different_ids_ratio), 1)
 
     if n_kept < min_different_ids:
@@ -331,16 +352,36 @@ def sample_time_series(
         )
         sub = df.join(F.broadcast(ids_to_sample), on=ids, how="leftsemi")
         per_date = sub.groupBy(d.alias("__d__")).count()
-        # distributed most-recent-first cumsum over the per-date counts —
-        # a partitionless window here would funnel every distinct date
-        # through one task (unbounded at second-granularity timestamps)
-        kept_dates = (
-            global_running_sum(
-                per_date, [F.col("__d__").desc()], "count", "__cum__"
+        if sample_size <= 100_000:
+            # every kept date holds ≥1 row → the kept set lives in the
+            # most-recent ``sample_size`` dates: per-partition top-k +
+            # driver cumsum, same dispatch as the id path above
+            head = (
+                per_date.orderBy(F.col("__d__").desc())
+                .limit(sample_size)
+                .collect()
             )
-            .filter(F.col("__cum__") <= sample_size)
-            .select(F.col("__d__"))
-        )
+            acc, kept = 0, []
+            for r in head:
+                acc += r["count"]
+                if acc > sample_size:
+                    break
+                kept.append((r["__d__"],))
+            kept_dates = spark.createDataFrame(
+                kept, per_date.select("__d__").schema
+            )
+        else:
+            # distributed most-recent-first cumsum over the per-date
+            # counts — a partitionless window here would funnel every
+            # distinct date through one task (unbounded at
+            # second-granularity timestamps)
+            kept_dates = (
+                global_running_sum(
+                    per_date, [F.col("__d__").desc()], "count", "__cum__"
+                )
+                .filter(F.col("__cum__") <= sample_size)
+                .select(F.col("__d__"))
+            )
         return sub.join(
             F.broadcast(kept_dates), on=d == F.col("__d__"), how="leftsemi"
         )
