@@ -364,7 +364,20 @@ class SparkFeaturesEnricher:
         train_sdf = (
             narrow.filter(seg.isNull() | (seg == 0)) if has_eval else narrow
         )
-        n_train = train_sdf.count()
+        # one segment-count pass supplies the train count, the eval
+        # segment list AND each segment's size (was: a count job per
+        # segment plus a distinct collect — 4 jobs at 2 eval segments)
+        if has_eval:
+            seg_counts = {
+                r[0]: r[1]
+                for r in narrow.groupBy(eval_set_index_col).count().collect()
+            }
+            n_train = sum(
+                c for s, c in seg_counts.items() if s in (None, 0)
+            )
+        else:
+            seg_counts = {}
+            n_train = narrow.count()
         if n_train > max_rows:
             train_sdf = hash_sample_exact(
                 train_sdf, max_rows, [st.entity_col, st.ts_col], total=n_train
@@ -385,11 +398,7 @@ class SparkFeaturesEnricher:
 
         eval_frames = []
         if has_eval:
-            segs = sorted(
-                r[0]
-                for r in narrow.select(eval_set_index_col).distinct().collect()
-                if r[0] not in (None, 0)
-            )
+            segs = sorted(s for s in seg_counts if s not in (None, 0))
             for s in segs:
                 ev_sdf = narrow.filter(seg == s).drop(eval_set_index_col)
                 # the reference samples EVAL sets too (features_enricher
@@ -397,7 +406,7 @@ class SparkFeaturesEnricher:
                 # collect of a large eval segment would be unbounded
                 # driver memory (r5 scale audit; same deterministic
                 # hash-sample regime as the train side)
-                n_ev = ev_sdf.count()
+                n_ev = seg_counts[s]
                 if n_ev > max_rows:
                     ev_sdf = hash_sample_exact(
                         ev_sdf, max_rows, [st.entity_col, st.ts_col],
