@@ -81,3 +81,83 @@ def test_pack_sequences_n_docs_gaps(spark):
     assert out[0]["n_docs"] == 2 and out[0]["first_doc"] == 1
     assert out[0]["tokens"] == [1, 2, 3, 4]
     assert out[1]["n_docs"] == 2 and out[1]["tokens"] == [5, 6, 7, 8]
+
+
+def _composed_pq_encode(corpus, id_col, vec_col, codebooks, dim, m):
+    """The pre-r6 pq_encode pipeline (explode → _nearest_subcell →
+    struct-min regroup), kept here as the equality reference for the
+    fused one-pass _index_rows_kernel."""
+    import upgini_spark.functions.similarity as SIM
+
+    long_df = corpus.select(
+        F.col(id_col).alias("__pid__"),
+        F.posexplode(SIM._subvectors(vec_col, m, dim)).alias("sub", "sv"),
+    )
+    assigned = SIM._nearest_subcell(long_df, codebooks)
+    return (
+        assigned.groupBy("__pid__")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cell"))),
+                lambda s: s["cell"],
+            ).alias("codes")
+        )
+        .select(F.col("__pid__").alias(id_col), "codes")
+    )
+
+
+def test_fused_encode_matches_composed(spark):
+    """pq_encode's fused one-pass kernel must equal the previous
+    explode/join/regroup composition — including NULL, short,
+    empty and NaN vectors, and codebooks with a missing subspace."""
+    import upgini_spark.functions.similarity as SIM
+
+    rows = [
+        (1, [1.0] * 16), (2, None), (3, [0.5] * 8),
+        (4, [float("nan")] * 16), (5, [0.0] * 16), (6, [2.0] * 16),
+        (7, [1.0] * 15), (8, []),
+    ] + [
+        (100 + i, [float((i * 13 + d * 5) % 17) - 8.0 for d in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cbrows = []
+    for sub in range(4):
+        cbrows.append((sub, 0, [0.1 * sub, 1.0, 0.0, 2.0]))
+        cbrows.append(
+            (sub, 1, [1.5, float("nan") if sub == 2 else 0.5, 1.0, 0.0])
+        )
+    cb = spark.createDataFrame(cbrows, "sub int, cell int, cvec array<double>")
+    for book in (cb, cb.filter(F.col("sub") != 1)):
+        a = _composed_pq_encode(df, "vec_id", "v", book, 16, 4)
+        b = SIM.pq_encode(df, "vec_id", "v", book, 16, 4)
+        pa = {r["vec_id"]: list(r["codes"]) for r in a.collect()}
+        pb = {r["vec_id"]: list(r["codes"]) for r in b.collect()}
+        assert pa == pb
+
+
+def test_fused_index_matches_composed(spark):
+    """build_ivf_pq_index's fused (cell + codes) kernel row set must
+    equal the previous _nearest_cell ⋈ pq_encode composition."""
+    import upgini_spark.functions.similarity as SIM
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(16)])
+         for i in range(80)] + [(99, [0.0] * 16)],
+        "vec_id long, v array<double>",
+    )
+    fit = SIM.fit_vector_sample(df, "vec_id", "v")
+    cent = SIM.kmeans_centroids(df, "vec_id", "v", n_cells=3, n_iter=1, fit=fit)
+    cb = SIM.pq_codebooks(df, "vec_id", "v", 16, m=2, k_sub=2, n_iter=1, fit=fit)
+    src = df.select(F.col("vec_id").alias("n_id"), F.col("v").alias("n_vec"))
+    composed = SIM._nearest_cell(src, cent, "n_vec").select("n_id", "cell").join(
+        _composed_pq_encode(df, "vec_id", "v", cb, 16, 2)
+        .select(F.col("vec_id").alias("n_id"), "codes"),
+        "n_id",
+    )
+    fused = SIM._index_rows_kernel(
+        src, "n_id", "n_vec", SIM._cb_by_sub(cb), 16, 2,
+        cent_rows=sorted(cent.collect(), key=lambda r: int(r["cell"])),
+    )
+    assert composed.exceptAll(fused).count() == 0
+    assert fused.exceptAll(composed).count() == 0

@@ -821,6 +821,156 @@ def pq_codebooks(
     return cb
 
 
+def _index_rows_kernel(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    by_sub: dict[int, list[tuple[int, list[float]]]],
+    dim: int,
+    m: int,
+    cent_rows: list | None = None,
+) -> DataFrame:
+    """One-pass Arrow kernel computing, per input ROW, the PQ codes (and
+    optionally the coarse cell): (id[, cell], codes).  Replaces the
+    explode → broadcast-join → struct-min → regroup [→ join] pipeline
+    with a single ``mapInPandas`` stage — zero shuffles, which is what
+    the (row-local by construction) encode actually needs.
+
+    Bit-exactness contract — same as :func:`_nearest_cell_kernel` /
+    :func:`_nearest_subcell`, whose per-row logic this reuses verbatim:
+    per-dimension sequential accumulation (identical IEEE sequence as
+    the ``_l2sq`` / ``_dot`` left folds), L2 ties to the smallest cell,
+    NULL distance (NULL / dimension-mismatched subvector) is the
+    struct-min MINIMUM, NaN the maximum; cosine cell assignment uses the
+    struct-MAX ordering (NULL score smallest, NaN largest, ties to the
+    smallest cell).  Subvector slicing replicates ``_subvectors``:
+    ``v[j*dm : j*dm+dm]`` (short slices for short vectors, NULL vector →
+    every subvector NULL).  Subspaces absent from ``by_sub`` drop out of
+    the codes array (the composed form's inner join).
+
+    One output row per input row: callers must hold the documented
+    unique-id contract (the composed form's groupBy collapse is the
+    identity there)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    dm = dim // m
+    subs = sorted(by_sub)
+    fields = [df.schema[id_col]]
+    if cent_rows is not None:
+        cell_ids = [int(r["cell"]) for r in cent_rows]
+        cvecs = [[float(x) for x in r["cvec"]] for r in cent_rows]
+        cnorms = [_pyfold_norm(v) for v in cvecs]
+        fields.append(StructField("cell", IntegerType(), True))
+    fields.append(StructField("codes", ArrayType(IntegerType(), True), True))
+    out_schema = StructType(fields)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or (not subs and cent_rows is None):
+                continue
+            raw = list(pdf[vec_col])
+            out = pdf[[id_col]].copy()
+
+            if cent_rows is not None:
+                # ---- coarse cell: _nearest_cell_kernel per-row logic ----
+                dims = {len(v) for v in raw if v is not None}
+                cdim = max(dims) if dims else 0
+                bad = np.array(
+                    [v is None or len(v) != cdim for v in raw], dtype=bool
+                )
+                V = np.zeros((n, cdim), dtype=np.float64)
+                for i, v in enumerate(raw):
+                    if not bad[i]:
+                        V[i, :] = v
+                acc = np.zeros(n)
+                for d in range(cdim):
+                    x = V[:, d]
+                    acc = acc + x * x
+                vn = np.sqrt(acc)
+                best_cls = np.full(n, -1, dtype=np.int8)
+                best_s = np.full(n, np.nan)
+                best_cell = np.full(
+                    n, cell_ids[0] if cell_ids else 0, dtype=np.int64
+                )
+                for c_id, cv, cn in zip(cell_ids, cvecs, cnorms):
+                    acc = np.zeros(n)
+                    for d in range(len(cv)):
+                        acc = acc + V[:, d] * cv[d]
+                    denom = vn * cn
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        s = acc / denom
+                    isnull = denom == 0.0
+                    s = np.where(isnull, np.nan, s)
+                    cls = np.where(
+                        isnull, 0, np.where(np.isnan(s), 3, 2)
+                    ).astype(np.int8)
+                    take = (cls > best_cls) | ((cls == best_cls) & (s > best_s))
+                    best_cls = np.where(take, cls, best_cls)
+                    best_s = np.where(take, s, best_s)
+                    best_cell = np.where(take, c_id, best_cell)
+                out["cell"] = best_cell.astype("int32")
+
+            # ---- PQ codes: _nearest_subcell per-row logic per subspace --
+            code_cols = []
+            for sub in subs:
+                cells = by_sub[sub]
+                svs = [
+                    None if v is None else list(v[sub * dm:sub * dm + dm])
+                    for v in raw
+                ]
+                sdims = {len(v) for v in svs if v is not None}
+                sdim = max(sdims) if sdims else 0
+                sbad = np.array(
+                    [v is None or len(v) != sdim for v in svs], dtype=bool
+                )
+                S = np.zeros((n, sdim), dtype=np.float64)
+                for i, v in enumerate(svs):
+                    if not sbad[i]:
+                        S[i, :] = v
+                b_cls = np.full(n, 4, dtype=np.int8)
+                b_d = np.full(n, np.nan)
+                b_cell = np.full(n, cells[0][0], dtype=np.int64)
+                for c_id, cv in cells:
+                    mismatch = sbad | (len(cv) != sdim)
+                    acc = np.zeros(n)
+                    for d in range(min(sdim, len(cv))):
+                        t = S[:, d] - cv[d]
+                        acc = acc + t * t
+                    dd = np.where(mismatch, np.nan, acc)
+                    cls = np.where(
+                        mismatch, 0, np.where(np.isnan(dd), 3, 2)
+                    ).astype(np.int8)
+                    take = (cls < b_cls) | ((cls == b_cls) & (dd < b_d))
+                    b_cls = np.where(take, cls, b_cls)
+                    b_d = np.where(take, dd, b_d)
+                    b_cell = np.where(take, c_id, b_cell)
+                code_cols.append(b_cell.astype("int32"))
+            out["codes"] = (
+                [list(t) for t in zip(*code_cols)] if code_cols else None
+            )
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def _cb_by_sub(codebooks: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebooks.select("sub", "cell", "cvec").collect():
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["cell"]), [float(x) for x in r["cvec"]])
+        )
+    for cells in by_sub.values():
+        cells.sort()
+    return by_sub
+
+
 def pq_encode(
     corpus: DataFrame,
     id_col: str,
@@ -830,25 +980,20 @@ def pq_encode(
     m: int = 2,
 ) -> DataFrame:
     """Compress every corpus vector to its m subspace code ids:
-    (id, codes array<int>), codes ordered by subspace. One corpus scan —
-    explode to (id, sub, subvector), broadcast-join the codebooks,
-    struct-min argmin, regroup. At 10^12 rows this is the index build:
-    the output is ~m bytes/row instead of 4·d."""
-    long_df = corpus.select(
-        F.col(id_col).alias("__pid__"),
-        F.posexplode(_subvectors(vec_col, m, dim)).alias("sub", "sv"),
-    )
-    assigned = _nearest_subcell(long_df, codebooks)
-    return (
-        assigned.groupBy("__pid__")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cell"))),
-                lambda s: s["cell"],
-            ).alias("codes")
-        )
-        .select(F.col("__pid__").alias(id_col), "codes")
-    )
+    (id, codes array<int>), codes ordered by subspace, one output row
+    per corpus row (ids are expected unique — the documented contract of
+    the whole index family).  One corpus scan through the zero-shuffle
+    :func:`_index_rows_kernel` (the encode is row-local: the previous
+    explode → broadcast-join → struct-min → regroup pipeline paid two
+    shuffles for work that never needed one).  At 10^12 rows this is the
+    index build: the output is ~m bytes/row instead of 4·d."""
+    by_sub = _cb_by_sub(codebooks)
+    out = _index_rows_kernel(corpus, id_col, vec_col, by_sub, dim, m)
+    if not by_sub:
+        # composed-form parity: with an empty codebook every subspace
+        # dropped from the inner join and no rows survived the regroup
+        return out.limit(0)
+    return out
 
 
 def pq_topk_adc(
@@ -1062,16 +1207,19 @@ def build_ivf_pq_index(
             m=m, k_sub=k_sub, n_iter=pq_iter, fit=fit,
         )
         cent, cb = cent_f.result(), cb_f.result()
-    assigned = _nearest_cell(
+    # cell assignment + PQ encode fused into ONE zero-shuffle kernel pass
+    # (was: crossJoin+agg assignment, explode+agg encode, then an id JOIN
+    # of two corpus-sized frames — three shuffles for row-local work);
+    # identical per-row semantics as _nearest_cell/_nearest_subcell, and
+    # ids are unique per the index family's documented contract
+    cent_rows = sorted(
+        cent.select("cell", "cvec").collect(), key=lambda r: int(r["cell"])
+    )
+    index = _index_rows_kernel(
         corpus.select(
             F.col(corpus_id).alias("n_id"), F.col(corpus_vec).alias("n_vec")
         ),
-        cent,
-        "n_vec",
-    ).select("n_id", "cell")
-    codes = pq_encode(corpus, corpus_id, corpus_vec, cb, dim, m=m)
-    index = assigned.join(
-        codes.select(F.col(corpus_id).alias("n_id"), "codes"), "n_id"
+        "n_id", "n_vec", _cb_by_sub(cb), dim, m, cent_rows=cent_rows,
     )
     if materialize:
         index = index.localCheckpoint(eager=True)
