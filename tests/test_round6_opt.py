@@ -161,3 +161,55 @@ def test_fused_index_matches_composed(spark):
     )
     assert composed.exceptAll(fused).count() == 0
     assert fused.exceptAll(composed).count() == 0
+
+
+def test_ts_features_masked_matches_parity(spark):
+    """The single-pass masked TS-formula path must equal the slim
+    dedup + join-back parity form on frames with duplicate (group, ts)
+    rows carrying different values, kept NULL values and NULL
+    timestamps — with and without an explicit order column."""
+    import datetime as dt
+    import random
+
+    import upgini_spark.operators.timeseries as TS
+
+    base = dt.datetime(2023, 1, 1)
+    rnd = random.Random(7)
+    rows = []
+    for g in ["a", "b"]:
+        for i in range(150):
+            ts = base + dt.timedelta(hours=rnd.randint(0, 1500))
+            v = None if rnd.random() < 0.12 else round(rnd.uniform(-5, 5), 3)
+            rows.append((g, ts, v, rnd.randint(0, 10**6)))
+            if rnd.random() < 0.3:  # dup ts, DIFFERENT value
+                rows.append(
+                    (g, ts, round(rnd.uniform(-5, 5), 3), rnd.randint(0, 10**6))
+                )
+    rows += [("a", None, 1.5, 1), ("a", None, None, 2)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double, ord long")
+
+    specs = [
+        ("f_mean", "roll", {"n": 7, "unit": "D", "agg": "mean"}),
+        ("f_max", "roll", {"n": 30, "unit": "D", "agg": "max"}),
+        ("f_std", "roll", {"n": 7, "unit": "D", "agg": "std"}),
+        ("f_med", "roll", {"n": 7, "unit": "D", "agg": "median"}),
+        ("f_cnt", "roll", {"n": 7, "unit": "D", "agg": "count"}),
+        ("f_lag1", "lag", {"n": 1, "unit": "D"}),
+    ]
+
+    def fns():
+        out = []
+        for o, k, p in specs:
+            if k == "roll":
+                out.append((o, lambda s, p=p, o=o: TS.roll_feature(
+                    s, "ts", ["g"], "v", p["n"], p["unit"], p["agg"], out_col=o)))
+            else:
+                out.append((o, lambda s, p=p, o=o: TS.lag_feature(
+                    s, "ts", ["g"], "v", p["n"], p["unit"], out_col=o)))
+        return out
+
+    for oc in (None, "ord"):
+        a = TS.ts_features_parity(df, "ts", ["g"], "v", fns(), order_col=oc)
+        b = TS.ts_features_masked(df, "ts", ["g"], "v", specs, order_col=oc)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0

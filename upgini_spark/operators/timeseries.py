@@ -194,6 +194,88 @@ def ts_features_parity(
     return df.join(feat, on=key, how="left")
 
 
+# Roll aggregates whose window expression IGNORES NULL inputs — for
+# these, masking duplicate-(groups, ts) rows to NULL inside the frame is
+# indistinguishable from removing them, which is what makes the
+# single-pass form below exact ("last"/"first"/"norm_mean" are excluded:
+# they read positional/raw values, where a masked NULL differs from an
+# absent row).
+_MASKED_ROLL_AGGS = frozenset(
+    {"mean", "min", "max", "std", "sum", "count", "median", "q25", "q75",
+     "iqr", "median_approx", "q25_approx", "q75_approx"}
+)
+
+
+def ts_features_masked(
+    df: DataFrame,
+    ts_col: str,
+    groups: list[str],
+    value_col: str,
+    specs: list[tuple[str, str, dict]],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Single-pass twin of :func:`ts_features_parity` for range-framed
+    kinds (``roll`` with a null-ignoring agg, time-based ``lag``):
+    identical results, ZERO extra shuffles.
+
+    The parity form builds the keep-first slim series and broadcasts the
+    features back by (groups, ts) — which executes the upstream plan
+    TWICE (the slim branch and the join-back left side prune to
+    different columns, so the exchanges never canonically match and
+    ReuseExchange cannot dedup them) plus a dedup window and a join.
+    Equivalent single-pass: compute the same keep-first choice as a
+    ``row_number`` mask over the RAW frame, feed the feature windows the
+    MASKED value — every frame sees exactly the slim value sequence in
+    the same (ts-ascending) order, so null-ignoring aggregates are
+    bit-identical — and gate outputs on a non-null ts (the parity join
+    leaves null-ts rows unmatched).  ``lag``'s positional ``first`` uses
+    a struct mask (non-null for kept rows even when the VALUE is null)
+    so a kept null value is preserved rather than skipped.  Window
+    partitioning is (groups) / (groups, ts) — both satisfied by an
+    upstream hash-clustering on groups, so everything stacks on one
+    exchange.
+
+    Duplicate tie-break replicates :func:`dedup_first` on the slim
+    projection byte-for-byte: md5 over (groups, ts, value) casts when
+    ``order_col`` is None, else the explicit order column."""
+    key = groups + [ts_col]
+    d = _with_ts_us(df, ts_col)
+    if order_col is None:
+        slim_cols = [*key, value_col]
+        tie = F.md5(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in slim_cols])
+        )
+    else:
+        tie = F.col(order_col)
+    wdup = Window.partitionBy(*key).orderBy(tie.asc())
+    kept = (F.row_number().over(wdup) == 1) & F.col(ts_col).isNotNull()
+    d = d.withColumn("__mval__", F.when(kept, F.col(value_col))).withColumn(
+        "__mstruct__", F.when(kept, F.struct(F.col(value_col).alias("v")))
+    )
+    has_ts = F.col(ts_col).isNotNull()
+    out_cols = []
+    for out_col, kind, p in specs:
+        if kind == "roll":
+            w = _rolling_window(groups, p["n"], p["unit"])
+            expr = _roll_expr(p["agg"], "__mval__", w)
+        elif kind == "lag":
+            # lag_feature on the slim series: value at the frame's oldest
+            # ts when that ts is old enough.  min(ts) is duplicate-proof
+            # (dup rows repeat an existing ts); the struct mask picks the
+            # kept row's value at the oldest ts, nulls preserved.
+            w = _rolling_window(groups, p["n"] + 1, p["unit"])
+            oldest_ts = F.min(_TS_US).over(w)
+            oldest_val = F.first(F.col("__mstruct__"), ignorenulls=True).over(w)["v"]
+            gate = oldest_ts <= (F.col(_TS_US) - F.lit(unit_us(p["n"], p["unit"])))
+            expr = F.when(gate, oldest_val)
+        else:  # pragma: no cover - guarded by the compile_features dispatch
+            raise ValueError(f"kind {kind!r} is not maskable")
+        out_cols.append(F.when(has_ts, expr).alias(out_col))
+    return _drop_ts_us(
+        d.select(*[F.col(c) for c in df.columns], *out_cols)
+    )
+
+
 # --------------------------------------------------------------------------
 # Lag / Roll / Delta — native window expressions
 # --------------------------------------------------------------------------

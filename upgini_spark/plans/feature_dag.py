@@ -444,17 +444,33 @@ def compile_features(
         # keep their own stage
         if kind in ("lag", "roll", "delta", "roll_vol", "vol_ratio", "trend_coef"):
             bucket_key = (date_col, tuple(groups), value, offset)
-            batched.setdefault(bucket_key, []).append((out_name, fn))
+            batched.setdefault(bucket_key, []).append((out_name, kind, p, fn))
         else:
             out = TS.ts_feature_parity(
                 out, date_col, groups, value, fn, out_name,
                 order_col=order_col, offset=offset,
             )
-    for (date_col, groups_t, value, offset), fns in batched.items():
-        out = TS.ts_features_parity(
-            out, date_col, list(groups_t), value, fns,
-            order_col=order_col, offset=offset,
+    for (date_col, groups_t, value, offset), entries in batched.items():
+        # single-pass masked form when EVERY kind in the bucket supports
+        # it (range-framed lag / null-ignoring roll, no exact-ts offset):
+        # same results, no slim re-execution of the upstream plan and no
+        # (groups, ts) join-back — see TS.ts_features_masked
+        maskable = offset is None and all(
+            k == "lag" or (k == "roll" and pp.get("agg") in TS._MASKED_ROLL_AGGS)
+            for _o, k, pp, _f in entries
         )
+        if maskable:
+            out = TS.ts_features_masked(
+                out, date_col, list(groups_t), value,
+                [(o, k, pp) for o, k, pp, _f in entries],
+                order_col=order_col,
+            )
+        else:
+            out = TS.ts_features_parity(
+                out, date_col, list(groups_t), value,
+                [(o, f) for o, _k, _pp, f in entries],
+                order_col=order_col, offset=offset,
+            )
     return out
 
 
