@@ -363,16 +363,30 @@ class CVMetricsHarness:
         if not feature_cols:
             return CrossValResult(None, None)
         self.fold_feature_cols = list(feature_cols)
-        self.estimators = []
-        raw = []
-        for train, test in self._splits(pdf, fold_col):
+
+        def _one_fold(train, test):
             est = _make_estimator(
                 self.task_type, self.estimator, self.estimator_params
-            ).fit(
-                train[feature_cols], train[target_col].to_numpy()
+            ).fit(train[feature_cols], train[target_col].to_numpy())
+            return est, self._score(
+                est, test[feature_cols], test[target_col].to_numpy()
             )
-            self.estimators.append(est)
-            raw.append(self._score(est, test[feature_cols], test[target_col].to_numpy()))
+
+        # the per-fold fits are independent pure functions of disjoint
+        # slices (fixed GD schedule, no RNG, no shared state), so running
+        # them in threads changes NO numbers — numpy ufuncs/BLAS release
+        # the GIL on these 10k+-row arrays. pool.map preserves fold order
+        # for self.estimators and the fold-metric sequence.
+        splits = list(self._splits(pdf, fold_col))
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(splits) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(splits))) as pool:
+                results = list(pool.map(lambda p: _one_fold(*p), splits))
+        else:
+            results = [_one_fold(tr, te) for tr, te in splits]
+        self.estimators = [est for est, _m in results]
+        raw = [m for _est, m in results]
         return self._fold_metrics(raw)
 
     def permutation_importance(
