@@ -58,14 +58,18 @@ def hash_sample_exact(
         if total <= n:
             return df
         # lowercase fixed-width hex sorts identically to its numeric value,
-        # so a 60-bit numeric prefix is a faithful rank proxy for the filter
+        # so a 60-bit numeric prefix is a faithful rank proxy for the filter.
+        # md5 prefixes are UNIFORM on [0, 2^60) by construction, so the
+        # ~1.25n/total quantile is known in CLOSED FORM — no approxQuantile
+        # scan needed (was one extra full-table job per sample). At the
+        # n > 5k floor the 25 % margin is a ≥20 σ cushion against the
+        # binomial count landing under n; the count check below keeps
+        # exactness unconditional either way (undershoot → full table).
         num = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
         frac = min(1.0, 1.25 * n / total)
-        cut = df.select(num.alias("__hse__")).stat.approxQuantile(
-            "__hse__", [frac], 0.001
-        )[0]
-        cand = df.filter(num <= F.lit(int(cut)))
-        if cand.count() < n:  # sketch undershot — exactness wins
+        cut = int(frac * float(1 << 60))
+        cand = df.filter(num <= F.lit(cut))
+        if cand.count() < n:  # margin undershot — exactness wins
             cand = df
         work = cand
     return work.orderBy(*order).limit(n)
