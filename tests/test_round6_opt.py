@@ -213,3 +213,115 @@ def test_ts_features_masked_matches_parity(spark):
         b = TS.ts_features_masked(df, "ts", ["g"], "v", specs, order_col=oc)
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
+
+
+def _packed_exploded_reference(d_groups, df, id_col, tokens_col, max_len):
+    """The pre-r6c pack_sequences chunk assembly (one row per TOKEN
+    through the chunk shuffle), kept as the equality reference for the
+    per-(doc, chunk) array-slice form."""
+    from pyspark.sql.window import Window
+
+    from upgini_spark.pipeline.record_ids import global_running_sum
+
+    groups = list(d_groups or [])
+    d = df.select(
+        *groups,
+        F.col(id_col).alias("__pid__"),
+        F.col(tokens_col).alias("__ptok__"),
+        F.size(tokens_col).cast("long").alias("__pnt__"),
+    )
+    if groups:
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(F.col("__pid__").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        d = d.withColumn("__pend__", F.sum("__pnt__").over(w))
+    else:
+        offs = global_running_sum(
+            d.select("__pid__", "__pnt__"),
+            [F.col("__pid__").asc()], "__pnt__", "__pend__",
+        ).select("__pid__", "__pend__")
+        d = d.join(offs, "__pid__")
+    tok = (
+        d.select(
+            *groups,
+            "__pid__",
+            (F.col("__pend__").cast("long") - F.col("__pnt__")).alias("__poff__"),
+            F.posexplode("__ptok__").alias("__pi__", "tok"),
+        )
+        .withColumn("__pp__", F.col("__poff__") + F.col("__pi__"))
+        .withColumn("chunk_id", (F.col("__pp__") / max_len).cast("long"))
+        .withColumn("pos", (F.col("__pp__") % max_len).cast("int"))
+    )
+    agged = tok.groupBy(*groups, "chunk_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.min("__pid__").alias("first_doc"),
+        F.max("__pid__").alias("last_doc"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "tok", "__pid__"))
+        ).alias("__st__"),
+    )
+    return agged.select(
+        *groups,
+        "chunk_id",
+        "n_tokens",
+        F.size(
+            F.array_distinct(
+                F.transform(F.col("__st__"), lambda s: s["__pid__"])
+            )
+        ).cast("int").alias("n_docs"),
+        "first_doc",
+        "last_doc",
+        F.transform(F.col("__st__"), lambda s: s["tok"]).alias("tokens"),
+    )
+
+
+def test_pack_sequences_slices_match_exploded(spark):
+    """The slice-per-(doc, chunk) chunk assembly must equal the per-token
+    explode byte for byte: multi-chunk docs, chunk-aligned boundaries,
+    empty/NULL token arrays, in-array NULL tokens, id gaps, and the
+    grouped (per-source) path."""
+    from upgini_spark.functions.tokens import pack_sequences
+
+    rows = [
+        (1, "a", list(range(10))),          # spans multiple 4-chunks
+        (2, "a", []),                       # empty -> invisible
+        (3, "a", [99]),
+        (5, "a", None),                     # NULL array -> invisible
+        (7, "a", [1, None, 3]),             # NULL tokens preserved
+        (8, "b", list(range(8))),           # exactly two aligned chunks
+        (9, "b", [5]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, toks array<int>")
+    for groups in (None, ["src"]):
+        new = pack_sequences(df, "doc_id", "toks", 4, group_cols=groups)
+        ref = _packed_exploded_reference(groups, df, "doc_id", "toks", 4)
+        assert new.exceptAll(ref).count() == 0
+        assert ref.exceptAll(new).count() == 0
+
+
+def test_encode_words_map_matches_exploded(spark):
+    """The one-row-map encoder must equal the exploded broadcast-join
+    form: OOV -> 0, order preserved, empty/NULL texts -> empty arrays."""
+    from upgini_spark.functions.tokens import build_word_vocab, encode_words
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "dog  dog unknown"),
+         (3, ""), (4, None), (5, "   "), (6, "the the the")],
+        "doc_id long, text string",
+    )
+    vocab = build_word_vocab(df, "text", 3)
+    out = {r["doc_id"]: r for r in
+           encode_words(df, "doc_id", "text", vocab).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # vocab: the(5) dog(2) cat(1 by asc tie over mat/on/sat? no: count desc,
+    # word asc) -> the=1, dog=2, cat=3
+    assert out[6]["token_ids"] == [1, 1, 1]
+    assert out[3]["token_ids"] == [] and out[3]["n_tok"] == 0
+    assert out[4]["token_ids"] == [] and out[4]["n_oov"] == 0
+    assert out[5]["token_ids"] == []
+    assert out[2]["token_ids"][:2] == [2, 2] and out[2]["n_oov"] == 1
+    enc1 = out[1]
+    assert enc1["n_tok"] == 6 and enc1["token_ids"][0] == 1
+    assert enc1["token_ids"][4] == 1  # second 'the'

@@ -464,11 +464,16 @@ def kmeans_centroids(
     sample_cap: int = 100_000,
     round_dp: int = 9,
     fit: tuple[int, DataFrame] | None = None,
+    seed_vecs: list | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd-refined IVF centroids as a (cell, cvec)
     DataFrame. Init = the md5-hash-ordered corpus sample (the round-2
     ``deterministic_centroids`` seed), then ``n_iter`` Lloyd steps:
     assign → per-dim mean → round to ``round_dp`` decimals.
+    ``seed_vecs`` (optional) injects an already-fetched ordered seed
+    prefix — :func:`build_ivf_pq_index` fetches ONE (md5(id), id)-ordered
+    prefix and shares it between this fit and :func:`pq_codebooks`
+    instead of each fit running its own TakeOrdered job.
 
     Every step is engine-portable and SQL-replayable: the rounding
     quantum (1e-9) dwarfs float-summation order noise (~1e-12 for 1e5-row
@@ -487,16 +492,17 @@ def kmeans_centroids(
     sample = fsample.select(
         F.col("__fid__").alias("__kid__"), F.col("__fv__").alias("__kv__")
     )
-    h = F.md5(F.col("__kid__").cast("string"))
-    cent = (
-        sample.orderBy(h, F.col("__kid__"))
-        .limit(n_cells)
-        .select("__kv__")
-        .toPandas()
-    )
+    if seed_vecs is None:
+        h = F.md5(F.col("__kid__").cast("string"))
+        seed_vecs = list(
+            sample.orderBy(h, F.col("__kid__"))
+            .limit(n_cells)
+            .select("__kv__")
+            .toPandas()["__kv__"]
+        )
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(cent["__kv__"])],
+        [(i, [float(x) for x in v]) for i, v in enumerate(seed_vecs[:n_cells])],
         "cell int, cvec array<double>",
     )
     for _ in range(n_iter):
@@ -748,6 +754,7 @@ def pq_codebooks(
     sample_cap: int = 100_000,
     round_dp: int = 9,
     fit: tuple[int, DataFrame] | None = None,
+    seed_vecs: list | None = None,
 ) -> DataFrame:
     """Deterministic PQ codebooks as a (sub, cell, cvec) DataFrame: the
     md5-hash-ordered sample seeds ALL subspaces (one seed row yields m
@@ -755,7 +762,9 @@ def pq_codebooks(
     L2 → per-dim mean rounded to ``round_dp`` — run over one exploded
     (id, sub, subvector) frame so every subspace trains in the same
     jobs. Engine-portable for the same reason as ``kmeans_centroids``:
-    the 1e-9 rounding quantum dwarfs summation-order noise."""
+    the 1e-9 rounding quantum dwarfs summation-order noise.
+    ``seed_vecs`` shares one ordered seed prefix with the coarse fit —
+    see :func:`kmeans_centroids`."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dm = dim // m
@@ -765,15 +774,18 @@ def pq_codebooks(
     sample = fsample.select(
         F.col("__fid__").alias("__pid__"), F.col("__fv__").alias("__pv__")
     )
-    seed = (
-        sample.orderBy(F.md5(F.col("__pid__").cast("string")), F.col("__pid__"))
-        .limit(k_sub)
-        .select("__pv__")
-        .toPandas()
-    )
+    if seed_vecs is None:
+        seed_vecs = list(
+            sample.orderBy(
+                F.md5(F.col("__pid__").cast("string")), F.col("__pid__")
+            )
+            .limit(k_sub)
+            .select("__pv__")
+            .toPandas()["__pv__"]
+        )
     spark = corpus.sparkSession
     rows = []
-    for i, v in enumerate(seed["__pv__"]):
+    for i, v in enumerate(seed_vecs[:k_sub]):
         v = [float(x) for x in v]
         for j in range(m):
             rows.append((j, i, v[j * dm:(j + 1) * dm]))
@@ -1190,6 +1202,20 @@ def build_ivf_pq_index(
     the assignment (on a cluster, write it to a bucketed table on
     ``cell`` instead — then the candidate fetch is exchange-free)."""
     fit = fit_vector_sample(corpus, corpus_id, corpus_vec)
+    # ONE (md5(id), id)-ordered TakeOrdered serves both fits' seeds: the
+    # coarse fit uses the first n_cells vectors, the PQ fit the first
+    # k_sub — identical rows to the per-fit fetches by construction
+    # (same sample, same total order), one small job instead of two.
+    n_corpus, fsample = fit
+    n_seed = max(n_cells or auto_n_cells(n_corpus), k_sub)
+    seed_vecs = list(
+        fsample.orderBy(
+            F.md5(F.col("__fid__").cast("string")), F.col("__fid__")
+        )
+        .limit(n_seed)
+        .select("__fv__")
+        .toPandas()["__fv__"]
+    )
     # the coarse k-means and the PQ codebook fits are INDEPENDENT chains
     # of small sequential jobs over the shared checkpointed sample — run
     # them concurrently so the second fit's jobs back-fill the idle
@@ -1201,10 +1227,12 @@ def build_ivf_pq_index(
         cent_f = pool.submit(
             kmeans_centroids, corpus, corpus_id, corpus_vec,
             n_cells=n_cells, n_iter=coarse_iter, fit=fit,
+            seed_vecs=seed_vecs,
         )
         cb_f = pool.submit(
             pq_codebooks, corpus, corpus_id, corpus_vec, dim,
             m=m, k_sub=k_sub, n_iter=pq_iter, fit=fit,
+            seed_vecs=seed_vecs,
         )
         cent, cb = cent_f.result(), cb_f.result()
     # cell assignment + PQ encode fused into ONE zero-shuffle kernel pass

@@ -48,9 +48,10 @@ def pack_sequences(
     last_doc, tokens). Deterministic on any cluster size: document
     offsets come from the distributed running sum (range-partition +
     per-partition totals + broadcast prefix offsets — no
-    ``Exchange SinglePartition``); the explode shuffles each token once
-    on chunk_id, which is the honest cost of re-laying out a token
-    stream and is embarrassingly parallel.
+    ``Exchange SinglePartition``); chunk assembly shuffles one
+    array-slice row per (doc, chunk) intersection on chunk_id — the
+    token bytes cross the exchange exactly once, in ~max_len-sized
+    vector payloads rather than per-token rows.
 
     Greedy first-fit bin packing (no cross-document splits) is the other
     classical layout; concat-and-chunk is chosen because it is
@@ -82,6 +83,17 @@ def pack_sequences(
         )
         d = d.withColumn("__pend__", F.sum("__pnt__").over(w))
     else:
+        # materialize the tokenized projection ONCE (eager localCheckpoint,
+        # not persist — no CacheManager leak): the offsets branch and the
+        # array join-back are two consumers of the same frame, and the
+        # running sum adds a range-sampling job — without the checkpoint
+        # the upstream (typically a tokenizer expression over a text scan,
+        # plus any spread shuffle) re-executes once PER CONSUMER (measured
+        # 3.8 s -> 0.8 s at a 6M-token corpus; differing column prunings
+        # also defeat ReuseExchange here, the ts_features lesson). The
+        # write is one linear pass over the payload — strictly cheaper
+        # than the 3 upstream re-executions it replaces at any scale.
+        d = d.localCheckpoint(eager=True)
         # offsets on the NARROW (id, count) projection — the running
         # sum's consistency checkpoint then materializes ~16 bytes/doc
         # instead of the full token arrays (measured: the wide variant's
@@ -94,44 +106,78 @@ def pack_sequences(
             num_partitions=num_partitions,
         ).select("__pid__", "__pend__")
         d = d.join(offs, "__pid__")
-    tok = (
-        d.select(
+    # Chunk assembly shuffles ONE ROW PER (doc, chunk) INTERSECTION, not
+    # one row per token (guide §2.3 "shuffle keys and metadata instead of
+    # payloads"): each document's array is cut row-locally into the
+    # chunk-aligned slices it spans (explode of ~n/max_len chunk ids per
+    # doc + F.slice — same bytes, ~max_len× fewer shuffle rows), the
+    # group-by-chunk stitches the slices back in offset order, and
+    # flatten() restores the exact concat-and-chunk stream. Equivalences
+    # vs the per-token explode (pinned by tests + the frozen oracle):
+    # pieces of one chunk are disjoint intervals, so sorting structs by
+    # piece start == sorting tokens by absolute position; every doc with
+    # ≥1 token in a chunk contributes exactly one piece, so count(1) ==
+    # the old array_distinct(doc ids) and min/max ids are unchanged;
+    # docs with 0 tokens produce no pieces (posexplode produced no rows).
+    # Chunk ids keep the original double-division-then-cast form so the
+    # math is bit-identical to the exploded version at any magnitude.
+    L = F.lit(max_len)
+    off = (F.col("__pend__").cast("long") - F.col("__pnt__")).alias("__poff__")
+    pieces = (
+        d.filter(F.col("__pnt__") > 0)
+        .select(*groups, "__pid__", "__ptok__", off, "__pend__")
+        .select(
             *groups,
             "__pid__",
-            (F.col("__pend__").cast("long") - F.col("__pnt__")).alias("__poff__"),
-            F.posexplode("__ptok__").alias("__pi__", "tok"),
+            "__ptok__",
+            "__poff__",
+            "__pend__",
+            F.explode(
+                F.sequence(
+                    (F.col("__poff__") / L).cast("long"),
+                    ((F.col("__pend__") - 1) / L).cast("long"),
+                )
+            ).alias("chunk_id"),
         )
-        .withColumn("__pp__", F.col("__poff__") + F.col("__pi__"))
-        .withColumn("chunk_id", (F.col("__pp__") / max_len).cast("long"))
-        .withColumn("pos", (F.col("__pp__") % max_len).cast("int"))
+        .withColumn(
+            "__pstart__", F.greatest(F.col("chunk_id") * L, F.col("__poff__"))
+        )
+        .withColumn(
+            "__pend2__", F.least((F.col("chunk_id") + 1) * L, F.col("__pend__"))
+        )
+        .select(
+            *groups,
+            "chunk_id",
+            "__pid__",
+            (F.col("__pstart__") - F.col("chunk_id") * L)
+            .cast("int")
+            .alias("__cpos__"),
+            F.slice(
+                "__ptok__",
+                (F.col("__pstart__") - F.col("__poff__") + 1).cast("int"),
+                (F.col("__pend2__") - F.col("__pstart__")).cast("int"),
+            ).alias("__piece__"),
+        )
     )
-    # NO countDistinct in this agg: a DISTINCT aggregate mixed with the
-    # collect_list forces the Expand rewrite — every token row is
-    # duplicated through the aggregation (measured 2× the chunk-agg
-    # stage). The doc id rides inside the sort struct instead and
-    # n_docs folds out per chunk afterwards (≤ max_len ids per row).
-    # pos is unique within a chunk, so the struct sort order — and the
-    # token stream — is unchanged.
-    agged = tok.groupBy(*groups, "chunk_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+    agged = pieces.groupBy(*groups, "chunk_id").agg(
+        F.sum(F.size("__piece__")).cast("int").alias("n_tokens"),
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
         F.min("__pid__").alias("first_doc"),
         F.max("__pid__").alias("last_doc"),
         F.array_sort(
-            F.collect_list(F.struct("pos", "tok", "__pid__"))
-        ).alias("__st__"),
+            F.collect_list(F.struct("__cpos__", "__piece__"))
+        ).alias("__sp__"),
     )
     return agged.select(
         *groups,
         "chunk_id",
         "n_tokens",
-        F.size(
-            F.array_distinct(
-                F.transform(F.col("__st__"), lambda s: s["__pid__"])
-            )
-        ).cast("int").alias("n_docs"),
+        "n_docs",
         "first_doc",
         "last_doc",
-        F.transform(F.col("__st__"), lambda s: s["tok"]).alias("tokens"),
+        F.flatten(
+            F.transform(F.col("__sp__"), lambda s: s["__piece__"])
+        ).alias("tokens"),
     )
 
 
@@ -176,39 +222,43 @@ def encode_words(
     """Encode text into vocabulary ids (OOV → 0), preserving word order.
     Returns (id, token_ids:array<int>, n_tok, n_oov).
 
-    One posexplode + a broadcast join against the (bounded-size) vocab +
-    one per-doc re-collect; the (pos, id) structs are sorted INSIDE the
-    row (sort_array), never via an order-dependent collect_list. Empty
-    texts survive with an empty array (posexplode_outer + coalesce)."""
+    The vocabulary collapses to a ONE-ROW MAP column (map_from_entries
+    over its k entries) that rides a broadcast 1-row join; each document
+    encodes row-locally via ``transform(words, w ->
+    try_element_at(map, w))`` — zero per-word rows, zero re-collect
+    shuffle (the previous posexplode + broadcast-join + groupBy form
+    shipped every word through an exchange to reassemble arrays that
+    were never taken apart logically). The map is DATA, not a literal
+    expression tree, so plan compile time is flat in k (the r4
+    1024-node when-chain lesson). Word order is trivially preserved
+    (transform is positional); NULL texts yield an empty array exactly
+    like the exploded form did (its collect_list dropped the NULL
+    placeholder row)."""
+    vmap = vocab.select("word", "token_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", F.col("token_id").cast("int")))
+        ).alias("__vmap__")
+    )
     words = F.filter(
         F.split(F.col(text_col), " "), lambda x: x != ""
     )
-    exploded = df.select(
-        F.col(id_col).alias("__eid__"),
-        F.posexplode_outer(words).alias("__pos__", "word"),
-    )
-    joined = exploded.join(F.broadcast(vocab.select("word", "token_id")),
-                           "word", "left")
-    tok = F.when(
-        F.col("word").isNotNull(), F.coalesce("token_id", F.lit(0))
-    ).cast("int")
-    agged = joined.select("__eid__", "__pos__", tok.alias("__tok__")).groupBy(
-        "__eid__"
-    ).agg(
+    token_ids = F.coalesce(
         F.transform(
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("__tok__").isNotNull(),
-                        F.struct("__pos__", "__tok__"),
-                    )
-                )
-            ),
-            lambda s: s["__tok__"],
-        ).alias("token_ids"),
+            words,
+            lambda w: F.coalesce(
+                F.try_element_at("__vmap__", w), F.lit(0)
+            ).cast("int"),
+        ),
+        F.array().cast("array<int>"),
     )
-    return agged.select(
-        F.col("__eid__").alias(id_col),
+    # stage token_ids as a column BEFORE deriving the sizes: transform()
+    # is an interpreted higher-order expression, so repeated references
+    # in one projection would re-encode the document (the r4 lesson)
+    staged = df.crossJoin(F.broadcast(vmap)).select(
+        F.col(id_col), token_ids.alias("token_ids")
+    )
+    return staged.select(
+        id_col,
         "token_ids",
         F.size("token_ids").cast("int").alias("n_tok"),
         F.size(
