@@ -325,3 +325,65 @@ def test_encode_words_map_matches_exploded(spark):
     enc1 = out[1]
     assert enc1["n_tok"] == 6 and enc1["token_ids"][0] == 1
     assert enc1["token_ids"][4] == 1  # second 'the'
+
+
+def test_driver_lloyd_fits_match_distributed(spark):
+    """kmeans_centroids / pq_codebooks driver-side numpy fits must equal
+    the distributed Lloyd loops exactly (same seeds, same assignment
+    ordering, same HALF_UP-rounded means), and ragged samples must fall
+    back to the distributed path."""
+    import upgini_spark.functions.similarity as SIM
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 13 + d * 7) % 23) / 7.0 - 1.5 for d in range(8)])
+         for i in range(300)],
+        "vid long, v array<double>",
+    )
+    old = SIM._DRIVER_FIT_ELEMS
+    try:
+        SIM._DRIVER_FIT_ELEMS = 10**9
+        cent_drv = SIM.kmeans_centroids(
+            corpus, "vid", "v", n_cells=5, n_iter=2).collect()
+        cb_drv = SIM.pq_codebooks(
+            corpus, "vid", "v", 8, m=2, k_sub=3, n_iter=2).collect()
+        SIM._DRIVER_FIT_ELEMS = 0  # force the distributed loops
+        cent_dist = SIM.kmeans_centroids(
+            corpus, "vid", "v", n_cells=5, n_iter=2).collect()
+        cb_dist = SIM.pq_codebooks(
+            corpus, "vid", "v", 8, m=2, k_sub=3, n_iter=2).collect()
+    finally:
+        SIM._DRIVER_FIT_ELEMS = old
+    k = lambda r: (r[0] if len(r) < 3 else (r[0], r[1]))  # noqa: E731
+    for a, b in zip(sorted(cent_drv, key=k), sorted(cent_dist, key=k)):
+        assert a["cell"] == b["cell"]
+        assert list(a["cvec"]) == list(b["cvec"])  # exact float equality
+    for a, b in zip(sorted(cb_drv, key=k), sorted(cb_dist, key=k)):
+        assert (a["sub"], a["cell"]) == (b["sub"], b["cell"])
+        assert list(a["cvec"]) == list(b["cvec"])
+
+    # ragged sample (one NULL vector) -> collect_fit_matrix refuses
+    ragged = corpus.union(
+        spark.createDataFrame([(999, None)], "vid long, v array<double>"))
+    fit = SIM.fit_vector_sample(ragged, "vid", "v")
+    assert SIM.collect_fit_matrix(fit[1], fit[0], 8) is None
+    # and the public entry still works (falls back internally)
+    cent_ragged = SIM.kmeans_centroids(
+        ragged, "vid", "v", n_cells=5, n_iter=1, fit=fit).collect()
+    assert len(cent_ragged) >= 1
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """_round_half_up must agree with F.round(double, 9) bit for bit on
+    representative values (incl. shortest-repr decimal midpoints, where
+    banker's rounding would diverge)."""
+    import upgini_spark.functions.similarity as SIM
+
+    vals = [0.1234567895, -0.1234567895, 1.0000000005, 2.5e-9, -2.5e-9,
+            0.123456789123, 7.000000001499999, -3.1415926535897931,
+            1e20, 5e-10, 1.5e-9, 0.0, -0.0]
+    rows = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.round("x", 9).alias("r")).collect()
+    import struct as st
+    for v, r in zip(vals, rows):
+        a, b = SIM._round_half_up(v, 9), r["r"]
+        assert st.pack("d", a) == st.pack("d", b), (v, a, b)

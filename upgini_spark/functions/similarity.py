@@ -421,6 +421,195 @@ def _nearest_cell_kernel(df: DataFrame, rows: list, vec_col: str) -> DataFrame:
     )
 
 
+_DRIVER_FIT_ELEMS = 16_000_000  # sample rows × dims ceiling for driver-side fits
+
+
+def _round_half_up(v: float, dp: int) -> float:
+    """Replicate Spark's ROUND(double, dp): HALF_UP over the SHORTEST
+    round-trip decimal representation (java ``BigDecimal.valueOf`` ==
+    ``Double.toString``; Python ``repr()`` is the same shortest
+    correctly-rounded decimal), so the driver-side Lloyd means round to
+    exactly the bits ``F.round`` produces."""
+    import decimal
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if v != v or v == float("inf") or v == float("-inf"):
+        return v
+    with decimal.localcontext() as ctx:
+        ctx.prec = 400  # |double| ≤ ~1e308: never trimmed at any dp
+        r = float(
+            Decimal(repr(v)).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP)
+        )
+    # java BigDecimal has no signed zero: F.round(-0.0 / -tiny) = +0.0,
+    # python Decimal keeps the sign — normalize (the driver hash sees
+    # the sign bit; the CLAUDE.md -0.0 class)
+    return r + 0.0 if r == 0.0 else r
+
+
+def collect_fit_matrix(fsample: DataFrame, n_sample: int, dim_hint: int):
+    """Collect the ≤sample_cap fit sample into one (n × dim) float64
+    matrix for the driver-side Lloyd fits, or None to keep the
+    distributed path. Engages only when the sample is CLEAN — every
+    vector non-null and of one uniform length with no NULL elements
+    (verified by one tiny agg over the checkpointed sample; Spark's avg
+    SKIPS null elements, a dense matrix cannot, while NaN flows through
+    both paths identically) — and bounded (n × dim ≤ 16M elements ≈
+    128 MB, the same driver-bound spirit as the ≤100k metrics collect
+    and the ≤1M-edge union-find dispatch). At any corpus size the fit
+    sample is already ≤100k rows by construction, so this is a latency
+    dispatch, not a scale gamble: ragged/huge-dim inputs keep the
+    unchanged distributed loop."""
+    import numpy as np
+
+    if n_sample <= 0 or dim_hint <= 0 or n_sample * dim_hint > _DRIVER_FIT_ELEMS:
+        return None
+    st = fsample.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("__fv__").isNull(), 1).otherwise(0)).alias("nv"),
+        F.min(F.size("__fv__")).alias("lo"),
+        F.max(F.size("__fv__")).alias("hi"),
+        F.max(
+            F.when(F.exists("__fv__", lambda x: x.isNull()), 1).otherwise(0)
+        ).alias("ne"),
+    ).collect()[0]
+    if (
+        not st["n"]
+        or (st["nv"] or 0) > 0
+        or (st["ne"] or 0) > 0
+        or st["lo"] != st["hi"]
+        or not st["lo"]
+        or st["n"] * st["lo"] > _DRIVER_FIT_ELEMS
+    ):
+        return None
+    pdf = fsample.select("__fv__").toPandas()
+    return np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__fv__"]])
+
+
+def _kmeans_fit_driver(V, seed_vecs, n_cells, n_iter, round_dp):
+    """Driver-side twin of the distributed Lloyd loop in
+    :func:`kmeans_centroids` (engaged by :func:`collect_fit_matrix`):
+    the assignment replays `_nearest_cell_kernel`'s exact sequence —
+    per-dimension ``acc = acc + x*y`` folds, ``_pyfold_norm`` centroid
+    norms, NULL denom loses / NaN beats real / ties to the smallest
+    cell — and per-dim means round HALF_UP like ``F.round``; summation
+    order differences are absorbed by the round_dp quantum (the
+    documented partition-invariance contract). Cells that lose every
+    point drop out, ids stay sparse ascending."""
+    import numpy as np
+
+    cents = [
+        (i, [float(x) for x in v]) for i, v in enumerate(seed_vecs[:n_cells])
+    ]
+    n, dim = V.shape
+    acc = np.zeros(n)
+    for d in range(dim):
+        x = V[:, d]
+        acc = acc + x * x
+    vn = np.sqrt(acc)
+    for _ in range(n_iter):
+        best_cls = np.full(n, -1, dtype=np.int8)
+        best_s = np.full(n, np.nan)
+        best_cell = np.full(n, cents[0][0] if cents else 0, dtype=np.int64)
+        for c_id, cv in cents:
+            if len(cv) != dim:
+                s = np.full(n, np.nan)
+                cls = np.zeros(n, dtype=np.int8)
+            else:
+                acc = np.zeros(n)
+                for d in range(dim):
+                    acc = acc + V[:, d] * cv[d]
+                cn = _pyfold_norm(cv)
+                denom = vn * cn
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = acc / denom
+                isnull = denom == 0.0
+                s = np.where(isnull, np.nan, s)
+                cls = np.where(
+                    isnull, 0, np.where(np.isnan(s), 3, 2)
+                ).astype(np.int8)
+            take = (cls > best_cls) | ((cls == best_cls) & (s > best_s))
+            best_cls = np.where(take, cls, best_cls)
+            best_s = np.where(take, s, best_s)
+            best_cell = np.where(take, c_id, best_cell)
+        new = []
+        for c_id, _cv in cents:
+            mask = best_cell == c_id
+            cnt = int(mask.sum())
+            if cnt == 0:
+                continue
+            mean = V[mask].sum(axis=0) / cnt
+            new.append(
+                (c_id, [_round_half_up(float(x), round_dp) for x in mean])
+            )
+        cents = new
+    return cents
+
+
+def _pq_fit_driver(V, seed_vecs, m, dim, k_sub, n_iter, round_dp):
+    """Driver-side twin of the distributed PQ Lloyd loop in
+    :func:`pq_codebooks`: per-subspace argmin-L2 with
+    `_nearest_subcell`'s exact per-dimension ``(x-y)^2`` folds and
+    min-struct ordering (ties to the smallest cell, NaN is the
+    maximum), HALF_UP per-dim means, and the same m×k_sub density
+    contract enforced after every step."""
+    import numpy as np
+
+    dm = dim // m
+    cb = {
+        j: [
+            (i, [float(x) for x in v[j * dm:(j + 1) * dm]])
+            for i, v in enumerate(seed_vecs[:k_sub])
+        ]
+        for j in range(m)
+    }
+    n = V.shape[0]
+    subs = [V[:, j * dm:(j + 1) * dm] for j in range(m)]
+    for _ in range(n_iter):
+        new_cb = {}
+        for j in range(m):
+            S = subs[j]
+            cells = cb[j]
+            best_cls = np.full(n, 4, dtype=np.int8)
+            best_d = np.full(n, np.nan)
+            best_cell = np.full(n, cells[0][0] if cells else 0, dtype=np.int64)
+            for c_id, cv in cells:
+                if len(cv) != dm:
+                    dd = np.full(n, np.nan)
+                    cls = np.zeros(n, dtype=np.int8)
+                else:
+                    acc = np.zeros(n)
+                    for d in range(dm):
+                        t = S[:, d] - cv[d]
+                        acc = acc + t * t
+                    dd = acc
+                    cls = np.where(np.isnan(dd), 3, 2).astype(np.int8)
+                take = (cls < best_cls) | ((cls == best_cls) & (dd < best_d))
+                best_cls = np.where(take, cls, best_cls)
+                best_d = np.where(take, dd, best_d)
+                best_cell = np.where(take, c_id, best_cell)
+            rows = []
+            for c_id, _cv in cells:
+                mask = best_cell == c_id
+                cnt = int(mask.sum())
+                if cnt == 0:
+                    continue
+                mean = S[mask].sum(axis=0) / cnt
+                rows.append(
+                    (c_id, [_round_half_up(float(x), round_dp) for x in mean])
+                )
+            new_cb[j] = rows
+        cb = new_cb
+        if sum(len(v) for v in cb.values()) != m * k_sub:
+            raise ValueError(
+                f"PQ codebook collapsed to "
+                f"{sum(len(v) for v in cb.values())} (sub, cell) rows, "
+                f"expected m*k_sub = {m * k_sub}: a Lloyd step emptied a "
+                "codebook cell (duplicate seed subvectors?) — lower k_sub "
+                "or dedup the training vectors"
+            )
+    return [(j, c, v) for j in range(m) for c, v in cb[j]]
+
+
 def fit_vector_sample(
     corpus: DataFrame, id_col: str, vec_col: str, sample_cap: int = 100_000
 ) -> tuple[int, DataFrame]:
@@ -440,18 +629,20 @@ def fit_vector_sample(
         s = hash_sample_exact(s, sample_cap, ["__fid__"])
     # the sample feeds ~5 jobs (init + per-iteration assign/update) —
     # materialize once so the corpus scan / top-n sort never re-executes;
-    # bounded by sample_cap rows.  Coalesce to ~25k rows/partition first:
-    # the fit stages are tiny (≤sample_cap rows) but inherit the CORPUS
-    # partitioning, so every Lloyd assign/update stage otherwise schedules
-    # a full task wave (32 Arrow-kernel tasks for a 2k-row sample —
-    # measured 2.3→1.0 s on the two overlapped IVF+PQ fits at sf0.1).
-    # Input-adaptive, not a core-count constant: 100k-cap fits get 4
-    # partitions on any cluster, and coalesce beyond the current partition
-    # count is a no-op.  A single sequential partition also makes the
-    # per-(cell, dim) mean summation order MORE stable run-to-run than the
-    # arbitrary shuffle-merge order it replaces (the 9dp round absorbs
-    # either — the documented partition-invariance contract).
-    parts = max(1, -(-min(n, sample_cap) // 25_000))
+    # bounded by sample_cap rows.  Coalesce to ~6.25k rows/partition
+    # first: the fit stages are tiny (≤sample_cap rows) but inherit the
+    # CORPUS partitioning, so every Lloyd assign/update stage otherwise
+    # schedules a full task wave (32 Arrow-kernel tasks for a 2k-row
+    # sample — measured 2.3→1.0 s on the two overlapped IVF+PQ fits at
+    # sf0.1), while a single partition serializes the one genuinely
+    # compute-heavy stage (the per-row assign: a 20k-row sample ran its
+    # 20k×cells×dims fold on ONE core — 1.1-1.8 s that 4 partitions cut
+    # ~4×).  Input-adaptive, not a core-count constant: a 2k sample still
+    # fits one partition, the 100k cap gets 16 on any cluster, and
+    # coalesce beyond the current partition count is a no-op.  Partition
+    # count does not change results: the 9dp round absorbs summation-
+    # order noise (the documented partition-invariance contract).
+    parts = max(1, -(-min(n, sample_cap) // 6_250))
     return n, s.coalesce(parts).localCheckpoint(eager=True)
 
 
@@ -465,6 +656,7 @@ def kmeans_centroids(
     round_dp: int = 9,
     fit: tuple[int, DataFrame] | None = None,
     seed_vecs: list | None = None,
+    fit_matrix=None,
 ) -> DataFrame:
     """Deterministic Lloyd-refined IVF centroids as a (cell, cvec)
     DataFrame. Init = the md5-hash-ordered corpus sample (the round-2
@@ -474,6 +666,12 @@ def kmeans_centroids(
     prefix — :func:`build_ivf_pq_index` fetches ONE (md5(id), id)-ordered
     prefix and shares it between this fit and :func:`pq_codebooks`
     instead of each fit running its own TakeOrdered job.
+    ``fit_matrix`` (optional) likewise shares one
+    :func:`collect_fit_matrix` collect; when the sample is clean and
+    driver-bounded the whole Lloyd loop runs in numpy on the driver
+    (`_kmeans_fit_driver` — a chain of ~2 tiny Spark jobs per iteration
+    becomes zero), with the distributed loop unchanged as the fallback
+    and for ragged/oversized samples.
 
     Every step is engine-portable and SQL-replayable: the rounding
     quantum (1e-9) dwarfs float-summation order noise (~1e-12 for 1e5-row
@@ -501,6 +699,19 @@ def kmeans_centroids(
             .toPandas()["__kv__"]
         )
     spark = corpus.sparkSession
+    if n_iter > 0 and seed_vecs:
+        if fit_matrix is None:
+            dim_hint = max(len(v) for v in seed_vecs[:n_cells])
+            fit_matrix = collect_fit_matrix(
+                fsample, min(n, sample_cap), dim_hint
+            )
+        if fit_matrix is not None:
+            cents = _kmeans_fit_driver(
+                fit_matrix, seed_vecs, n_cells, n_iter, round_dp
+            )
+            return spark.createDataFrame(
+                [(c, v) for c, v in cents], "cell int, cvec array<double>"
+            )
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(seed_vecs[:n_cells])],
         "cell int, cvec array<double>",
@@ -755,6 +966,7 @@ def pq_codebooks(
     round_dp: int = 9,
     fit: tuple[int, DataFrame] | None = None,
     seed_vecs: list | None = None,
+    fit_matrix=None,
 ) -> DataFrame:
     """Deterministic PQ codebooks as a (sub, cell, cvec) DataFrame: the
     md5-hash-ordered sample seeds ALL subspaces (one seed row yields m
@@ -763,8 +975,11 @@ def pq_codebooks(
     (id, sub, subvector) frame so every subspace trains in the same
     jobs. Engine-portable for the same reason as ``kmeans_centroids``:
     the 1e-9 rounding quantum dwarfs summation-order noise.
-    ``seed_vecs`` shares one ordered seed prefix with the coarse fit —
-    see :func:`kmeans_centroids`."""
+    ``seed_vecs`` / ``fit_matrix`` share one ordered seed prefix and one
+    collected sample matrix with the coarse fit — see
+    :func:`kmeans_centroids`; a clean driver-bounded sample runs the
+    whole loop in `_pq_fit_driver` (zero Spark jobs), the distributed
+    loop below is the unchanged fallback."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dm = dim // m
@@ -784,6 +999,16 @@ def pq_codebooks(
             .toPandas()["__pv__"]
         )
     spark = corpus.sparkSession
+    if n_iter > 0 and seed_vecs:
+        if fit_matrix is None:
+            fit_matrix = collect_fit_matrix(fsample, min(_n, sample_cap), dim)
+        if fit_matrix is not None and fit_matrix.shape[1] == dim:
+            out = _pq_fit_driver(
+                fit_matrix, seed_vecs, m, dim, k_sub, n_iter, round_dp
+            )
+            return spark.createDataFrame(
+                out, "sub int, cell int, cvec array<double>"
+            )
     rows = []
     for i, v in enumerate(seed_vecs[:k_sub]):
         v = [float(x) for x in v]
@@ -1216,6 +1441,10 @@ def build_ivf_pq_index(
         .select("__fv__")
         .toPandas()["__fv__"]
     )
+    # ONE sample collect serves both driver-side Lloyd fits (None for
+    # ragged/oversized samples — the fits then run their unchanged
+    # distributed loops)
+    fit_matrix = collect_fit_matrix(fsample, min(n_corpus, 100_000), dim)
     # the coarse k-means and the PQ codebook fits are INDEPENDENT chains
     # of small sequential jobs over the shared checkpointed sample — run
     # them concurrently so the second fit's jobs back-fill the idle
@@ -1227,12 +1456,12 @@ def build_ivf_pq_index(
         cent_f = pool.submit(
             kmeans_centroids, corpus, corpus_id, corpus_vec,
             n_cells=n_cells, n_iter=coarse_iter, fit=fit,
-            seed_vecs=seed_vecs,
+            seed_vecs=seed_vecs, fit_matrix=fit_matrix,
         )
         cb_f = pool.submit(
             pq_codebooks, corpus, corpus_id, corpus_vec, dim,
             m=m, k_sub=k_sub, n_iter=pq_iter, fit=fit,
-            seed_vecs=seed_vecs,
+            seed_vecs=seed_vecs, fit_matrix=fit_matrix,
         )
         cent, cb = cent_f.result(), cb_f.result()
     # cell assignment + PQ encode fused into ONE zero-shuffle kernel pass
