@@ -382,37 +382,56 @@ class SparkFeaturesEnricher:
             train_sdf = hash_sample_exact(
                 train_sdf, max_rows, [st.entity_col, st.ts_col], total=n_train
             )
-        fold_fn = (
-            stratified_kfold_column if task in ("BINARY", "MULTICLASS") else kfold_column
-        )
-        folded = (
-            stratified_kfold_column(
-                train_sdf, target_col, [st.entity_col, st.ts_col], n_splits
-            )
-            if fold_fn is stratified_kfold_column
-            else kfold_column(train_sdf, [st.entity_col, st.ts_col], n_splits)
-        )
-        train_pdf = folded.drop(
-            *[c for c in folded.columns if c == eval_set_index_col]
-        ).toPandas()
 
-        eval_frames = []
-        if has_eval:
-            segs = sorted(s for s in seg_counts if s not in (None, 0))
-            for s in segs:
-                ev_sdf = narrow.filter(seg == s).drop(eval_set_index_col)
-                # the reference samples EVAL sets too (features_enricher
-                # eval_set_sampled_dict, :1880/:2043) — and an uncapped
-                # collect of a large eval segment would be unbounded
-                # driver memory (r5 scale audit; same deterministic
-                # hash-sample regime as the train side)
-                n_ev = seg_counts[s]
-                if n_ev > max_rows:
-                    ev_sdf = hash_sample_exact(
-                        ev_sdf, max_rows, [st.entity_col, st.ts_col],
-                        total=n_ev,
-                    )
-                eval_frames.append(ev_sdf.toPandas())
+        def collect_eval(s):
+            ev_sdf = narrow.filter(seg == s).drop(eval_set_index_col)
+            # the reference samples EVAL sets too (features_enricher
+            # eval_set_sampled_dict, :1880/:2043) — and an uncapped
+            # collect of a large eval segment would be unbounded
+            # driver memory (r5 scale audit; same deterministic
+            # hash-sample regime as the train side)
+            n_ev = seg_counts[s]
+            if n_ev > max_rows:
+                ev_sdf = hash_sample_exact(
+                    ev_sdf, max_rows, [st.entity_col, st.ts_col], total=n_ev
+                )
+            return ev_sdf.toPandas()
+
+        # the eval-segment collects are INDEPENDENT of the train
+        # fold+collect chain — submit them first on a small pool so their
+        # jobs back-fill executors idled by the train chain's tails
+        # (guide §2.6 "overlap independent jobs"); per-segment jobs, rows
+        # and frame order are byte-identical to the sequential loop, the
+        # futures list preserves segment order
+        from concurrent.futures import ThreadPoolExecutor
+
+        segs = (
+            sorted(s for s in seg_counts if s not in (None, 0))
+            if has_eval
+            else []
+        )
+        pool = ThreadPoolExecutor(max_workers=2) if segs else None
+        eval_futs = [pool.submit(collect_eval, s) for s in segs]
+        try:
+            fold_fn = (
+                stratified_kfold_column
+                if task in ("BINARY", "MULTICLASS")
+                else kfold_column
+            )
+            folded = (
+                stratified_kfold_column(
+                    train_sdf, target_col, [st.entity_col, st.ts_col], n_splits
+                )
+                if fold_fn is stratified_kfold_column
+                else kfold_column(train_sdf, [st.entity_col, st.ts_col], n_splits)
+            )
+            train_pdf = folded.drop(
+                *[c for c in folded.columns if c == eval_set_index_col]
+            ).toPandas()
+            eval_frames = [f.result() for f in eval_futs]
+        finally:
+            if pool is not None:
+                pool.shutdown()
         estimator_params = None
         if loss is not None:
             from upgini_spark.pipeline.custom_loss import (
