@@ -337,24 +337,55 @@ def psi_monthly_report(
     # without the Expand rewrite).
     dcast = F.col(date_col).cast("timestamp")
     us = F.unix_micros(dcast).cast("double")
-    head = df.agg(
-        F.size(F.collect_set(F.month(dcast))).alias("__m__"),
+    # ONE speculative head pass: the interval count is n_intervals =
+    # clamp(#months, min_intervals, max_intervals), and data spanning
+    # ≤ min_intervals months (the common monthly-PSI shape) always lands
+    # on the FLOOR — so the floor's edge fractions are known before the
+    # month count is. Fuse the month-count agg and the floor's percentile
+    # grid into one spread pass (percentile ignores the NULL-date rows
+    # natively, collect_set/max see them — same values as the two
+    # separate jobs); only >floor-month data pays a second, correctly-
+    # sized grid pass. This is NOT the rejected merged candidate grid:
+    # no extra fractions are ever requested (exact percentile cost is
+    # per-fraction — the r6 lesson), the speculative grid is exactly the
+    # floor grid.
+    spec_n = min_intervals if max_intervals is None else min(
+        min_intervals, max_intervals
+    )
+    spec_qs = [i / spec_n for i in range(1, spec_n)]
+    head = spread_scan(
+        df.select(
+            F.month(dcast).alias("__mo__"),
+            F.col(date_col).isNull().cast("int").alias("__dn__"),
+            us.alias("__u__"),
+        )
+    ).agg(
+        F.size(F.collect_set("__mo__")).alias("__m__"),
         # n_months_in counted a NULL month as a distinct value
-        F.max(F.col(date_col).isNull().cast("int")).alias("__mn__"),
+        F.max("__dn__").alias("__mn__"),
+        F.percentile(
+            F.col("__u__"), F.array(*[F.lit(x) for x in spec_qs])
+        ).alias("__e__"),
     ).collect()[0]
     n_months = int(head["__m__"] or 0) + int(head["__mn__"] or 0)
     n_intervals = max(min_intervals, n_months)
     if max_intervals is not None:
         n_intervals = min(n_intervals, max_intervals)
-    qs = [i / n_intervals for i in range(1, n_intervals)]
-    # spread the NARROW epoch column before the percentile: the partial
-    # buffers (value→count maps) then build in parallel instead of one
-    # task (measured 3.3 s → 2.3 s on a 1M-row single-row-group input)
-    grid = spread_scan(
-        df.filter(F.col(date_col).isNotNull()).select(us.alias("__u__"))
-    ).agg(
-        F.percentile(F.col("__u__"), F.array(*[F.lit(x) for x in qs])).alias("__e__")
-    ).collect()[0]["__e__"]
+    if n_intervals == spec_n:
+        grid = head["__e__"]
+    else:
+        qs = [i / n_intervals for i in range(1, n_intervals)]
+        # spread the NARROW epoch column before the percentile: the
+        # partial buffers (value→count maps) then build in parallel
+        # instead of one task (measured 3.3 s → 2.3 s on a 1M-row
+        # single-row-group input)
+        grid = spread_scan(
+            df.filter(F.col(date_col).isNotNull()).select(us.alias("__u__"))
+        ).agg(
+            F.percentile(
+                F.col("__u__"), F.array(*[F.lit(x) for x in qs])
+            ).alias("__e__")
+        ).collect()[0]["__e__"]
     interior_dates = sorted(
         set(float(e) for e in (grid or []) if e is not None)
     )
@@ -391,35 +422,62 @@ def psi_monthly_report(
         and dtypes[f] not in ("string", "boolean", "binary")
     ]
     num_feats: list[str] = []
+    edges_by_feat: dict = {}
     if num_candidates:
         # exact countDistinct on the NATIVE column type (reference does
         # ref[feat].nunique() — a double cast could collide big longs);
         # kept SEPARATE from the percentile agg below: mixing DISTINCT
-        # and percentile aggregates triggers the Expand rewrite
-        nvals = ref.agg(
-            *[F.countDistinct(q(f)).alias(f"n{i}") for i, f in enumerate(num_candidates)]
-        ).collect()[0]
-        num_feats = [f for i, f in enumerate(num_candidates) if nvals[f"n{i}"] > 20]
+        # and percentile aggregates triggers the Expand rewrite. The two
+        # aggs are independent scans of the same checkpointed ref frame,
+        # so they run in two driver threads (guide §2.6); the edge
+        # quantiles are computed SPECULATIVELY for every candidate (a
+        # candidate that fails the >20-distinct test wastes one
+        # percentile column — rare for numeric features, and both jobs
+        # finish in the wall time of one).
+        from concurrent.futures import ThreadPoolExecutor
+
+        qs_arr = F.array(*[F.lit(i / n_bins) for i in range(n_bins + 1)])
+
+        def _nvals():
+            return ref.agg(
+                *[
+                    F.countDistinct(q(f)).alias(f"n{i}")
+                    for i, f in enumerate(num_candidates)
+                ]
+            ).collect()[0]
+
+        def _edges():
+            # NaN is excluded from the edge quantiles (Spark percentile
+            # would sort it above every double; np.histogram never sees
+            # it) — the when() guard nulls NaN out, percentile skips nulls
+            return ref.agg(*[
+                F.percentile(
+                    F.when(
+                        ~F.isnan(q(f).cast("double")), q(f).cast("double")
+                    ), qs_arr
+                ).alias(f"e{i}")
+                for i, f in enumerate(num_candidates)
+            ]).collect()[0]
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            nv_f, ed_f = pool.submit(_nvals), pool.submit(_edges)
+            nvals, edges_row = nv_f.result(), ed_f.result()
+        num_feats = [
+            f for i, f in enumerate(num_candidates) if nvals[f"n{i}"] > 20
+        ]
+        edges_by_feat = {
+            f: edges_row[f"e{i}"] for i, f in enumerate(num_candidates)
+        }
     num_set = set(num_feats)
     cat_feats = [f for f in feature_cols if f not in num_set]
 
-    # ---- numerical: ONE percentile agg + ONE melted count pass ---------
+    # ---- numerical: ONE melted count pass over the decided bins --------
     num_counts: dict = {}
     if num_feats:
-        qs_arr = F.array(*[F.lit(i / n_bins) for i in range(n_bins + 1)])
-        # NaN is excluded from the edge quantiles (Spark percentile would
-        # sort it above every double; np.histogram never sees it) — the
-        # when() guard nulls NaN out and percentile ignores nulls
-        edges_row = ref.agg(*[
-            F.percentile(
-                F.when(~F.isnan(q(f).cast("double")), q(f).cast("double")), qs_arr
-            ).alias(f"e{i}")
-            for i, f in enumerate(num_feats)
-        ]).collect()[0]
         pairs = []
-        for i, f in enumerate(num_feats):
+        for f in num_feats:
             v = q(f)
-            interior = [float(e) for e in edges_row[f"e{i}"][1:-1]]  # outer → ±inf
+            interior = [float(e) for e in edges_by_feat[f][1:-1]]  # outer → ±inf
             bin_expr = F.lit(0)
             for e in interior:
                 # np.histogram: right-open bins except the last; with
