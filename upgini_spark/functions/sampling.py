@@ -316,6 +316,12 @@ def sample_time_series(
         # machinery (range exchange + checkpoint + offsets collect).
         # Identical keep decisions; the distributed cumsum remains the
         # path for budgets past the driver bound.
+        # Materialize the per-id aggregate once: the top-k job and the
+        # id-count job below would otherwise each re-run the full
+        # scan + groupBy (the >100k path already reads its cumsum's
+        # checkpoint for both); at any scale one write of the id table
+        # beats two extra full-table passes.
+        stats = stats.localCheckpoint(eager=True)
         head = stats.orderBy(*order).limit(sample_size).collect()
         acc, kept_rows = 0, []
         for r in head:
@@ -349,11 +355,23 @@ def sample_time_series(
         # fallback: densest ids by distinct-date count, then a trailing
         # most-recent-dates window that fits the budget
         date_counts = df.groupBy(*ids).agg(F.countDistinct(d).alias("__nd__"))
+        ids_limit = min_different_ids if n_kept > 0 else n_ids
         ids_to_sample = (
             date_counts.orderBy(F.col("__nd__").desc(), _id_hash(ids).asc())
-            .limit(min_different_ids if n_kept > 0 else n_ids)
+            .limit(ids_limit)
             .select(*ids)
         )
+        if ids_limit <= 100_000:
+            # the kept-id frame feeds TWO broadcast semi-joins (the
+            # per-date counts and the final filter) — left lazy, each
+            # broadcast re-runs the full scan + distinct-date agg +
+            # top-k chain. Collect the ≤100k id rows once and rebuild
+            # the frame from driver rows (same driver-bound dispatch as
+            # the quota path above); larger id budgets keep the lazy
+            # plan.
+            ids_to_sample = spark.createDataFrame(
+                ids_to_sample.collect(), date_counts.select(*ids).schema
+            )
         sub = df.join(F.broadcast(ids_to_sample), on=ids, how="leftsemi")
         per_date = sub.groupBy(d.alias("__d__")).count()
         if sample_size <= 100_000:
