@@ -88,11 +88,13 @@ def main() -> None:
             out = pa.concat_tables(
                 [one_copy(name, src, c) for c in range(COPIES)]
             ).combine_chunks()
+        # match the driver generator's layout: ~1M-row row groups
+        # (observed: sf1.0 lineitem 6 groups / orders 2 / events 1)
         pq.write_table(
-            out, os.path.join(OUT, f), row_group_size=max(out.num_rows, 1),
+            out, os.path.join(OUT, f), row_group_size=1_000_000,
             compression="snappy",
         )
-        print(f"{name}: {src.num_rows} -> {out.num_rows} rows, 1 row group")
+        print(f"{name}: {src.num_rows} -> {out.num_rows} rows")
     open(os.path.join(OUT, "_DONE"), "w").close()
 
 

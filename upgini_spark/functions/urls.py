@@ -82,7 +82,14 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
     map-side-combinable min agg + equi-join on the canonical hash, NOT a
     window (hot hosts would single-partition-sort)."""
     idc = F.col(id_col)
-    canon = df.select(idc, canonical_url(F.col(url_col)).alias("canon_url"))
+    # materialize the canonicalized frame ONCE (eager localCheckpoint):
+    # the min-id agg and the join-back both consume it and their shapes
+    # defeat ReuseExchange, so the regexp canonicalization chain (and
+    # any upstream spread) otherwise executes twice — the
+    # paragraph_dedup lesson applied to the identical join shape
+    canon = df.select(
+        idc, canonical_url(F.col(url_col)).alias("canon_url")
+    ).localCheckpoint(eager=True)
     first = canon.filter(F.col("canon_url").isNotNull()).groupBy(
         "canon_url"
     ).agg(F.min(idc).alias("__first__"))
