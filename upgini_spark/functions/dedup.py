@@ -208,6 +208,13 @@ def minhash_band_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band_no", "bk.band_key")
+    # materialize the melted band keys ONCE (eager localCheckpoint): the
+    # band SELF-join consumes the frame as both sides and exchange reuse
+    # does not fire for the aliased twin, so the shingle+minhash
+    # signature chain otherwise computes twice (the
+    # embedding_near_dup_lsh lesson; the frame is 16-byte keys ×
+    # bands per doc — tiny at any scale)
+    melted = melted.localCheckpoint(eager=True)
     a = melted.alias("a")
     b = melted.alias("b")
     pairs = (

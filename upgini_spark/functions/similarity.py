@@ -214,8 +214,14 @@ def embedding_near_dup_lsh(
     """
     if n_planes is None:
         n_planes = auto_n_planes(df.count(), target_bucket_rows)
+    # materialize the banded frame ONCE (eager localCheckpoint): the
+    # bucket SELF-join consumes it as both sides and neither static
+    # ReuseExchange nor AQE stage reuse fires for the aliased twin, so
+    # the n_bands × n_planes sign-bit dot products (and any upstream
+    # spread) otherwise compute twice (measured 2.1 → 1.6 s at 20k×64,
+    # outputs identical)
     banded = _banded(df, "id_a", "va", id_col, vec_col, n_planes, n_bands,
-                     dims, norm_alias="__an__")
+                     dims, norm_alias="__an__").localCheckpoint(eager=True)
     other = banded.select(
         F.col("id_a").alias("id_b"), F.col("va").alias("vb"),
         F.col("__an__").alias("__bn__"), "band", "bucket",
