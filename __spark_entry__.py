@@ -491,7 +491,11 @@ def groupby_then_ops(spark, sf_dir):
     tiny groupBy + broadcast join-back — the big table is not shuffled
     for them); rank/freq keep the window (they are per-row / per-value
     by nature and share one exchange on the key)."""
-    o = _par(_t(spark, sf_dir, "orders"))
+    # materialize the spread scan once: the batched-agg branch and the
+    # join-back both consume it, and each would re-pay the scan + spread
+    # shuffle (ReuseExchange does not fire across the differing shapes;
+    # measured 2.28 -> 1.78 s at 1.5M rows, outputs identical)
+    o = _par(_t(spark, sf_dir, "orders")).localCheckpoint(eager=True)
     key = F.col("o_orderpriority")
     val = F.col("o_totalprice")
     agged = G.group_by_then_features(
