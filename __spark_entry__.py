@@ -2333,7 +2333,10 @@ def text_bm25_topk(spark, sf_dir):
     one mid, one rare term — exercises the full idf range). Plan: one
     corpus scan + one single-row stats agg broadcast back + terminal
     TakeOrdered — no wide shuffle (see functions/text.py bm25_score)."""
-    docs = _par(_t(spark, sf_dir, "documents"))
+    # materialize the spread scan once: the 1-row stats agg and the
+    # scoring projection both consume it (0.48 -> 0.30 s alternating
+    # A/B, outputs identical)
+    docs = _par(_t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
     scored = TX.bm25_score(docs, "text", ["spark", "window", "dup"])
     return (
         scored.select(
