@@ -1310,8 +1310,15 @@ def embedding_near_dup(spark, sf_dir):
     # the fixed-8 family's N/256 quadratic bucket blowup. Output is
     # unchanged at any size — pure positive scaling preserves every
     # sign bit, so the planted pairs collide under EVERY plane family.
+    # The corpus count for the auto-sizing comes from the RAW scan
+    # (parquet metadata + one pruned-column filter count) — counting the
+    # spread+transform union would re-execute the whole heavy chain for
+    # a number that is knowable without it (same value by construction).
+    raw = _t(spark, sf_dir, "embeddings")
+    n_corpus = raw.count() + raw.filter(F.col("vec_id") < 50).count()
     return SIM.embedding_near_dup_lsh(
-        corpus, "vec_id", "embedding", threshold=0.99, n_planes=None, n_bands=2
+        corpus, "vec_id", "embedding", threshold=0.99,
+        n_planes=SIM.auto_n_planes(n_corpus, 64), n_bands=2,
     )
 
 
