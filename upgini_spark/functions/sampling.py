@@ -480,9 +480,13 @@ def forced_downsample_binary(
     the majority class fills its half. The reference's seeded
     ``DataFrame.sample`` becomes deterministic hash-rank sampling (same
     rows on any cluster size)."""
-    if df.count() <= sample_size:
-        return df
+    # ONE per-class count pass supplies the total row count too (was: a
+    # separate full count job first); per-class totals ride into the
+    # samplers so their pre-filter regime never re-counts
     counts = df.groupBy(target_col).count().collect()
+    total = sum(r["count"] for r in counts)
+    if total <= sample_size:
+        return df
     by_cnt = sorted(counts, key=lambda r: r["count"])
     min_class = by_cnt[0][target_col]
     half = sample_size // 2
@@ -490,8 +494,12 @@ def forced_downsample_binary(
     minority = df.filter(F.col(target_col) == min_class)
     majority = df.filter(F.col(target_col) != min_class)
     if by_cnt[0]["count"] > half:
-        minority = hash_sample_exact(minority, half, id_cols)
-    majority = hash_sample_exact(majority, half, id_cols)
+        minority = hash_sample_exact(
+            minority, half, id_cols, total=by_cnt[0]["count"]
+        )
+    majority = hash_sample_exact(
+        majority, half, id_cols, total=total - by_cnt[0]["count"]
+    )
     return minority.unionByName(majority)
 
 
