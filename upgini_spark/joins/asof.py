@@ -206,7 +206,15 @@ def _asof_arrow(
     """
     vcols = _value_cols(right, right_on, by_right)
     if n_buckets is None:
-        n_buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # size-adaptive (the record_ids range-exchange heuristic): a flat
+        # shuffle_partitions default fans small inputs into hundreds of
+        # sub-1k-row cogroups whose per-group pandas overhead dominates
+        # (measured 1.75 → 1.16 s at 1M rows with 128 → 32 buckets);
+        # floor = default parallelism, ceiling = the configured shuffle
+        # width (~64 MB pandas frames per cogroup at the ceiling)
+        from upgini_spark.pipeline.record_ids import _range_partitions
+
+        n_buckets = _range_partitions(left)
 
     # NB: both cogroup sides MUST carry identical key dtypes — Spark hashes
     # 0 (int) and 0L (bigint) to different partitions, silently misaligning
