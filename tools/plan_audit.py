@@ -87,6 +87,19 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("Exchange SinglePartition", "global corpus-stats agg (1 partial row/partition)"),
         ("BroadcastNestedLoopJoin", "crossJoin of the broadcast 1-row stats"),
     ],
+    # r6c encode_words: the vocabulary collapses to a ONE-ROW map column
+    # broadcast-crossJoined to the documents (replacing the per-word
+    # explode + join + regroup shuffle) — same shape as the bm25/bigram
+    # 1-row scalar broadcasts
+    "vocab_encode_words": [
+        ("BroadcastNestedLoopJoin", "crossJoin of the broadcast 1-row vocab map"),
+    ],
+    "chunk_sliding_tokens": [
+        ("BroadcastNestedLoopJoin", "crossJoin of the broadcast 1-row vocab map"),
+    ],
+    "mask_tokens_mlm": [
+        ("BroadcastNestedLoopJoin", "crossJoin of the broadcast 1-row vocab map"),
+    ],
     "bigram_lm_nll": [
         ("Exchange SinglePartition", "global vocabulary-size agg (1 partial row/partition)"),
         ("BroadcastNestedLoopJoin", "crossJoin of the broadcast 1-row vocab scalar"),
