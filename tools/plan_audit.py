@@ -66,6 +66,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "argmax over broadcast centroid table — IVF's inherent N×√N assignment, no shuffle"),
     ],
+    "knn_cosine_ivf": [
+        ("BroadcastNestedLoopJoin",
+         "argmax over broadcast centroid table — IVF's inherent N×√N assignment, no shuffle"
+         " (r6: the sub-kernel-threshold JVM path of _nearest_cell)"),
+    ],
     # same IVF assignment shape at INDEX-BUILD time only; the query-time
     # candidate fetch is the equi-join on cell (BroadcastHashJoin,
     # asserted in test_ivf_pq_full_probe_equals_adc_scan)
