@@ -387,3 +387,43 @@ def test_round_half_up_matches_spark_round(spark):
     for v, r in zip(vals, rows):
         a, b = SIM._round_half_up(v, 9), r["r"]
         assert st.pack("d", a) == st.pack("d", b), (v, a, b)
+
+
+def test_range_partitions_bounds(spark):
+    """_range_partitions: floored at default parallelism, capped at the
+    configured shuffle partitions, scaled by the size estimate."""
+    from upgini_spark.pipeline.record_ids import _range_partitions
+
+    dp = spark.sparkContext.defaultParallelism
+    conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tiny = spark.range(100).toDF("id")
+    n = _range_partitions(tiny)
+    assert dp <= n <= conf_n or n == conf_n  # tiny frame -> the dp floor
+    assert n == max(1, min(conf_n, dp))
+    # a checkpointed frame has an exact (small) size estimate -> floor
+    ck = spark.range(1000).toDF("id").localCheckpoint(eager=True)
+    assert _range_partitions(ck) == max(1, min(conf_n, dp))
+
+
+def test_asof_arrow_bucket_invariance(spark):
+    """The arrow engine's result must not depend on the bucket count
+    (the adaptive default changes it with input size)."""
+    from upgini_spark.joins.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(300)], "eid long, k long, t double"
+    ).select("eid", "k", F.timestamp_seconds(F.col("t") * 60).alias("ts"))
+    right = spark.createDataFrame(
+        [(i % 7, float(i) + 0.5, i * 10) for i in range(0, 300, 3)],
+        "rk long, rt double, v long",
+    ).select("rk", F.timestamp_seconds(F.col("rt") * 60).alias("rts"), "v")
+    outs = []
+    for nb in (None, 3, 64):
+        o = asof_join(
+            left, right, left_on="ts", right_on="rts", by_left="k",
+            by_right="rk", engine="arrow", n_buckets=nb, keep_match_ts=True,
+        )
+        outs.append(o)
+    for o in outs[1:]:
+        assert outs[0].exceptAll(o).count() == 0
+        assert o.exceptAll(outs[0]).count() == 0
